@@ -1,0 +1,28 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
+# exercised without TPU hardware. Must be set before jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import pytest
+
+REFERENCE_ROOT = pathlib.Path("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def reference_root() -> pathlib.Path:
+    if not REFERENCE_ROOT.exists():
+        pytest.skip("reference checkout not available")
+    return REFERENCE_ROOT
+
+
+@pytest.fixture(scope="session")
+def reference_plugins(reference_root):
+    return reference_root / "plugins"
