@@ -1,0 +1,169 @@
+"""Vectorizing specializer: null tests vs the golden shadow interpreter."""
+import numpy as np
+import pytest
+
+from zorak_tpu.ir import compile_plugin_source, load_plugin_file
+from zorak_tpu.lowering import SpecializeError, specialize_sample_kernel
+from zorak_tpu.verify import make_initialized_shadow, null_test_plugin
+
+
+def noise(nch, n, scale=0.5, seed=3):
+    return (np.random.RandomState(seed).randn(nch, n) * scale).astype(np.float32)
+
+
+class TestBasicKernels:
+    def test_pure_gain(self):
+        src = "@init\ng = 0.5;\n@sample\nspl0 *= g;\nspl1 *= g;\n"
+        rep = null_test_plugin(compile_plugin_source(src), noise(2, 3000))
+        assert rep.passed, rep.summary()
+        assert rep.max_abs_delta == 0.0
+
+    def test_elementwise_math(self):
+        src = ("@sample\n"
+               "x = spl0;\n"
+               "spl0 = sin(x) + 0.25*sqrt(abs(x)) - min(x, 0.3);\n"
+               "spl1 = max(spl1, -0.2) + sign(x)*0.01;\n")
+        rep = null_test_plugin(compile_plugin_source(src), noise(2, 2000))
+        assert rep.audio_passed, rep.summary()
+
+    def test_data_dependent_select(self):
+        src = ("@sample\n"
+               "spl0 > 0.5 ? spl0 = 0.5 : (spl0 < -0.5 ? spl0 = -0.5);\n"
+               "spl1 = spl1 > 0 ? spl1*2 : spl1*0.5;\n")
+        rep = null_test_plugin(compile_plugin_source(src), noise(2, 2000, scale=1.0))
+        assert rep.passed, rep.summary()
+
+    def test_one_pole_recurrence(self):
+        src = ("@init\na = 0.995;\n"
+               "@sample\nz = (1-a)*spl0 + a*z;\nspl0 = z;\n")
+        rep = null_test_plugin(compile_plugin_source(src), noise(1, 6000))
+        assert rep.audio_passed, rep.summary()
+        # state z after render must agree closely, too
+        assert not [m for m in rep.var_mismatches if m[0] == "z"], rep.var_mismatches
+
+    def test_time_varying_coefficient_recurrence(self):
+        # coefficient depends on the INPUT (not the state) -> still linear
+        src = ("@sample\n"
+               "a = 0.9 + 0.05*min(abs(spl0), 1);\n"
+               "z = (1-a)*spl0 + a*z;\n"
+               "spl0 = z;\n")
+        rep = null_test_plugin(compile_plugin_source(src), noise(1, 4000))
+        assert rep.audio_passed, rep.summary()
+
+    def test_induction_counter(self):
+        src = ("@sample\n"
+               "n += 1;\n"
+               "spl0 = n;\n")
+        prog = compile_plugin_source(src)
+        rep = null_test_plugin(prog, np.zeros((1, 5000), dtype=np.float32))
+        assert rep.passed, rep.summary()
+
+    def test_ring_buffer_delay(self):
+        src = ("@init\nBUFLEN = 1024; MASK = BUFLEN - 1; d = 300;\n"
+               "@sample\n"
+               "buf[w & MASK] = spl0;\n"
+               "spl0 = 0.5*spl0 + 0.5*buf[(w - d) & MASK];\n"
+               "w += 1;\n")
+        rep = null_test_plugin(compile_plugin_source(src), noise(1, 5000),
+                               segment_len=1536)
+        assert rep.passed, rep.summary()
+
+    def test_ring_delay_crossing_segments(self):
+        # delay longer than the segment: history must survive segment hops
+        src = ("@init\nMASK = 255; d = 200;\n"
+               "@sample\nbuf[w & MASK] = spl0;\n"
+               "spl0 = buf[(w - d) & MASK];\n"
+               "w += 1;\n")
+        rep = null_test_plugin(compile_plugin_source(src), noise(1, 1000),
+                               segment_len=128)
+        assert rep.passed, rep.summary()
+
+    def test_unrolled_tap_loop(self):
+        src = ("@init\n"
+               "tap = 1000; g = 1100; buf = 0;\n"
+               "i = 0;\nloop(8, tap[i] = 16 + i*7; g[i] = 0.1 + 0.05*i; i += 1;);\n"
+               "MASK = 511;\n"
+               "@sample\n"
+               "buf[w & MASK] = spl0;\n"
+               "acc = 0;\n"
+               "i = 0;\n"
+               "loop(8, acc += g[i]*buf[(w - tap[i]) & MASK]; i += 1;);\n"
+               "spl0 = acc;\n"
+               "w += 1;\n")
+        rep = null_test_plugin(compile_plugin_source(src), noise(1, 3000))
+        assert rep.passed, rep.summary()
+
+    def test_mem_cell_accumulator(self):
+        # concrete-address mem cell carrying state across samples
+        src = "@sample\nmem[7] += spl0;\nspl0 = mem[7];\n"
+        rep = null_test_plugin(compile_plugin_source(src), noise(1, 2000, scale=0.01))
+        assert rep.audio_passed, rep.summary()
+
+    def test_int_ops_on_series(self):
+        src = ("@sample\n"
+               "q = (spl0 * 1000) | 0;\n"
+               "spl0 = (q & 15) / 16 + (q % 7) * 0.001;\n")
+        rep = null_test_plugin(compile_plugin_source(src), noise(1, 2000))
+        assert rep.passed, rep.summary()
+
+    def test_user_functions_inline(self):
+        src = ("@init\n"
+               "function clamp(x a b) ( x < a ? a : (x > b ? b : x) );\n"
+               "function lp(x) instance(z) ( z = 0.9*z + 0.1*x; z );\n"
+               "@sample\n"
+               "spl0 = f.lp(clamp(spl0, -0.5, 0.5));\n")
+        rep = null_test_plugin(compile_plugin_source(src), noise(1, 3000))
+        assert rep.audio_passed, rep.summary()
+
+
+class TestUnsupportedFallsOut:
+    def test_while_loop_rejected(self):
+        src = "@sample\ni = spl0*10;\nwhile (i > 0) ( i -= 1; );\nspl0 = i;\n"
+        prog = compile_plugin_source(src)
+        shadow = make_initialized_shadow(prog)
+        with pytest.raises(SpecializeError):
+            specialize_sample_kernel(prog, shadow.state, 1)
+
+    def test_block_section_rejected_v1(self):
+        src = "@block\nc += 1;\n@sample\nspl0 = c;\n"
+        prog = compile_plugin_source(src)
+        shadow = make_initialized_shadow(prog)
+        with pytest.raises(SpecializeError):
+            specialize_sample_kernel(prog, shadow.state, 1)
+
+    def test_nonlinear_recurrence_rejected_v1(self):
+        src = "@sample\nz = z*z*0.5 + spl0;\nspl0 = z;\n"
+        prog = compile_plugin_source(src)
+        shadow = make_initialized_shadow(prog)
+        with pytest.raises(SpecializeError):
+            specialize_sample_kernel(prog, shadow.state, 1)
+
+
+class TestDDTNull:
+    """North-star: DDT through the vector engine vs the golden shadow."""
+
+    def test_ddt_default_sliders(self, reference_plugins):
+        prog = load_plugin_file(reference_plugins / "Spatialization/DDT/src/DDT.jsfx")
+        x = noise(2, 12000, scale=0.25)
+        rep = null_test_plugin(prog, x, segment_len=4096, compare_state=False)
+        assert rep.audio_passed, rep.summary()
+        # expect far better than the 1e-5 contract on CPU
+        assert rep.max_abs_delta < 1e-7, rep.summary()
+
+    def test_ddt_extreme_quality(self, reference_plugins):
+        prog = load_plugin_file(reference_plugins / "Spatialization/DDT/src/DDT.jsfx")
+        x = noise(2, 8000, scale=0.25)
+        rep = null_test_plugin(
+            prog, x, segment_len=4096, compare_state=False,
+            slider_overrides={4: 4.0, 0: 80.0, 8: 90.0})  # Extreme, far, big room
+        assert rep.audio_passed, rep.summary()
+
+    def test_ddt_state_parity(self, reference_plugins):
+        prog = load_plugin_file(reference_plugins / "Spatialization/DDT/src/DDT.jsfx")
+        x = noise(2, 4000, scale=0.25)
+        rep = null_test_plugin(prog, x, segment_len=1024, compare_state=True)
+        # meters/filters accumulate tiny scan-order differences; audio is the
+        # contract, state vars must still be close
+        assert rep.audio_passed, rep.summary()
+        bad = [m for m in rep.var_mismatches if abs(m[1] - m[2]) > 1e-6]
+        assert not bad, bad

@@ -1,0 +1,1111 @@
+"""Time-vectorizing specializer: @sample -> one data-parallel JAX program.
+
+This is the TPU-native answer to the reference's per-sample AOT loop
+(ref: dsp_jsfx_aot.py:5713-5905).  Instead of translating the sequential
+sample loop, we *specialize* the @sample body against the concrete state
+produced by interpreting @init/@slider on the host (sliders, tap tables,
+coefficients — all block-rate control state), then symbolically execute it
+over the whole time axis:
+
+* slider-derived values fold to compile-time constants (quality levels,
+  tap counts, monitor modes, filter coefficients),
+* `loop(n, ...)` with a now-concrete n unrolls,
+* counter variables (v += const) classify as inductions,
+* `mem[base + (cursor & mask)]` ring-buffer writes/reads with induction
+  cursors become static-shift delayed streams (gather + slice),
+* first-order recurrences z = A*z' + B (one-poles, meters, envelopes with
+  state-independent coefficients) solve with `lax.associative_scan`,
+* data-dependent branches become `select` via per-variable branch merging.
+
+The emitted segment function runs under `lax.scan` across segments, so an
+entire render is one XLA dispatch.  Plugins whose @sample uses features
+outside this subset raise SpecializeError and fall back to other engines.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence, Set, Tuple, Union
+
+import numpy as np
+
+from ..frontend.astnodes import (
+    Asn, Bin, Block, CallExpr, Cond, Const, IfStmt, LoopExpr, Mem, Name,
+    Node, Str, Un, WhileStmt, walk,
+)
+from ..ir.program import PluginProgram
+from ..ir.symbols import dollar_const, slider_index, spl_index
+from ..semantics import scalar as SC
+
+MAX_UNROLL = 65536
+MAX_WHILE_CONCRETE = 1 << 22
+MAX_INLINE_DEPTH = 64
+
+
+class SpecializeError(Exception):
+    """Raised when @sample uses features outside the vectorizable subset."""
+
+
+# ---------------------------------------------------------------------------
+# symbolic values
+
+
+@dataclass(frozen=True)
+class CV:
+    """Block-constant concrete value."""
+    v: float
+
+
+@dataclass(eq=False)
+class GNode:
+    """Time-series graph node (one value per sample of the segment)."""
+    kind: str                       # in/prev/bin/un/call/select/ind/ringread/ringstatic
+    op: str = ""
+    args: Tuple = ()                # operands: GNode | float
+    meta: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class TS:
+    node: GNode
+
+
+@dataclass(frozen=True)
+class IndAff:
+    """Induction-affine value: state[var] + offset + t   (unit step)."""
+    var: Any
+    offset: int
+
+
+@dataclass(frozen=True)
+class RingIdx:
+    """(state[var] + offset + t) & (mod - 1), plus a concrete origin."""
+    var: Any
+    offset: int
+    mod: int
+    origin: int = 0
+
+
+SymVal = Union[CV, TS, IndAff, RingIdx]
+
+_COMPOUND_SC = {
+    "+=": lambda c, r: c + r,
+    "-=": lambda c, r: c - r,
+    "*=": lambda c, r: c * r,
+    "/=": SC.eel_div, "%=": SC.eel_mod, "^=": SC.eel_pow,
+    "|=": SC.eel_or, "&=": SC.eel_and, "~=": SC.eel_xor,
+}
+_COMPOUND_OP = {"+=": "+", "-=": "-", "*=": "*", "/=": "/", "%=": "%",
+                "^=": "^", "|=": "|", "&=": "&", "~=": "~"}
+
+_SC_UNARY = {
+    "sin": SC.eel_sin, "cos": SC.eel_cos, "tan": SC.eel_tan,
+    "asin": SC.eel_asin, "acos": SC.eel_acos, "atan": SC.eel_atan,
+    "exp": SC.eel_exp, "log": SC.eel_log, "log10": SC.eel_log10,
+    "sqrt": SC.eel_sqrt, "abs": SC.eel_abs, "fabs": SC.eel_abs,
+    "floor": SC.eel_floor, "ceil": SC.eel_ceil, "invsqrt": SC.eel_invsqrt,
+    "sign": SC.eel_sign, "not": SC.eel_not,
+}
+_SC_BINARY = {
+    "+": lambda a, b: a + b, "-": lambda a, b: a - b, "*": lambda a, b: a * b,
+    "/": SC.eel_div, "^": SC.eel_pow, "%": SC.eel_mod,
+    "|": SC.eel_or, "&": SC.eel_and, "~": SC.eel_xor,
+    "<<": SC.eel_shl, ">>": SC.eel_shr,
+    "<": SC.cmp_lt, "<=": SC.cmp_le, ">": SC.cmp_gt, ">=": SC.cmp_ge,
+    "==": SC.cmp_eq, "!=": SC.cmp_ne,
+    "min": SC.eel_min, "max": SC.eel_max, "pow": SC.eel_pow,
+    "atan2": SC.eel_atan2,
+}
+
+
+def _is_int(x: float) -> bool:
+    return x == x and abs(x) < 2 ** 52 and float(x) == int(x)
+
+
+# ---------------------------------------------------------------------------
+# syntactic assigned-variable analysis
+
+
+def assigned_vars_of_sample(program: PluginProgram) -> Set[Any]:
+    """Variables (by env key) that @sample may assign, transitively through
+    user functions it calls.  Conservative on dynamic slider()/spl()."""
+    out: Set[Any] = set()
+    seen_fns: Set[str] = set()
+
+    def scan(nodes: Sequence[Node], params: Set[str]) -> None:
+        for root in nodes:
+            for n in walk(root):
+                if isinstance(n, Asn):
+                    t = n.target
+                    if isinstance(t, Name) and t.ident not in params:
+                        out.add(_env_key_for_name(t.ident))
+                    elif isinstance(t, CallExpr) and t.func == "spl":
+                        out.update(("spl", c) for c in range(64))
+                    elif isinstance(t, CallExpr) and t.func == "slider":
+                        out.update(("slider", c) for c in range(64))
+                if isinstance(n, CallExpr) and n.func in program.fn_defs \
+                        and n.func not in seen_fns:
+                    seen_fns.add(n.func)
+                    proto = program.fn_defs[n.func]
+                    scan([proto.body], set(proto.params))
+
+    scan(program.sections.get("sample", []), set())
+    return out
+
+
+def _env_key_for_name(ident: str):
+    i = spl_index(ident)
+    if i is not None:
+        return ("spl", i)
+    i = slider_index(ident)
+    if i is not None:
+        return ("slider", i)
+    if ident in ("srate", "samplesblock", "midi_bus", "ext_midi_bus"):
+        return ("builtin", ident)
+    return ("var", ident)
+
+
+# ---------------------------------------------------------------------------
+# symbolic executor
+
+
+class _RingWrite:
+    __slots__ = ("var", "offset", "mod", "origin", "value", "order")
+
+    def __init__(self, var, offset, mod, origin, value, order):
+        self.var = var
+        self.offset = offset
+        self.mod = mod
+        self.origin = origin
+        self.value = value
+        self.order = order
+
+
+class _SymExec:
+    def __init__(self, program: PluginProgram, snapshot, nch: int,
+                 induction_vars: Dict[Any, int],
+                 known_mem_cells: Set[int],
+                 segment_len_hint: int):
+        self.P = program
+        self.snap = snapshot              # ShadowState after init/slider
+        self.nch = nch
+        self.inductions = induction_vars  # env key -> step (always 1 for ring use)
+        self.known_cells = known_mem_cells
+        self.assigned = assigned_vars_of_sample(program)
+        self.env: Dict[Any, SymVal] = {}
+        self.prev_nodes: Dict[Any, GNode] = {}
+        self.writes: Set[Any] = set()
+        self.ring_writes: Dict[Tuple[int, int], _RingWrite] = {}
+        self.written_cells: Set[int] = set()
+        self.order = 0
+        self.depth = 0
+        self.L_hint = segment_len_hint
+
+        for c in range(nch):
+            self.env[("spl", c)] = TS(GNode("in", meta={"ch": c}))
+
+    # -- environment ---------------------------------------------------------
+
+    def _state_value(self, key) -> float:
+        kind = key[0]
+        if kind == "spl":
+            return float(self.snap.spl[key[1]])
+        if kind == "slider":
+            return float(self.snap.sliders[key[1]])
+        if kind == "builtin":
+            name = key[1]
+            if name == "samplesblock":
+                return float(self.L_hint)
+            return float(getattr(self.snap, name))
+        if kind == "var":
+            return float(self.snap.V.get(key[1], 0.0))
+        if kind == "mem":
+            a = key[1]
+            return float(self.snap.mem[a]) if a < len(self.snap.mem) else 0.0
+        raise AssertionError(key)
+
+    def read_key(self, key) -> SymVal:
+        if key in self.env:
+            return self.env[key]
+        if key in self.inductions:
+            val: SymVal = IndAff(key, 0)
+        elif key in self.assigned or (key[0] == "mem" and key[1] in self.known_cells):
+            node = self.prev_nodes.get(key)
+            if node is None:
+                node = GNode("prev", meta={"key": key})
+                self.prev_nodes[key] = node
+            val = TS(node)
+        else:
+            val = CV(self._state_value(key))
+        self.env[key] = val
+        return val
+
+    def write_key(self, key, val: SymVal) -> None:
+        self.env[key] = val
+        self.writes.add(key)
+
+    # -- symbolic operations -------------------------------------------------
+
+    def _node(self, sv: SymVal) -> Union[GNode, float]:
+        if isinstance(sv, CV):
+            return sv.v
+        if isinstance(sv, TS):
+            return sv.node
+        if isinstance(sv, IndAff):
+            return GNode("ind", meta={"var": sv.var, "offset": sv.offset})
+        if isinstance(sv, RingIdx):
+            return GNode("ringidx", meta={"var": sv.var, "offset": sv.offset,
+                                          "mod": sv.mod, "origin": sv.origin})
+        raise AssertionError(sv)
+
+    def binop(self, op: str, a: SymVal, b: SymVal) -> SymVal:
+        if isinstance(a, CV) and isinstance(b, CV):
+            return CV(_SC_BINARY[op](a.v, b.v))
+
+        # induction-affine algebra (keeps ring addressing recognizable)
+        if op in ("+", "-"):
+            if isinstance(a, IndAff) and isinstance(b, CV) and _is_int(b.v):
+                d = int(b.v) if op == "+" else -int(b.v)
+                return IndAff(a.var, a.offset + d)
+            if op == "+" and isinstance(b, IndAff) and isinstance(a, CV) and _is_int(a.v):
+                return IndAff(b.var, b.offset + int(a.v))
+            if isinstance(a, RingIdx) and isinstance(b, CV) and _is_int(b.v):
+                d = int(b.v) if op == "+" else -int(b.v)
+                return RingIdx(a.var, a.offset, a.mod, a.origin + d)
+            if op == "+" and isinstance(b, RingIdx) and isinstance(a, CV) and _is_int(a.v):
+                return RingIdx(b.var, b.offset, b.mod, b.origin + int(a.v))
+        if op == "&" and isinstance(a, IndAff) and isinstance(b, CV):
+            m = b.v
+            if _is_int(m) and int(m) > 0 and (int(m) + 1) & int(m) == 0:
+                return RingIdx(a.var, a.offset, int(m) + 1, 0)
+        if op in ("&&", "||"):
+            raise AssertionError("logical ops handled in eval")
+        return TS(GNode("bin", op=op, args=(self._node(a), self._node(b))))
+
+    def unop(self, op: str, a: SymVal) -> SymVal:
+        if op == "+":
+            return a
+        if isinstance(a, CV):
+            return CV(SC.eel_neg(a.v) if op == "-" else SC.eel_not(a.v))
+        if op == "-":
+            return TS(GNode("bin", op="-", args=(0.0, self._node(a))))
+        return TS(GNode("call", op="not", args=(self._node(a),)))
+
+    def call_math(self, fn: str, args: List[SymVal]) -> SymVal:
+        if all(isinstance(a, CV) for a in args):
+            if len(args) == 1:
+                return CV(_SC_UNARY[fn](args[0].v))
+            return CV(_SC_BINARY[fn](args[0].v, args[1].v))
+        if len(args) == 1:
+            return TS(GNode("call", op=fn, args=(self._node(args[0]),)))
+        return TS(GNode("bin", op=fn, args=(self._node(args[0]), self._node(args[1]))))
+
+    # -- memory --------------------------------------------------------------
+
+    def _addr_of(self, base: SymVal, idx: SymVal) -> SymVal:
+        """Symbolic EEL2 address trunc(base + idx + 1e-5)."""
+        s = self.binop("+", base, idx)
+        if isinstance(s, CV):
+            return CV(float(SC.mem_address(s.v, 0.0)))
+        if isinstance(s, (IndAff, RingIdx)):
+            return s  # integral by construction; bias is a no-op
+        return s
+
+    def mem_read(self, base: SymVal, idx: SymVal) -> SymVal:
+        addr = self._addr_of(base, idx)
+        if isinstance(addr, CV):
+            return self.read_key(("mem", int(addr.v)))
+        if isinstance(addr, RingIdx):
+            region = (addr.origin, addr.mod)
+            w = self.ring_writes.get(region)
+            if w is not None:
+                delay = (w.offset - addr.offset) % addr.mod
+                if w.var != addr.var:
+                    raise SpecializeError("ring read/write use different cursors")
+                if delay == 0 and w.order > self.order:
+                    raise SpecializeError("same-slot ring read before write")
+                return TS(GNode("ringread",
+                                meta={"region": region, "delay": delay,
+                                      "var": addr.var, "offset": addr.offset}))
+            # region never written in @sample: static gather over snapshot mem
+            return TS(GNode("ringstatic",
+                            meta={"region": region, "var": addr.var,
+                                  "offset": addr.offset}))
+        if isinstance(addr, IndAff):
+            raise SpecializeError("unbounded cursor mem read (no mask)")
+        # dynamic address: tolerated during discovery passes, fatal at final
+        return TS(GNode("dynmem", args=(self._node(addr),)))
+
+    def mem_write(self, base: SymVal, idx: SymVal, val: SymVal) -> None:
+        addr = self._addr_of(base, idx)
+        if isinstance(addr, CV):
+            a = int(addr.v)
+            self.written_cells.add(a)
+            self.write_key(("mem", a), val)
+            return
+        if isinstance(addr, RingIdx):
+            region = (addr.origin, addr.mod)
+            if region in self.ring_writes:
+                raise SpecializeError("multiple ring writes to one region per sample")
+            self.order += 1
+            self.ring_writes[region] = _RingWrite(
+                addr.var, addr.offset, addr.mod, addr.origin,
+                self._node(val), self.order)
+            return
+        if isinstance(addr, IndAff):
+            raise SpecializeError("unbounded cursor mem write (no mask)")
+        # dynamic address write: mark; final pass raises
+        self.written_cells.add(-1)
+
+    # -- branch merging ------------------------------------------------------
+
+    def _merged_exec(self, cond: SymVal, then_fn, else_fn) -> SymVal:
+        """Execute both branches on env copies, select-merge the writes."""
+        base_env = dict(self.env)
+        base_writes = self.writes
+        base_rings = dict(self.ring_writes)
+
+        # run each branch with its OWN write-set so the merge below only
+        # touches variables the branch actually assigned
+        self.writes = set()
+        tval = then_fn() if then_fn else CV(0.0)
+        then_env, then_writes = self.env, self.writes
+        if self.ring_writes != base_rings:
+            raise SpecializeError("ring write inside data-dependent branch")
+
+        self.env = dict(base_env)
+        self.writes = set()
+        eval_ = else_fn() if else_fn else CV(0.0)
+        else_env, else_writes = self.env, self.writes
+        if self.ring_writes != base_rings:
+            raise SpecializeError("ring write inside data-dependent branch")
+
+        merged = dict(base_env)
+        cnode = self._node(cond)
+        for key in then_writes | else_writes:
+            tv = then_env.get(key)
+            ev = else_env.get(key)
+            if tv is None or ev is None:
+                # assigned in one branch only: the untouched side keeps the
+                # pre-branch (or prev-sample) value
+                fallback = base_env.get(key)
+                if fallback is None:
+                    saved_env, saved_writes = self.env, self.writes
+                    self.env, self.writes = dict(base_env), set()
+                    fallback = self.read_key(key)
+                    self.env, self.writes = saved_env, saved_writes
+                tv = tv if tv is not None else fallback
+                ev = ev if ev is not None else fallback
+            if tv == ev:  # CV by value, TS by node identity
+                merged[key] = tv
+            else:
+                merged[key] = TS(GNode("select",
+                                       args=(cnode, self._node(tv), self._node(ev))))
+        self.env = merged
+        self.writes = base_writes | then_writes | else_writes
+
+        if isinstance(tval, CV) and isinstance(eval_, CV) and tval.v == eval_.v:
+            return tval
+        return TS(GNode("select", args=(cnode, self._node(tval), self._node(eval_))))
+
+    # -- evaluation ----------------------------------------------------------
+
+    def run(self, nodes: Sequence[Node]) -> None:
+        for stmt in nodes:
+            self.eval(stmt, {})
+
+    def eval(self, n: Node, scope: Dict[str, SymVal]) -> SymVal:  # noqa: C901
+        if isinstance(n, Const):
+            return CV(float(n.value))
+        if isinstance(n, Str):
+            return CV(float(self.P.string_handle(n.text)))
+        if isinstance(n, Name):
+            ident = n.ident
+            if ident in scope:
+                return scope[ident]
+            if ident == "mem":
+                return CV(0.0)
+            if ident == "gmem":
+                raise SpecializeError("gmem in @sample")
+            c = dollar_const(ident)
+            if c is not None:
+                return CV(c)
+            return self.read_key(_env_key_for_name(ident))
+        if isinstance(n, Mem):
+            if isinstance(n.base, Name) and n.base.ident == "gmem":
+                raise SpecializeError("gmem in @sample")
+            b = self.eval(n.base, scope)
+            i = self.eval(n.index, scope)
+            return self.mem_read(b, i)
+        if isinstance(n, Un):
+            return self.unop(n.op, self.eval(n.operand, scope))
+        if isinstance(n, Bin):
+            if n.op in ("&&", "||"):
+                l = self.eval(n.lhs, scope)
+                if isinstance(l, CV):
+                    lt = SC.truthy(l.v)
+                    if n.op == "&&":
+                        if not lt:
+                            return CV(0.0)
+                        r = self.eval(n.rhs, scope)
+                        return CV(1.0 if isinstance(r, CV) and SC.truthy(r.v) else 0.0) \
+                            if isinstance(r, CV) else self._bool(r)
+                    if lt:
+                        return CV(1.0)
+                    r = self.eval(n.rhs, scope)
+                    return CV(1.0 if isinstance(r, CV) and SC.truthy(r.v) else 0.0) \
+                        if isinstance(r, CV) else self._bool(r)
+                # TS lhs: rewrite as conditional evaluation of rhs
+                def rhs_bool():
+                    return self._bool(self.eval(n.rhs, scope))
+                if n.op == "&&":
+                    return self._merged_exec(l, rhs_bool, lambda: CV(0.0))
+                return self._merged_exec(l, lambda: CV(1.0), rhs_bool)
+            l = self.eval(n.lhs, scope)
+            r = self.eval(n.rhs, scope)
+            return self.binop(n.op, l, r)
+        if isinstance(n, Cond):
+            c = self.eval(n.pred, scope)
+            if isinstance(c, CV):
+                return self.eval(n.then if SC.truthy(c.v) else n.other, scope)
+            return self._merged_exec(c,
+                                     lambda: self.eval(n.then, scope),
+                                     lambda: self.eval(n.other, scope))
+        if isinstance(n, IfStmt):
+            c = self.eval(n.pred, scope)
+            if isinstance(c, CV):
+                if SC.truthy(c.v):
+                    self.eval(n.then, scope)
+                elif n.other is not None:
+                    self.eval(n.other, scope)
+                return CV(0.0)
+            self._merged_exec(
+                c, lambda: self.eval(n.then, scope),
+                (lambda: self.eval(n.other, scope)) if n.other is not None else None)
+            return CV(0.0)
+        if isinstance(n, WhileStmt):
+            count = 0
+            while True:
+                c = self.eval(n.pred, scope)
+                if not isinstance(c, CV):
+                    raise SpecializeError("data-dependent while in @sample")
+                if not SC.truthy(c.v):
+                    return CV(0.0)
+                self.eval(n.body, scope)
+                count += 1
+                if count > MAX_WHILE_CONCRETE:
+                    raise SpecializeError("runaway concrete while")
+        if isinstance(n, LoopExpr):
+            cnt = self.eval(n.count, scope)
+            if not isinstance(cnt, CV):
+                raise SpecializeError("data-dependent loop count in @sample")
+            trips = max(0, SC.trunc_i64(cnt.v))
+            if trips > MAX_UNROLL:
+                raise SpecializeError(f"loop too long to unroll ({trips})")
+            last: SymVal = CV(0.0)
+            for _ in range(trips):
+                last = self.eval(n.body, scope)
+            return last
+        if isinstance(n, Block):
+            last: SymVal = CV(0.0)
+            for item in n.items:
+                v = self.eval(item, scope)
+                last = CV(0.0) if isinstance(item, (IfStmt, WhileStmt)) else v
+            return last
+        if isinstance(n, Asn):
+            return self._assign(n, scope)
+        if isinstance(n, CallExpr):
+            return self._call(n, scope)
+        raise SpecializeError(f"unsupported node {type(n).__name__}")
+
+    def _bool(self, sv: SymVal) -> SymVal:
+        if isinstance(sv, CV):
+            return CV(1.0 if SC.truthy(sv.v) else 0.0)
+        node = self._node(sv)
+        return TS(GNode("select", args=(node, 1.0, 0.0)))
+
+    def _assign(self, n: Asn, scope: Dict[str, SymVal]) -> SymVal:
+        rhs = self.eval(n.value, scope)
+        tgt = n.target
+        if isinstance(tgt, Name):
+            ident = tgt.ident
+            if ident in scope:
+                if n.op == "=":
+                    scope[ident] = rhs
+                    return rhs
+                cur = scope[ident]
+                out = self._compound(n.op, cur, rhs)
+                scope[ident] = out
+                return out
+            if ident in ("mem", "gmem"):
+                raise SpecializeError(f"cannot assign to {ident}")
+            key = _env_key_for_name(ident)
+            if key[0] == "builtin":
+                raise SpecializeError(f"assignment to {ident} in @sample")
+            if n.op == "=":
+                self.write_key(key, rhs)
+                return rhs
+            cur = self.read_key(key)
+            out = self._compound(n.op, cur, rhs)
+            self.write_key(key, out)
+            return out
+        if isinstance(tgt, Mem):
+            if isinstance(tgt.base, Name) and tgt.base.ident == "gmem":
+                raise SpecializeError("gmem in @sample")
+            b = self.eval(tgt.base, scope)
+            i = self.eval(tgt.index, scope)
+            if n.op == "=":
+                self.mem_write(b, i, rhs)
+                return rhs
+            cur = self.mem_read(b, i)
+            out = self._compound(n.op, cur, rhs)
+            self.mem_write(b, i, out)
+            return out
+        if isinstance(tgt, CallExpr) and tgt.func in ("slider", "spl"):
+            raise SpecializeError("dynamic slider()/spl() assignment in @sample")
+        raise SpecializeError("invalid assignment target")
+
+    def _compound(self, op: str, cur: SymVal, rhs: SymVal) -> SymVal:
+        if isinstance(cur, CV) and isinstance(rhs, CV):
+            return CV(_COMPOUND_SC[op](cur.v, rhs.v))
+        base_op = _COMPOUND_OP[op]
+        return self.binop(base_op, cur, rhs)
+
+    def _call(self, n: CallExpr, scope: Dict[str, SymVal]) -> SymVal:
+        fn = n.func
+        if fn in ("slider", "spl"):
+            idx = self.eval(n.args[0], scope)
+            if isinstance(idx, CV):
+                i = SC.trunc_i64(idx.v + 1e-5) - (1 if fn == "slider" else 0)
+                if 0 <= i < 64:
+                    return self.read_key((fn, i))
+                return CV(0.0)
+            raise SpecializeError(f"dynamic {fn}() index in @sample")
+        if fn in self.P.fn_defs:
+            proto = self.P.fn_defs[fn]
+            if self.depth >= MAX_INLINE_DEPTH:
+                raise SpecializeError("user-function inline depth exceeded")
+            args = [self.eval(a, scope) for a in n.args]
+            args = (args + [CV(0.0)] * len(proto.params))[: len(proto.params)]
+            inner = dict(zip(proto.params, args))
+            self.depth += 1
+            try:
+                return self.eval(proto.body, inner)
+            finally:
+                self.depth -= 1
+        if fn in ("min", "max", "pow", "atan2"):
+            a = self.eval(n.args[0], scope)
+            b = self.eval(n.args[1], scope)
+            return self.call_math(fn, [a, b])
+        if fn == "sqr":
+            a = self.eval(n.args[0], scope)
+            return self.binop("*", a, a)
+        if fn in _SC_UNARY:
+            return self.call_math(fn, [self.eval(n.args[0], scope)])
+        if fn == "__memtop":
+            return CV(float(self.P.memtop))
+        if fn == "freembuf":
+            self.eval(n.args[0], scope)
+            return CV(0.0)
+        if fn.startswith("gfx_"):
+            for a in n.args:
+                self.eval(a, scope)
+            return CV(0.0)
+        raise SpecializeError(f"builtin {fn}() not vectorizable in @sample")
+
+
+# ---------------------------------------------------------------------------
+# recurrence classification
+
+
+def _prev_deps(node: Union[GNode, float], cache: Dict[int, Set]) -> Set:
+    if not isinstance(node, GNode):
+        return set()
+    got = cache.get(id(node))
+    if got is not None:
+        return got
+    cache[id(node)] = set()  # cycle guard (graphs are DAGs, but be safe)
+    out: Set = set()
+    if node.kind == "prev":
+        out.add(node.meta["key"])
+    for a in node.args:
+        out |= _prev_deps(a, cache)
+    if node.kind in ("ringread",):
+        pass  # ring reads resolve through region writes, handled separately
+    cache[id(node)] = out
+    return out
+
+
+def _linearize(node: Union[GNode, float], key, cache: Dict[int, Set]):
+    """Match node == A * prev(key) + B with A, B free of prev(key).
+
+    Returns (A, B) as graph-or-float operands, or None.
+    """
+    def free(x) -> bool:
+        return key not in _prev_deps(x, cache)
+
+    def mk(op, a, b):
+        if isinstance(a, float) and isinstance(b, float):
+            return _SC_BINARY[op](a, b)
+        if op == "+":
+            if isinstance(a, float) and a == 0.0:
+                return b
+            if isinstance(b, float) and b == 0.0:
+                return a
+        if op == "*":
+            if isinstance(a, float) and a == 1.0:
+                return b
+            if isinstance(b, float) and b == 1.0:
+                return a
+            if (isinstance(a, float) and a == 0.0) or (isinstance(b, float) and b == 0.0):
+                return 0.0
+        return GNode("bin", op=op, args=(a, b))
+
+    def rec(x):
+        if not isinstance(x, GNode):
+            return (0.0, x)
+        if x.kind == "prev" and x.meta["key"] == key:
+            return (1.0, 0.0)
+        if free(x):
+            return (0.0, x)
+        if x.kind == "bin" and x.op in ("+", "-"):
+            la = rec(x.args[0])
+            lb = rec(x.args[1])
+            if la is None or lb is None:
+                return None
+            if x.op == "+":
+                return (mk("+", la[0], lb[0]), mk("+", la[1], lb[1]))
+            return (mk("-", la[0], lb[0]), mk("-", la[1], lb[1]))
+        if x.kind == "bin" and x.op == "*":
+            a, b = x.args
+            if free(a):
+                rb = rec(b)
+                if rb is None:
+                    return None
+                return (mk("*", a, rb[0]), mk("*", a, rb[1]))
+            if free(b):
+                ra = rec(a)
+                if ra is None:
+                    return None
+                return (mk("*", ra[0], b), mk("*", ra[1], b))
+            return None
+        if x.kind == "select":
+            c, t, e = x.args
+            if not free(c):
+                return None
+            rt = rec(t)
+            re_ = rec(e)
+            if rt is None or re_ is None:
+                return None
+            return (GNode("select", args=(c, rt[0], re_[0])) if not (
+                        isinstance(rt[0], float) and isinstance(re_[0], float)
+                        and rt[0] == re_[0]) else rt[0],
+                    GNode("select", args=(c, rt[1], re_[1])))
+        return None
+
+    return rec(node)
+
+
+# ---------------------------------------------------------------------------
+# kernel construction
+
+
+@dataclass
+class _VarPlan:
+    kind: str                      # const/induction/linrec/stream
+    out: Any = None                # GNode | float  (stream value of the var)
+    A: Any = None
+    B: Any = None
+    step: int = 0
+
+
+class SpecializedSampleKernel:
+    """Compiled, segment-scanned render kernel for one plugin config."""
+
+    def __init__(self, program: PluginProgram, snapshot, nch: int,
+                 segment_len: int = 1 << 17):
+        import jax
+
+        self.P = program
+        self.snap = snapshot
+        self.nch = nch
+        self.L = int(segment_len)
+
+        if program.sections.get("block"):
+            raise SpecializeError("@block section present (vector engine v1 "
+                                  "supports @sample-only plugins)")
+        if not program.sections.get("sample"):
+            raise SpecializeError("no @sample section")
+
+        sym = self._stable_symexec()
+        self._plan(sym)
+        self._jax = jax
+        self._seg_fns: Dict[int, Callable] = {}
+
+    # -- discovery loop ------------------------------------------------------
+
+    def _stable_symexec(self) -> _SymExec:
+        inductions: Dict[Any, int] = {}
+        cells: Set[int] = set()
+        sym = None
+        for _ in range(4):
+            sym = _SymExec(self.P, self.snap, self.nch, inductions, cells, self.L)
+            sym.run(self.P.sections["sample"])
+            new_ind = dict(inductions)
+            cache: Dict[int, Set] = {}
+            for key in sym.writes:
+                if key in inductions:
+                    continue
+                out = sym.env[key]
+                if isinstance(out, IndAff):
+                    continue
+                node = out.node if isinstance(out, TS) else None
+                if node is None:
+                    continue
+                lin = _linearize(node, key, cache)
+                if lin is not None and isinstance(lin[0], float) and lin[0] == 1.0 \
+                        and isinstance(lin[1], float) and _is_int(lin[1]) \
+                        and lin[1] == 1.0:
+                    start = sym._state_value(key)
+                    if _is_int(start):
+                        new_ind[key] = 1
+            new_cells = {c for c in sym.written_cells if c >= 0}
+            if new_ind == inductions and new_cells <= cells:
+                break
+            inductions = new_ind
+            cells = cells | new_cells
+        assert sym is not None
+        if -1 in sym.written_cells:
+            raise SpecializeError("data-dependent mem write address in @sample")
+        for node_check in self._all_nodes(sym):
+            if node_check.kind == "dynmem":
+                raise SpecializeError("data-dependent mem read address in @sample")
+        return sym
+
+    def _all_nodes(self, sym: _SymExec):
+        seen: Set[int] = set()
+        stack: List[GNode] = []
+
+        def push(x):
+            if isinstance(x, GNode) and id(x) not in seen:
+                seen.add(id(x))
+                stack.append(x)
+
+        for sv in sym.env.values():
+            if isinstance(sv, TS):
+                push(sv.node)
+        for w in sym.ring_writes.values():
+            push(w.value) if isinstance(w.value, GNode) else None
+        while stack:
+            n = stack.pop()
+            yield n
+            for a in n.args:
+                push(a)
+
+    # -- planning ------------------------------------------------------------
+
+    def _plan(self, sym: _SymExec) -> None:
+        self.sym = sym
+        cache: Dict[int, Set] = {}
+        plans: Dict[Any, _VarPlan] = {}
+
+        # dependency SCC check: mutual recursions are not supported in v1
+        dep_edges: Dict[Any, Set] = {}
+        for key in sym.writes:
+            out = sym.env[key]
+            node = out.node if isinstance(out, TS) else None
+            dep_edges[key] = _prev_deps(node, cache) if node is not None else set()
+
+        for key in sym.writes:
+            out = sym.env[key]
+            if key in sym.inductions:
+                off = out.offset if isinstance(out, IndAff) else 0
+                plans[key] = _VarPlan("induction", step=1, out=off)
+                continue
+            if isinstance(out, CV):
+                plans[key] = _VarPlan("const", out=out.v)
+                continue
+            if isinstance(out, (IndAff, RingIdx)):
+                plans[key] = _VarPlan("stream", out=sym._node(out))
+                continue
+            node = out.node
+            deps = dep_edges[key]
+            if key in deps:
+                lin = _linearize(node, key, cache)
+                if lin is None:
+                    raise SpecializeError(
+                        f"non-linear self-recurrence on {key!r} (scan-group "
+                        f"fallback not yet implemented)")
+                A, B = lin
+                if key in _prev_deps(A, cache) or key in _prev_deps(B, cache):
+                    raise SpecializeError(f"recurrence coefficients depend on {key!r}")
+                plans[key] = _VarPlan("linrec", A=A, B=B)
+            else:
+                plans[key] = _VarPlan("stream", out=node)
+
+        # cross-variable cycles (v depends on prev(w), w on prev(v)) are fine:
+        # prev() only needs the other var's solved stream shifted by one — but a
+        # genuine cycle among linrec/stream plans through *current* values
+        # cannot happen (env is functional).  Nothing more to verify here.
+        self.plans = plans
+
+        # dynamic carried state: every written var + every prev-read key
+        carried = set(sym.writes) | set(sym.prev_nodes.keys()) | set(sym.inductions)
+        self.carried_vars = sorted(carried, key=repr)
+        self.ring_regions = sorted(
+            {**{w: None for w in sym.ring_writes}}.keys())
+
+    # -- emission ------------------------------------------------------------
+
+    def _make_seg_fn(self, L: int) -> Callable:
+        import jax
+        import jax.numpy as jnp
+
+        from . import eelmath as EM
+
+        P_plans = self.plans
+        sym = self.sym
+        nch = self.nch
+        carried_vars = self.carried_vars
+        ring_regions = self.ring_regions
+        snap = self.snap
+
+        static_regions: Dict[Tuple[int, int], np.ndarray] = {}
+        for node in self._all_nodes(sym):
+            if node.kind == "ringstatic":
+                origin, mod = node.meta["region"]
+                snap.mem_ensure(origin + mod)
+                static_regions[(origin, mod)] = np.asarray(
+                    snap.mem[origin:origin + mod], dtype=np.float64)
+
+        def seg(carry, xseg):
+            scalars, rings = carry
+            t64 = jnp.arange(L, dtype=jnp.int64)
+            tf = t64.astype(jnp.float64)
+            memo: Dict[int, Any] = {}
+            var_stream: Dict[Any, Any] = {}
+            var_prev: Dict[Any, Any] = {}
+            ring_src: Dict[Tuple[int, int], Any] = {}
+            in_progress: Set[Any] = set()
+
+            def cursor_idx(var, offset, mod, k0, k1):
+                w = EM.to_i64(scalars[var])
+                return (w + offset + jnp.arange(k0, k1, dtype=jnp.int64)) & (mod - 1)
+
+            def emit(x):
+                if not isinstance(x, GNode):
+                    return x  # python float (broadcasts)
+                got = memo.get(id(x))
+                if got is not None:
+                    return got
+                if x.kind == "in":
+                    val = xseg[x.meta["ch"]]
+                elif x.kind == "prev":
+                    val = prev_of(x.meta["key"])
+                elif x.kind == "ind":
+                    val = scalars[x.meta["var"]] + (x.meta["offset"] + tf)
+                elif x.kind == "ringidx":
+                    idx = cursor_idx(x.meta["var"], x.meta["offset"], x.meta["mod"], 0, L)
+                    val = idx.astype(jnp.float64) + float(x.meta["origin"])
+                elif x.kind == "bin":
+                    val = EM.BINARY[x.op](_arr(emit(x.args[0])), _arr(emit(x.args[1])))
+                elif x.kind == "call":
+                    val = EM.UNARY[x.op](_arr(emit(x.args[0])))
+                elif x.kind == "select":
+                    c = _arr(emit(x.args[0]))
+                    val = EM.eel_select(c, emit(x.args[1]), emit(x.args[2]))
+                elif x.kind == "ringread":
+                    val = ring_delayed(x.meta["region"], x.meta["delay"])
+                elif x.kind == "ringstatic":
+                    origin, mod = x.meta["region"]
+                    const = jnp.asarray(static_regions[(origin, mod)])
+                    idx = cursor_idx(x.meta["var"], x.meta["offset"], mod, 0, L)
+                    val = const[idx]
+                else:
+                    raise AssertionError(x.kind)
+                memo[id(x)] = val
+                return val
+
+            def _arr(v):
+                return v if not isinstance(v, float) else jnp.float64(v)
+
+            def ring_delayed(region, delay):
+                w = sym.ring_writes[region]
+                src = ring_src.get(region)
+                if src is None:
+                    src = _full(emit(w.value))
+                    ring_src[region] = src
+                if delay == 0:
+                    return src
+                k = min(delay, L)
+                idx = cursor_idx(w.var, w.offset - delay, w.mod, 0, k)
+                prefix = rings[region][idx]
+                if k >= L:
+                    return prefix[:L]
+                return jnp.concatenate([prefix, src[: L - k]])
+
+            def _full(v):
+                if isinstance(v, float):
+                    return jnp.full((L,), v, dtype=jnp.float64)
+                return jnp.broadcast_to(v, (L,))
+
+            def stream_of(key):
+                got = var_stream.get(key)
+                if got is not None:
+                    return got
+                if key in in_progress:
+                    raise SpecializeError(f"unexpected cyclic emission on {key!r}")
+                in_progress.add(key)
+                plan = P_plans[key]
+                if plan.kind == "const":
+                    val = jnp.full((L,), plan.out, dtype=jnp.float64)
+                elif plan.kind == "induction":
+                    val = scalars[key] + (plan.out + tf)
+                elif plan.kind == "stream":
+                    val = _full(emit(plan.out))
+                elif plan.kind == "linrec":
+                    A = emit(plan.A)
+                    B = _full(emit(plan.B))
+                    val = EM.linrec_assoc_scan(A, B, scalars[key])
+                else:
+                    raise AssertionError(plan.kind)
+                in_progress.discard(key)
+                var_stream[key] = val
+                return val
+
+            def prev_of(key):
+                got = var_prev.get(key)
+                if got is not None:
+                    return got
+                if key in P_plans:
+                    cur = stream_of(key)
+                    val = jnp.concatenate([scalars[key][None], cur[:-1]])
+                else:
+                    val = jnp.full((L,), scalars[key], dtype=jnp.float64)
+                var_prev[key] = val
+                return val
+
+            # outputs: spl registers after the body
+            outs = []
+            for c in range(nch):
+                key = ("spl", c)
+                sv = sym.env.get(key)
+                if key in sym.writes:
+                    outs.append(stream_of(key))
+                elif sv is not None and isinstance(sv, TS) and sv.node.kind == "in":
+                    outs.append(xseg[c])
+                else:
+                    outs.append(jnp.full((L,), scalars.get(key, 0.0),
+                                         dtype=jnp.float64)
+                                if key in scalars else xseg[c])
+            y = jnp.stack(outs, axis=0)
+
+            # carry updates
+            new_scalars = {}
+            for key in carried_vars:
+                if key in P_plans:
+                    plan = P_plans[key]
+                    if plan.kind == "induction":
+                        # value after the last sample: w0 + final_offset + (L-1)
+                        new_scalars[key] = scalars[key] + float(plan.out + L - 1)
+                    elif plan.kind == "const":
+                        new_scalars[key] = jnp.float64(plan.out)
+                    else:
+                        new_scalars[key] = stream_of(key)[-1]
+                else:
+                    new_scalars[key] = scalars[key]
+            new_rings = {}
+            for region in ring_regions:
+                w = sym.ring_writes[region]
+                src = ring_src.get(region)
+                if src is None:
+                    src = _full(emit(w.value))
+                    ring_src[region] = src
+                k = min(L, w.mod)
+                idx = cursor_idx(w.var, w.offset, w.mod, L - k, L)
+                new_rings[region] = rings[region].at[idx].set(src[L - k:])
+            return (new_scalars, new_rings), y
+
+        return seg
+
+    # -- state plumbing ------------------------------------------------------
+
+    def initial_carry(self):
+        import jax.numpy as jnp
+        sym = self.sym
+        scalars = {key: jnp.float64(sym._state_value(key))
+                   for key in self.carried_vars}
+        rings = {}
+        for region in self.ring_regions:
+            origin, mod = region
+            self.snap.mem_ensure(origin + mod)
+            rings[region] = jnp.asarray(
+                np.asarray(self.snap.mem[origin:origin + mod], dtype=np.float64))
+        return (scalars, rings)
+
+    def _seg_fn(self, L: int):
+        fn = self._seg_fns.get(L)
+        if fn is None:
+            import jax
+            raw = self._make_seg_fn(L)
+            fn = jax.jit(raw, donate_argnums=(0,))
+            self._seg_fns[L] = fn
+        return fn
+
+    def render(self, x: np.ndarray, carry=None):
+        """x: float32 [nch, T].  Returns (y float32 [nch, T], final_carry)."""
+        import jax
+        import jax.numpy as jnp
+
+        nch, T = x.shape
+        assert nch == self.nch
+        if carry is None:
+            carry = self.initial_carry()
+        L = min(self.L, T) if T else self.L
+        nfull = T // L
+        rem = T - nfull * L
+
+        x64 = jnp.asarray(x, dtype=jnp.float64)
+        ys = []
+        if nfull:
+            xin = x64[:, : nfull * L].reshape(nch, nfull, L).transpose(1, 0, 2)
+            seg = self._seg_fn(L)
+
+            def body(c, xs):
+                return seg(c, xs)
+
+            carry, yseg = jax.lax.scan(body, carry, xin)
+            ys.append(yseg.transpose(1, 0, 2).reshape(nch, nfull * L))
+        if rem:
+            seg_r = self._seg_fn(rem)
+            carry, y_r = seg_r(carry, x64[:, nfull * L:])
+            ys.append(y_r)
+        y = jnp.concatenate(ys, axis=1) if len(ys) > 1 else ys[0]
+        return np.asarray(y.astype(jnp.float32)), carry
+
+    def writeback(self, carry, state) -> None:
+        """Flush final carry into a ShadowState (for state parity checks)."""
+        scalars, rings = carry
+        for key in self.carried_vars:
+            v = float(scalars[key])
+            kind = key[0]
+            if kind == "spl":
+                state.spl[key[1]] = v
+            elif kind == "slider":
+                state.sliders[key[1]] = v
+            elif kind == "var":
+                state.V[key[1]] = v
+            elif kind == "mem":
+                state.mem_ensure(key[1] + 1)
+                state.mem[key[1]] = v
+            elif kind == "builtin":
+                setattr(state, key[1], v)
+        for region, arr in rings.items():
+            origin, mod = region
+            state.mem_ensure(origin + mod)
+            state.mem[origin:origin + mod] = np.asarray(arr)
+
+
+def specialize_sample_kernel(program: PluginProgram, snapshot, nch: int,
+                             segment_len: int = 1 << 17) -> SpecializedSampleKernel:
+    return SpecializedSampleKernel(program, snapshot, nch, segment_len)

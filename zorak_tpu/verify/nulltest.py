@@ -1,0 +1,138 @@
+"""Null-test harness: TPU render vs CPU golden shadow.
+
+Port of the reference correctness-check semantics (ref:
+src/JSFXCorrectnessCheck.h:34-35): audio compared on f32-rounded samples
+with epsilon 1e-5 (~ -100 dBFS), scalars/vars with epsilon 1e-8.  Reports
+max |delta| in dBFS like the reference's export bundle.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+AUDIO_EPS = 1.0e-5   # ref: JSFXCorrectnessCheck.h:34
+SCALAR_EPS = 1.0e-8  # ref: JSFXCorrectnessCheck.h:35
+
+
+@dataclass
+class NullReport:
+    n_samples: int = 0
+    n_channels: int = 0
+    max_abs_delta: float = 0.0
+    rms_delta: float = 0.0
+    audio_passed: bool = True
+    var_mismatches: List[Tuple[str, float, float]] = field(default_factory=list)
+
+    @property
+    def max_delta_dbfs(self) -> float:
+        if self.max_abs_delta <= 0.0:
+            return -math.inf
+        return 20.0 * math.log10(self.max_abs_delta)
+
+    @property
+    def passed(self) -> bool:
+        return self.audio_passed and not self.var_mismatches
+
+    def summary(self) -> str:
+        db = self.max_delta_dbfs
+        db_s = f"{db:.1f} dBFS" if math.isfinite(db) else "-inf dBFS"
+        status = "PASS" if self.passed else "FAIL"
+        return (f"[{status}] null test: {self.n_channels}ch x {self.n_samples} "
+                f"samples, max |delta| = {self.max_abs_delta:.3e} ({db_s}), "
+                f"rms = {self.rms_delta:.3e}, "
+                f"var mismatches = {len(self.var_mismatches)}")
+
+
+def compare_audio(reference: np.ndarray, test: np.ndarray,
+                  eps: float = AUDIO_EPS) -> NullReport:
+    """Both arrays f32 [channels, samples]; compared after f32 rounding."""
+    a = np.asarray(reference, dtype=np.float32).astype(np.float64)
+    b = np.asarray(test, dtype=np.float32).astype(np.float64)
+    assert a.shape == b.shape, (a.shape, b.shape)
+    d = np.abs(a - b)
+    rep = NullReport(
+        n_samples=a.shape[1] if a.ndim > 1 else a.shape[0],
+        n_channels=a.shape[0] if a.ndim > 1 else 1,
+        max_abs_delta=float(d.max(initial=0.0)),
+        rms_delta=float(np.sqrt(np.mean(d * d))) if d.size else 0.0,
+    )
+    rep.audio_passed = rep.max_abs_delta <= eps
+    return rep
+
+
+def compare_states(ref_state, test_state, eps: float = SCALAR_EPS,
+                   report: Optional[NullReport] = None,
+                   skip: frozenset = frozenset()) -> NullReport:
+    """Compare user vars (+ spl registers) between two shadow states."""
+    rep = report or NullReport()
+    for name, rv in ref_state.V.items():
+        if name in skip:
+            continue
+        tv = test_state.V.get(name, 0.0)
+        if _differs(rv, tv, eps):
+            rep.var_mismatches.append((name, float(rv), float(tv)))
+    for i in range(64):
+        if _differs(ref_state.spl[i], test_state.spl[i], eps):
+            rep.var_mismatches.append((f"spl{i}", ref_state.spl[i], test_state.spl[i]))
+    return rep
+
+
+def _differs(a: float, b: float, eps: float) -> bool:
+    if a != a and b != b:  # both NaN -> equal
+        return False
+    if a == b:
+        return False
+    return not (abs(a - b) <= eps)
+
+
+def make_initialized_shadow(program, srate: float = 48000.0,
+                            slider_overrides: Optional[Dict[int, float]] = None):
+    """Shadow with host-default slider push -> @init -> @slider
+    (REAPER ordering, ref: src/JSFXJuceProcessor.cpp:3297-3305)."""
+    from ..shadow import compile_shadow
+
+    p = compile_shadow(program)
+    p.state.srate = float(srate)
+    for d in program.slider_decls:
+        p.state.sliders[d.index0] = d.default
+    if slider_overrides:
+        for idx0, val in slider_overrides.items():
+            p.state.sliders[idx0] = val
+    p.run_init()
+    p.run_slider()
+    return p
+
+
+def null_test_plugin(program, x: np.ndarray, srate: float = 48000.0,
+                     block_size: int = 512, segment_len: int = 4096,
+                     slider_overrides: Optional[Dict[int, float]] = None,
+                     compare_state: bool = True) -> NullReport:
+    """Render x through the golden shadow AND the vector TPU kernel; compare.
+
+    x: float32 [channels, samples].
+    """
+    from ..lowering import specialize_sample_kernel
+
+    nch, total = x.shape
+
+    # golden render (block loop like a host would drive)
+    gold = make_initialized_shadow(program, srate, slider_overrides)
+    y_ref = np.zeros_like(x)
+    for start in range(0, total, block_size):
+        stop = min(start + block_size, total)
+        gold.process_block(x[:, start:stop], y_ref[:, start:stop])
+
+    # vectorized render from an identical snapshot
+    snap_owner = make_initialized_shadow(program, srate, slider_overrides)
+    kern = specialize_sample_kernel(program, snap_owner.state, nch,
+                                    segment_len=segment_len)
+    y_test, carry = kern.render(x)
+
+    rep = compare_audio(y_ref, y_test)
+    if compare_state:
+        kern.writeback(carry, snap_owner.state)
+        compare_states(gold.state, snap_owner.state, report=rep)
+    return rep
