@@ -1052,8 +1052,13 @@ class SpecializedSampleKernel:
             self._seg_fns[L] = fn
         return fn
 
-    def render(self, x: np.ndarray, carry=None):
-        """x: float32 [nch, T].  Returns (y float32 [nch, T], final_carry)."""
+    def render_device(self, x: np.ndarray, carry=None):
+        """x: float32 [nch, T].  Returns (y_dev float32 jnp [nch, T], carry).
+
+        Output stays ON DEVICE — device->host transfer is the caller's
+        decision (the tunnel D2H path in dev environments is slow; on real
+        deployments prefer on-device reductions / sharded writes).
+        """
         import jax
         import jax.numpy as jnp
 
@@ -1081,7 +1086,12 @@ class SpecializedSampleKernel:
             carry, y_r = seg_r(carry, x64[:, nfull * L:])
             ys.append(y_r)
         y = jnp.concatenate(ys, axis=1) if len(ys) > 1 else ys[0]
-        return np.asarray(y.astype(jnp.float32)), carry
+        return y.astype(jnp.float32), carry
+
+    def render(self, x: np.ndarray, carry=None):
+        """x: float32 [nch, T].  Returns (y float32 np [nch, T], final_carry)."""
+        y_dev, carry = self.render_device(x, carry)
+        return np.asarray(y_dev), carry
 
     def writeback(self, carry, state) -> None:
         """Flush final carry into a ShadowState (for state parity checks)."""
