@@ -560,7 +560,7 @@ class _Gen:
             "msg_subscribe": 1, "msg_unsubscribe": 1, "msg_advertise": 2,
             "msg_send": 6, "msg_sendto": 7, "msg_avail": 1, "msg_kind": 1,
             "msg_length": 1, "msg_dropped": 1, "msg_clear": 1,
-            "msg_peer_count": 1, "msg_peer_id": 2, "msg_peer_caps": 1,
+            "msg_peer_count": 2, "msg_peer_id": 3, "msg_peer_caps": 1,
             "msg_peer_alive": 1, "msg_send_buf": 4, "msg_sendto_buf": 5,
         }
         if fn in simple_host:
@@ -578,10 +578,15 @@ class _Gen:
             peer = self.ex(n.args[0])
             store = self._lv_prepare(n.args[1], fn)
             r = self.tmp()
-            self.put(f"{r} = S.host.{fn}(S, {peer}, 0.0)")
+            self.put(f"{r} = S.host.{fn}(S, {peer})")
             t = self.tmp()
-            self.put(f"{t} = float({r})")
-            _ = store  # name handle write-back handled by host implementations
+            self.put(f"if {r} is None:")
+            self.put(f"    {t} = 0.0")
+            self.put("else:")
+            self.depth += 1
+            store(f"float({r}[1])")
+            self.put(f"{t} = float({r}[0])")
+            self.depth -= 1
             return t
 
         if fn == "msg_recv":

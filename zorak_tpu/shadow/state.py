@@ -57,10 +57,10 @@ class HostServices:
     def msg_length(self, st, chan) -> float: return 0.0
     def msg_dropped(self, st, chan) -> float: return 0.0
     def msg_clear(self, st, chan) -> float: return 0.0
-    def msg_peer_count(self, st, chan) -> float: return 0.0
-    def msg_peer_id(self, st, chan, idx) -> float: return 0.0
-    def msg_peer_name(self, st, peer, out_handle) -> float: return 0.0
-    def msg_peer_uid(self, st, peer, out_handle) -> float: return 0.0
+    def msg_peer_count(self, st, chan, role) -> float: return 0.0
+    def msg_peer_id(self, st, chan, role, idx) -> float: return 0.0
+    def msg_peer_name(self, st, peer): return None  # or (ret, name_handle)
+    def msg_peer_uid(self, st, peer): return None   # or (ret, uid_handle)
     def msg_peer_caps(self, st, peer) -> float: return 0.0
     def msg_peer_alive(self, st, peer) -> float: return 0.0
     def instance_id(self, st) -> float: return self.instance_id_value
@@ -83,16 +83,20 @@ class HostServices:
         if 0 <= i < len(st.gmem):
             st.gmem[i] = val
         return val
-    def gmem_get(self, st, dst, start, count) -> float: return _gmem_bulk(st, dst, start, count, to_mem=True)
-    def gmem_put(self, st, src, start, count) -> float: return _gmem_bulk(st, src, start, count, to_mem=False)
-    def gmem_fill(self, st, start, count, value) -> float:
-        i = _gmem_index(start); n = _gmem_index(count)
+    # bulk signatures follow the runtime shims (ref: DspJsfxRuntimeBuiltins.cpp:180-218):
+    #   gmem_get(dstMemBase, srcGmemIdx, count), gmem_put(dstGmemIdx, srcMemBase, count)
+    def gmem_get(self, st, dst_mem, src_gmem, count) -> float:
+        return _gmem_bulk(st, dst_mem, src_gmem, count, to_mem=True)
+    def gmem_put(self, st, dst_gmem, src_mem, count) -> float:
+        return _gmem_bulk(st, src_mem, dst_gmem, count, to_mem=False)
+    def gmem_fill(self, st, dst, value, count) -> float:
+        i = _gmem_index(dst); n = _gmem_index(count)
         end = min(len(st.gmem), i + max(0, n))
         if i < end:
             st.gmem[i:end] = value
         return float(max(0, end - i))
-    def gmem_zero(self, st, start, count) -> float:
-        return self.gmem_fill(st, start, count, 0.0)
+    def gmem_zero(self, st, dst, count) -> float:
+        return self.gmem_fill(st, dst, 0.0, count)
     def gmem_copy(self, st, dst, src, count) -> float:
         d = _gmem_index(dst); s = _gmem_index(src); n = max(0, _gmem_index(count))
         n = min(n, len(st.gmem) - max(d, s))

@@ -88,19 +88,45 @@ def _differs(a: float, b: float, eps: float) -> bool:
     return not (abs(a - b) <= eps)
 
 
+def apply_slider_state(state, program,
+                       slider_overrides: Optional[Dict[int, float]] = None,
+                       string_overrides: Optional[Dict[int, str]] = None) -> None:
+    """Push slider defaults/overrides into the state, including numeric
+    alias variables and string-slider handles (ref: host pushes params and
+    string sliders before @init, src/JSFXJuceProcessor.cpp:3297-3305)."""
+    overrides = slider_overrides or {}
+    strings = string_overrides or {}
+    for d in program.slider_decls:
+        if d.is_string:
+            text = strings.get(d.index0, d.string_default)
+            handle = state.handles_by_string.get(text)
+            if handle is None:
+                handle = max(state.handles_by_string.values(), default=1 << 40) + 1
+                state.handles_by_string[text] = handle
+            state.strings_by_handle[handle] = text
+            state.sliders[d.index0] = float(handle)
+            if d.var_name:
+                state.V[d.var_name] = float(handle)
+        else:
+            val = overrides.get(d.index0, d.default)
+            state.sliders[d.index0] = val
+            if d.var_name and d.var_name in state.V:
+                state.V[d.var_name] = val
+    for idx0, val in overrides.items():
+        state.sliders[idx0] = val
+
+
 def make_initialized_shadow(program, srate: float = 48000.0,
-                            slider_overrides: Optional[Dict[int, float]] = None):
+                            slider_overrides: Optional[Dict[int, float]] = None,
+                            string_overrides: Optional[Dict[int, str]] = None,
+                            host=None):
     """Shadow with host-default slider push -> @init -> @slider
     (REAPER ordering, ref: src/JSFXJuceProcessor.cpp:3297-3305)."""
     from ..shadow import compile_shadow
 
-    p = compile_shadow(program)
+    p = compile_shadow(program, host=host)
     p.state.srate = float(srate)
-    for d in program.slider_decls:
-        p.state.sliders[d.index0] = d.default
-    if slider_overrides:
-        for idx0, val in slider_overrides.items():
-            p.state.sliders[idx0] = val
+    apply_slider_state(p.state, program, slider_overrides, string_overrides)
     p.run_init()
     p.run_slider()
     return p
