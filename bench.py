@@ -1,10 +1,14 @@
 #!/usr/bin/env python3
 """Benchmark: DDT (north-star config) 60 s 48 kHz stereo offline render.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
 value = realtime factor (audio-seconds rendered per wall-second) on one
 chip; vs_baseline = value / 1000 (the BASELINE.json north-star target of
 >=1000x realtime; the reference itself publishes no numbers).
+
+Progress goes to stderr.  Audio stays on device; correctness is asserted
+via on-device peak/finite reductions (the dev tunnel's device->host path
+has a large one-time init cost and is not part of the render).
 """
 import json
 import sys
@@ -16,55 +20,73 @@ import numpy as np
 DDT_PATH = Path("/root/reference/plugins/Spatialization/DDT/src/DDT.jsfx")
 SRATE = 48000.0
 SEG = 1 << 17
-N_SAMPLES = SEG * 22          # 2,883,584 samples ~= 60.07 s (exact segment
-                              # multiple -> a single compiled shape)
+N_SAMPLES = SEG * 22          # ~60.07 s; exact segment multiple
 SECONDS = N_SAMPLES / SRATE
 TARGET_RTX = 1000.0
+T0 = time.time()
+
+
+def log(msg: str) -> None:
+    print(f"[bench {time.time() - T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def emit(value: float, extra: dict) -> None:
+    out = {"metric": "ddt_offline_render_rtx",
+           "value": round(value, 1),
+           "unit": "x_realtime_48k_stereo",
+           "vs_baseline": round(value / TARGET_RTX, 3)}
+    out.update(extra)
+    print(json.dumps(out), flush=True)
 
 
 def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
     from zorak_tpu.ir import load_plugin_file
-    from zorak_tpu.runtime.engine import PluginInstance
+    from zorak_tpu.lowering import specialize_sample_kernel
+    from zorak_tpu.verify import make_initialized_shadow
 
     if not DDT_PATH.exists():
-        print(json.dumps({"metric": "ddt_offline_render_rtx", "value": 0.0,
-                          "unit": "x_realtime_48k_stereo",
-                          "vs_baseline": 0.0,
-                          "error": f"missing {DDT_PATH}"}))
+        emit(0.0, {"error": f"missing {DDT_PATH}"})
         return 1
 
+    log(f"devices: {jax.devices()}")
     program = load_plugin_file(DDT_PATH)
-    inst = PluginInstance(program, srate=SRATE, prefer="tpu",
-                          segment_len=SEG)
+    shadow = make_initialized_shadow(program, SRATE)
+    kern = specialize_sample_kernel(program, shadow.state, 2, segment_len=SEG)
+    log("specialized DDT")
 
     rng = np.random.RandomState(11)
     x = (rng.randn(2, N_SAMPLES) * 0.25).astype(np.float32)
 
-    # warmup/compile; audio stays on device — the dev tunnel's
-    # device->host path is ~0.1 MB/s and would swamp the measurement
-    # (real deployments stream via fast PCIe D2H)
-    inst.render(x[:, :SEG], fetch_audio=False, sync_state=False)
-    inst.render(x, fetch_audio=False, sync_state=False)
+    # stats computed on device; only 3 scalars cross the link
+    stats_fn = jax.jit(lambda a: (jnp.max(jnp.abs(a)),
+                                  jnp.sum(jnp.isfinite(a)),
+                                  jnp.sum(jnp.abs(a))))
 
+    y, carry = kern.render_device(x)
+    jax.block_until_ready((y, carry))
+    log("render pipeline compiled + first run done")
+    stats = stats_fn(y)
+    jax.block_until_ready(stats)
+    peak, nfinite, _ = (float(v) for v in stats)  # pays one-time D2H init
+    log(f"stats fetched: peak={peak:.4f} finite={int(nfinite)}/{y.size}")
+
+    deadline = T0 + 480.0
     best = 0.0
-    res = None
-    for _ in range(3):
+    runs = 0
+    while runs < 5 and time.time() < deadline:
         t0 = time.perf_counter()
-        res = inst.render(x, fetch_audio=False, sync_state=False)
-        wall = time.perf_counter() - t0
-        best = max(best, SECONDS / wall)
+        y, carry = kern.render_device(x)
+        jax.block_until_ready((y, carry))
+        dt = time.perf_counter() - t0
+        best = max(best, SECONDS / dt)
+        runs += 1
+        log(f"run {runs}: {dt * 1000:.1f} ms -> {SECONDS / dt:.0f}x realtime")
 
-    peak = res.details["peak"]
-    ok = bool(res.details["all_finite"]) and peak > 1e-6
-    out = {
-        "metric": "ddt_offline_render_rtx",
-        "value": round(best, 1),
-        "unit": "x_realtime_48k_stereo",
-        "vs_baseline": round(best / TARGET_RTX, 3),
-        "engine": res.engine,
-        "audio_ok": ok,
-    }
-    print(json.dumps(out))
+    ok = (nfinite == y.size) and peak > 1e-6
+    emit(best, {"engine": "tpu-vector", "audio_ok": bool(ok), "runs": runs})
     return 0
 
 

@@ -719,6 +719,28 @@ class _VarPlan:
     step: int = 0
 
 
+class _VecView:
+    """Dict-like view over the packed scalar-state vector (one device
+    buffer instead of dozens of 0-d arrays — the carry crosses the host
+    boundary as a single transfer)."""
+
+    __slots__ = ("vec", "index")
+
+    def __init__(self, vec, index):
+        self.vec = vec
+        self.index = index
+
+    def __getitem__(self, key):
+        return self.vec[self.index[key]]
+
+    def __contains__(self, key):
+        return key in self.index
+
+    def get(self, key, default=None):
+        i = self.index.get(key)
+        return default if i is None else self.vec[i]
+
+
 class SpecializedSampleKernel:
     """Compiled, segment-scanned render kernel for one plugin config."""
 
@@ -852,6 +874,7 @@ class SpecializedSampleKernel:
         # dynamic carried state: every written var + every prev-read key
         carried = set(sym.writes) | set(sym.prev_nodes.keys()) | set(sym.inductions)
         self.carried_vars = sorted(carried, key=repr)
+        self.scalar_index = {key: i for i, key in enumerate(self.carried_vars)}
         self.ring_regions = sorted(
             {**{w: None for w in sym.ring_writes}}.keys())
 
@@ -878,8 +901,11 @@ class SpecializedSampleKernel:
                 static_regions[(origin, mod)] = np.asarray(
                     snap.mem[origin:origin + mod], dtype=np.float64)
 
+        scalar_index = self.scalar_index
+
         def seg(carry, xseg):
-            scalars, rings = carry
+            svec, rings = carry
+            scalars = _VecView(svec, scalar_index)
             t64 = jnp.arange(L, dtype=jnp.int64)
             tf = t64.astype(jnp.float64)
             memo: Dict[int, Any] = {}
@@ -1000,20 +1026,22 @@ class SpecializedSampleKernel:
                                 if key in scalars else xseg[c])
             y = jnp.stack(outs, axis=0)
 
-            # carry updates
-            new_scalars = {}
+            # carry updates (single stacked vector -> one device buffer)
+            new_vals = []
             for key in carried_vars:
                 if key in P_plans:
                     plan = P_plans[key]
                     if plan.kind == "induction":
                         # value after the last sample: w0 + final_offset + (L-1)
-                        new_scalars[key] = scalars[key] + float(plan.out + L - 1)
+                        new_vals.append(scalars[key] + float(plan.out + L - 1))
                     elif plan.kind == "const":
-                        new_scalars[key] = jnp.float64(plan.out)
+                        new_vals.append(jnp.float64(plan.out))
                     else:
-                        new_scalars[key] = stream_of(key)[-1]
+                        new_vals.append(stream_of(key)[-1])
                 else:
-                    new_scalars[key] = scalars[key]
+                    new_vals.append(scalars[key])
+            new_svec = jnp.stack(new_vals) if new_vals \
+                else jnp.zeros((0,), dtype=jnp.float64)
             new_rings = {}
             for region in ring_regions:
                 w = sym.ring_writes[region]
@@ -1024,24 +1052,25 @@ class SpecializedSampleKernel:
                 k = min(L, w.mod)
                 idx = cursor_idx(w.var, w.offset, w.mod, L - k, L)
                 new_rings[region] = rings[region].at[idx].set(src[L - k:])
-            return (new_scalars, new_rings), y
+            return (new_svec, new_rings), y
 
         return seg
 
     # -- state plumbing ------------------------------------------------------
 
     def initial_carry(self):
-        import jax.numpy as jnp
+        """Host-side initial carry (numpy); uploaded on first use as part
+        of the single jitted render dispatch."""
         sym = self.sym
-        scalars = {key: jnp.float64(sym._state_value(key))
-                   for key in self.carried_vars}
+        svec = np.array([sym._state_value(key) for key in self.carried_vars],
+                        dtype=np.float64)
         rings = {}
         for region in self.ring_regions:
             origin, mod = region
             self.snap.mem_ensure(origin + mod)
-            rings[region] = jnp.asarray(
-                np.asarray(self.snap.mem[origin:origin + mod], dtype=np.float64))
-        return (scalars, rings)
+            rings[region] = np.asarray(self.snap.mem[origin:origin + mod],
+                                       dtype=np.float64).copy()
+        return (svec, rings)
 
     def _seg_fn(self, L: int):
         fn = self._seg_fns.get(L)
@@ -1052,6 +1081,44 @@ class SpecializedSampleKernel:
             self._seg_fns[L] = fn
         return fn
 
+    def _render_fn(self, T: int, L: int):
+        """One jitted function for the whole render: reshape + lax.scan over
+        full segments + remainder — a single device dispatch (critical when
+        the host link has high per-call latency)."""
+        key = ("render", T, L)
+        fn = self._seg_fns.get(key)
+        if fn is not None:
+            return fn
+        import jax
+        import jax.numpy as jnp
+
+        nch = self.nch
+        nfull = T // L
+        rem = T - nfull * L
+        seg = self._make_seg_fn(L)
+        seg_rem = self._make_seg_fn(rem) if rem else None
+
+        def run(carry, x32):
+            x64 = x32.astype(jnp.float64)
+            ys = []
+            if nfull:
+                xin = x64[:, : nfull * L].reshape(nch, nfull, L).transpose(1, 0, 2)
+                carry2, yseg = jax.lax.scan(seg, carry, xin)
+            else:
+                carry2 = carry
+            if rem:
+                carry2, y_r = seg_rem(carry2, x64[:, nfull * L:])
+            if nfull:
+                ys.append(yseg.transpose(1, 0, 2).reshape(nch, nfull * L))
+            if rem:
+                ys.append(y_r)
+            y = jnp.concatenate(ys, axis=1) if len(ys) > 1 else ys[0]
+            return y.astype(jnp.float32), carry2
+
+        fn = jax.jit(run, donate_argnums=(0,))
+        self._seg_fns[key] = fn
+        return fn
+
     def render_device(self, x: np.ndarray, carry=None):
         """x: float32 [nch, T].  Returns (y_dev float32 jnp [nch, T], carry).
 
@@ -1059,34 +1126,12 @@ class SpecializedSampleKernel:
         decision (the tunnel D2H path in dev environments is slow; on real
         deployments prefer on-device reductions / sharded writes).
         """
-        import jax
-        import jax.numpy as jnp
-
         nch, T = x.shape
         assert nch == self.nch
         if carry is None:
             carry = self.initial_carry()
         L = min(self.L, T) if T else self.L
-        nfull = T // L
-        rem = T - nfull * L
-
-        x64 = jnp.asarray(x, dtype=jnp.float64)
-        ys = []
-        if nfull:
-            xin = x64[:, : nfull * L].reshape(nch, nfull, L).transpose(1, 0, 2)
-            seg = self._seg_fn(L)
-
-            def body(c, xs):
-                return seg(c, xs)
-
-            carry, yseg = jax.lax.scan(body, carry, xin)
-            ys.append(yseg.transpose(1, 0, 2).reshape(nch, nfull * L))
-        if rem:
-            seg_r = self._seg_fn(rem)
-            carry, y_r = seg_r(carry, x64[:, nfull * L:])
-            ys.append(y_r)
-        y = jnp.concatenate(ys, axis=1) if len(ys) > 1 else ys[0]
-        return y.astype(jnp.float32), carry
+        return self._render_fn(T, L)(carry, np.ascontiguousarray(x, np.float32))
 
     def render(self, x: np.ndarray, carry=None):
         """x: float32 [nch, T].  Returns (y float32 np [nch, T], final_carry)."""
@@ -1095,9 +1140,10 @@ class SpecializedSampleKernel:
 
     def writeback(self, carry, state) -> None:
         """Flush final carry into a ShadowState (for state parity checks)."""
-        scalars, rings = carry
+        svec, rings = carry
+        svec_np = np.asarray(svec)
         for key in self.carried_vars:
-            v = float(scalars[key])
+            v = float(svec_np[self.scalar_index[key]])
             kind = key[0]
             if kind == "spl":
                 state.spl[key[1]] = v
