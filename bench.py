@@ -68,12 +68,10 @@ def main() -> int:
     y, carry = kern.render_device(x)
     jax.block_until_ready((y, carry))
     log("render pipeline compiled + first run done")
-    stats = stats_fn(y)
-    jax.block_until_ready(stats)
-    peak, nfinite, _ = (float(v) for v in stats)  # pays one-time D2H init
-    log(f"stats fetched: peak={peak:.4f} finite={int(nfinite)}/{y.size}")
 
-    deadline = T0 + 480.0
+    # time FIRST (block_until_ready syncs execution without any D2H — the
+    # tunnel's device->host path can stall independently of compute)
+    deadline = T0 + 420.0
     best = 0.0
     runs = 0
     while runs < 5 and time.time() < deadline:
@@ -85,8 +83,32 @@ def main() -> int:
         runs += 1
         log(f"run {runs}: {dt * 1000:.1f} ms -> {SECONDS / dt:.0f}x realtime")
 
-    ok = (nfinite == y.size) and peak > 1e-6
-    emit(best, {"engine": "tpu-vector", "audio_ok": bool(ok), "runs": runs})
+    # validate audio afterwards, with a bounded wait on the D2H fetch
+    stats = stats_fn(y)
+    jax.block_until_ready(stats)
+    log("stats computed on device; fetching 3 scalars")
+    result = {}
+
+    def fetch():
+        try:
+            peak, nfinite, total = (float(v) for v in stats)
+            result["peak"] = peak
+            result["ok"] = (nfinite == y.size) and peak > 1e-6
+        except Exception as exc:  # noqa: BLE001
+            result["err"] = str(exc)
+
+    import threading
+    th = threading.Thread(target=fetch, daemon=True)
+    th.start()
+    th.join(timeout=max(10.0, (T0 + 540.0) - time.time()))
+    if "ok" in result:
+        log(f"audio check: peak={result['peak']:.4f} ok={result['ok']}")
+        emit(best, {"engine": "tpu-vector", "audio_ok": bool(result["ok"]),
+                    "runs": runs})
+    else:
+        log("audio stats fetch timed out (tunnel D2H); compute validated "
+            "separately by the null-test suite")
+        emit(best, {"engine": "tpu-vector", "audio_ok": None, "runs": runs})
     return 0
 
 

@@ -132,20 +132,68 @@ def make_initialized_shadow(program, srate: float = 48000.0,
     return p
 
 
+def export_bundle(out_dir, reference: np.ndarray, test: np.ndarray,
+                  srate: float, report: NullReport,
+                  name: str = "nulltest") -> Dict[str, str]:
+    """Write compiled/shadow/delta WAVs + a JSON report, like the reference
+    harness's export bundle (ref: src/JSFXCorrectnessCheck.h:1131-1250)."""
+    import json
+    from pathlib import Path
+
+    from ..runtime import wavio
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    paths = {}
+    delta = (np.asarray(test, np.float64) - np.asarray(reference, np.float64))
+    for tag, audio in (("shadow", reference), ("compiled", test),
+                       ("delta", delta.astype(np.float32))):
+        p = out / f"{name}_{tag}.wav"
+        wavio.write_wav(p, audio, int(srate), bits=24)
+        paths[tag] = str(p)
+    rep_path = out / f"{name}_report.json"
+    rep_path.write_text(json.dumps({
+        "samples": report.n_samples,
+        "channels": report.n_channels,
+        "max_abs_delta": report.max_abs_delta,
+        "max_delta_dbfs": (report.max_delta_dbfs
+                           if math.isfinite(report.max_delta_dbfs) else None),
+        "rms_delta": report.rms_delta,
+        "audio_passed": report.audio_passed,
+        "var_mismatches": report.var_mismatches[:100],
+        "passed": report.passed,
+        "audio_eps": AUDIO_EPS,
+        "scalar_eps": SCALAR_EPS,
+    }, indent=2))
+    paths["report"] = str(rep_path)
+    return paths
+
+
 def null_test_plugin(program, x: np.ndarray, srate: float = 48000.0,
                      block_size: int = 512, segment_len: int = 4096,
                      slider_overrides: Optional[Dict[int, float]] = None,
-                     compare_state: bool = True) -> NullReport:
+                     compare_state: bool = True, golden: str = "python",
+                     export_dir=None, name: str = "nulltest") -> NullReport:
     """Render x through the golden shadow AND the vector TPU kernel; compare.
 
-    x: float32 [channels, samples].
+    x: float32 [channels, samples].  golden: "python" (exact reference
+    semantics, slow) or "native" (C-compiled, bit-identical, fast).
     """
     from ..lowering import specialize_sample_kernel
 
     nch, total = x.shape
 
     # golden render (block loop like a host would drive)
-    gold = make_initialized_shadow(program, srate, slider_overrides)
+    if golden == "native":
+        from ..shadow import compile_native_shadow
+
+        gold = compile_native_shadow(program)
+        gold.state.srate = float(srate)
+        apply_slider_state(gold.state, program, slider_overrides)
+        gold.run_init()
+        gold.run_slider()
+    else:
+        gold = make_initialized_shadow(program, srate, slider_overrides)
     y_ref = np.zeros_like(x)
     for start in range(0, total, block_size):
         stop = min(start + block_size, total)
@@ -161,4 +209,6 @@ def null_test_plugin(program, x: np.ndarray, srate: float = 48000.0,
     if compare_state:
         kern.writeback(carry, snap_owner.state)
         compare_states(gold.state, snap_owner.state, report=rep)
+    if export_dir is not None:
+        export_bundle(export_dir, y_ref, y_test, srate, rep, name=name)
     return rep
