@@ -55,6 +55,7 @@ _OPS = [
     "pool_call", "file_call", "file_var", "file_riff",
     "fft", "ifft", "fft_real", "ifft_real", "fft_permute", "fft_ipermute",
     "convolve_c",
+    "pool_read2", "pool_read2i", "pool_preview",
 ]
 OPCODES = {name: i for i, name in enumerate(_OPS)}
 
@@ -443,7 +444,8 @@ class _CGen:
         return f"(void){self._host(op, args)}"
 
     def _host_with_outs(self, op: str, args: List[str],
-                        out_targets: List[Node]) -> str:
+                        out_targets: List[Node],
+                        always_store: bool = False) -> str:
         """Host call writing out-params back through resolved lvalues."""
         nouts = len(out_targets)
         pre: List[str] = [f"double _o[{max(1, nouts)}] = {{0}};"]
@@ -461,7 +463,10 @@ class _CGen:
                 raise CGenError(f"{op} output arguments must be assignable")
         call = self._host(op, args, nouts=nouts, outs_decl="_o")
         body = " ".join(pre) + f" double _hr = {call}; "
-        body += f"if (_hr != 0.0) {{ {' '.join(post)} }} "
+        if always_store:
+            body += " ".join(post) + " "
+        else:
+            body += f"if (_hr != 0.0) {{ {' '.join(post)} }} "
         return "({ " + body + "_hr; })"
 
     # -- calls ---------------------------------------------------------------
@@ -539,6 +544,18 @@ class _CGen:
 
         from ..ir.analyses import FUNSETS
         if fn in FUNSETS.POOL_ALL:
+            if fn in ("sample_read2", "sample_read2_interp") and len(n.args) == 5:
+                op = "pool_read2i" if fn.endswith("interp") else "pool_read2"
+                # reference zeroes the outs on failure, so always store
+                return self._host_with_outs(
+                    op, [self.ex(n.args[0]), self.ex(n.args[1]),
+                         self.ex(n.args[2])], [n.args[3], n.args[4]],
+                    always_store=True)
+            if fn == "sample_preview_read" and len(n.args) == 6:
+                return self._host_with_outs(
+                    "pool_preview",
+                    [self.ex(n.args[0]), self.ex(n.args[1]), self.ex(n.args[2])],
+                    list(n.args[3:]))
             args = [self.ex(a) for a in n.args
                     if not (fn == "sample_name" and a is n.args[1])]
             return self._host("pool_call",
@@ -910,6 +927,22 @@ class NativeShadowPlugin:
                 return 1.0
             if name == "pool_call":
                 return float(h.sample_pool_call(st, _POOL_INV[int(a[0])], a[1:]))
+            if name in ("pool_read2", "pool_read2i"):
+                r = h.sample_read2(st, a[0], a[1], a[2], name.endswith("i"))
+                if r is None:
+                    outs[0] = 0.0
+                    outs[1] = 0.0
+                    return 0.0
+                outs[0] = float(r[0])
+                outs[1] = float(r[1])
+                return 1.0
+            if name == "pool_preview":
+                r = h.sample_preview_read(st, a[0], a[1], a[2])
+                if r is None:
+                    return 0.0
+                for k in range(3):
+                    outs[k] = float(r[k])
+                return 1.0
             if name == "file_call":
                 return float(h.file_call(st, _FILE_INV[int(a[0])], a[1:]))
             if name in ("fft", "ifft", "fft_real", "ifft_real", "fft_permute",

@@ -693,6 +693,47 @@ class _Gen:
 
         from ..ir.analyses import FUNSETS
         if fn in FUNSETS.POOL_ALL:
+            if fn in ("sample_read2", "sample_read2_interp") and len(n.args) == 5:
+                pool_a = self.ex(n.args[0])
+                sid = self.ex(n.args[1])
+                phase = self.ex(n.args[2])
+                s_l = self._lv_prepare(n.args[3], fn)
+                s_r = self._lv_prepare(n.args[4], fn)
+                interp = fn.endswith("interp")
+                r = self.tmp()
+                self.put(f"{r} = S.host.sample_read2(S, {pool_a}, {sid}, "
+                         f"{phase}, {interp})")
+                t = self.tmp()
+                self.put(f"if {r} is None:")
+                self.depth += 1
+                s_l("0.0")
+                s_r("0.0")
+                self.put(f"{t} = 0.0")
+                self.depth -= 1
+                self.put("else:")
+                self.depth += 1
+                s_l(f"float({r}[0])")
+                s_r(f"float({r}[1])")
+                self.put(f"{t} = 1.0")
+                self.depth -= 1
+                return t
+            if fn == "sample_preview_read" and len(n.args) == 6:
+                pool_a = self.ex(n.args[0])
+                sid = self.ex(n.args[1])
+                b = self.ex(n.args[2])
+                stores = [self._lv_prepare(a, fn) for a in n.args[3:]]
+                r = self.tmp()
+                self.put(f"{r} = S.host.sample_preview_read(S, {pool_a}, {sid}, {b})")
+                t = self.tmp()
+                self.put(f"if {r} is None:")
+                self.put(f"    {t} = 0.0")
+                self.put("else:")
+                self.depth += 1
+                for k, store in enumerate(stores):
+                    store(f"float({r}[{k}])")
+                self.put(f"{t} = 1.0")
+                self.depth -= 1
+                return t
             if fn == "sample_name" and len(n.args) >= 2:
                 idx = self.ex(n.args[0])
                 self._lv_prepare(n.args[1], "sample_name")

@@ -109,6 +109,7 @@ class HostServices:
     # --- sample pool / legacy files (inert until runtime wires them) --------
     def sample_pool_call(self, st, fn: str, args: List[float]) -> float: return 0.0
     def sample_name(self, st, index, out_lv_write, maxlen) -> float: return 0.0
+    def sample_read2(self, st, pool, sid, phase, interp): return None
     def sample_preview_read(self, st, *args): return None
     def file_call(self, st, fn: str, args: List[float]) -> float: return 0.0
     def file_var_read(self, st, handle, *rest): return None
