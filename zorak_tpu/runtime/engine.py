@@ -48,19 +48,71 @@ class RenderResult:
     details: Dict = field(default_factory=dict)
 
 
+def upsample_linear(x: np.ndarray, factor: int,
+                    prev_tail: Optional[np.ndarray] = None) -> np.ndarray:
+    """Linear-interpolation upsample, matching the reference's deliberately
+    simple oversampling path (ref: src/JSFXJuceProcessor.cpp:8742)."""
+    if factor <= 1:
+        return x
+    ch, n = x.shape
+    prev = prev_tail if prev_tail is not None else x[:, :1]
+    ext = np.concatenate([prev, x], axis=1)  # [ch, n+1]
+    # causal: each group of `factor` outputs ramps prev -> current and LANDS
+    # on the current host sample, so down(up(x)) preserves sample positions
+    t = (np.arange(1, factor + 1, dtype=np.float64) / factor)[None, None, :]
+    segs = ext[:, :-1, None] * (1.0 - t) + ext[:, 1:, None] * t
+    return segs.reshape(ch, n * factor).astype(x.dtype)
+
+
+def downsample_box(y: np.ndarray, factor: int) -> np.ndarray:
+    """Per-host-sample box average (ref: src/JSFXJuceProcessor.cpp:8756)."""
+    if factor <= 1:
+        return y
+    ch, n = y.shape
+    frames = n // factor
+    return y[:, : frames * factor].reshape(ch, frames, factor).mean(
+        axis=2).astype(y.dtype)
+
+
 class PluginInstance:
-    """One initialized plugin configuration bound to an engine."""
+    """One initialized plugin configuration bound to an engine.
+
+    Host-level features mirrored from the reference processor
+    (ref: src/JSFXJuceProcessor.cpp):
+    * oversampling 1/2/4/8x — engine runs at srate*factor with linear
+      upsample / box-average downsample, plugin initialized at the
+      engine rate (:3102-3124, 8742-8791),
+    * smart idle — optionally skip DSP on silent input blocks, waking on
+      input above threshold or MIDI (:6147-6154, 3681-3731),
+    * MIDI event streams per render, offsets in samples,
+    * state save/load — sliders + string sliders + idle mode as a dict
+      (:3777-3960's parameter/FILES persistence, offline flavor).
+    """
 
     def __init__(self, program: PluginProgram, srate: float = 48000.0,
                  sliders: Optional[Dict[int, float]] = None,
+                 string_sliders: Optional[Dict[int, str]] = None,
                  segment_len: int = DEFAULT_SEGMENT_LEN,
-                 prefer: str = "auto"):
+                 prefer: str = "auto", oversample: int = 1,
+                 smart_idle: str = "always_awake",
+                 idle_threshold: float = 1e-6,
+                 host=None):
+        if oversample not in (1, 2, 4, 8):
+            raise ValueError("oversample factor must be 1, 2, 4, or 8")
         self.program = program
         self.srate = float(srate)
+        self.oversample = int(oversample)
+        self.engine_rate = self.srate * self.oversample
         self.sliders = dict(sliders or {})
+        self.string_sliders = dict(string_sliders or {})
         self.segment_len = segment_len
+        self.smart_idle = smart_idle
+        self.idle_threshold = float(idle_threshold)
         self.nch = max(1, program.io_channels["process"])
-        self.shadow = make_initialized_shadow(program, srate, self.sliders)
+        self.shadow = make_initialized_shadow(
+            program, self.engine_rate, self.sliders, self.string_sliders,
+            host=host)
+        self._up_tail: Optional[np.ndarray] = None
         self.kernel = None
         self.engine = "cpu-shadow"
         self.spec_error: Optional[str] = None
@@ -74,10 +126,33 @@ class PluginInstance:
                 if prefer == "tpu":
                     raise
 
+    # -- state persistence ---------------------------------------------------
+
+    def save_state(self) -> Dict:
+        return {
+            "sliders": {d.index0: self.shadow.state.sliders[d.index0]
+                        for d in self.program.slider_decls if not d.is_string},
+            "string_sliders": dict(self.string_sliders),
+            "oversample": self.oversample,
+            "smart_idle": self.smart_idle,
+        }
+
+    def load_state(self, blob: Dict) -> None:
+        for idx0, val in (blob.get("sliders") or {}).items():
+            self.shadow.state.sliders[int(idx0)] = float(val)
+        self.shadow.run_slider()
+        if self.kernel is not None:
+            # control state changed: respecialize against the new snapshot
+            self.kernel = specialize_sample_kernel(
+                self.program, self.shadow.state, self.nch,
+                segment_len=self.segment_len)
+
     def render(self, x: np.ndarray, block_size: int = 512,
-               fetch_audio: bool = True, sync_state: bool = True) -> RenderResult:
+               fetch_audio: bool = True, sync_state: bool = True,
+               midi=None) -> RenderResult:
         """x: float32 [channels, samples] at self.srate.
 
+        midi: optional list of (sample_offset, b1, b2, b3) at host rate.
         fetch_audio=False keeps the rendered audio on device and returns
         on-device stats in details (peak/rms) instead — the fast path when
         the host link is slow or the result feeds further device compute.
@@ -89,21 +164,35 @@ class PluginInstance:
         elif x.shape[0] > self.nch:
             x = x[: self.nch]
 
+        F = self.oversample
+        host_n = x.shape[1]
+        if F > 1:
+            x_eng = upsample_linear(x, F, self._up_tail)
+            self._up_tail = x[:, -1:].copy()
+        else:
+            x_eng = x
+
+        use_kernel = (self.kernel is not None and not midi
+                      and self.smart_idle == "always_awake")
+        if not use_kernel:
+            return self._render_shadow(x, x_eng, block_size, midi, t_start=time.perf_counter())
+
         t0 = time.perf_counter()
-        if self.kernel is not None:
+        if True:
             if fetch_audio:
-                y, carry = self.kernel.render(x)
+                y, carry = self.kernel.render(x_eng)
+                if F > 1:
+                    y = downsample_box(y, F)
             else:
                 import jax
-                import jax.numpy as jnp
-                y_dev, carry = self.kernel.render_device(x)
+                y_dev, carry = self.kernel.render_device(x_eng)
                 stats = _audio_stats(y_dev)
                 jax.block_until_ready(stats)
                 wall = time.perf_counter() - t0
                 peak, rms, nfinite = (float(v) for v in stats)
                 if sync_state:
                     self.kernel.writeback(carry, self.shadow.state)
-                audio_seconds = x.shape[1] / self.srate
+                audio_seconds = host_n / self.srate
                 return RenderResult(
                     audio=None, srate=self.srate, engine=self.engine,
                     wall_seconds=wall,
@@ -112,21 +201,82 @@ class PluginInstance:
                     details={"peak": peak, "rms": rms,
                              "all_finite": nfinite == y_dev.size,
                              "audio_device": y_dev})
-            self.kernel.writeback(carry, self.shadow.state)
-        else:
-            y = np.zeros_like(x)
-            total = x.shape[1]
-            for start in range(0, total, block_size):
-                stop = min(start + block_size, total)
-                self.shadow.process_block(x[:, start:stop], y[:, start:stop])
+            if sync_state:
+                self.kernel.writeback(carry, self.shadow.state)
         wall = time.perf_counter() - t0
 
-        audio_seconds = x.shape[1] / self.srate
+        audio_seconds = host_n / self.srate
         return RenderResult(
             audio=y, srate=self.srate, engine=self.engine, wall_seconds=wall,
             realtime_factor=(audio_seconds / wall) if wall > 0 else float("inf"),
             state=self.shadow.state,
             details={"spec_error": self.spec_error} if self.spec_error else {},
+        )
+
+    # -- shadow block loop (midi / smart idle / fallback) ---------------------
+
+    def _render_shadow(self, x_host: np.ndarray, x_eng: np.ndarray,
+                       block_size: int, midi, t_start: float) -> RenderResult:
+        from ..shadow.state import MidiEvent
+
+        F = self.oversample
+        host_n = x_host.shape[1]
+        total = x_eng.shape[1]
+        y_eng = np.zeros_like(x_eng)
+        st = self.shadow.state
+        events = sorted(midi or [], key=lambda e: e[0])
+        ev_i = 0
+        midi_out = []
+        asleep = False
+        quiet_blocks = 0
+        thr = self.idle_threshold
+        bs = block_size * F
+
+        for start in range(0, total, bs):
+            stop = min(start + bs, total)
+            host_start = start // F
+            host_stop = stop // F
+
+            # inject MIDI whose host offsets land in this block
+            st.midi_in = []
+            st.midi_in_pos = 0
+            woke_by_midi = False
+            while ev_i < len(events) and events[ev_i][0] < host_stop:
+                off, b1, b2, b3 = events[ev_i]
+                st.midi_in.append(MidiEvent(
+                    max(0, int(off) * F - start), int(b1), int(b2), int(b3)))
+                ev_i += 1
+                woke_by_midi = True
+
+            block_in = x_eng[:, start:stop]
+            if self.smart_idle == "input_driven":
+                loud = bool(np.any(np.abs(block_in) > thr))
+                if loud or woke_by_midi:
+                    asleep = False
+                    quiet_blocks = 0
+                else:
+                    quiet_blocks += 1
+                    if quiet_blocks > 4:  # grace period like the host's decay
+                        asleep = True
+                if asleep:
+                    y_eng[:, start:stop] = 0.0  # outputs cleared while asleep
+                    continue
+
+            self.shadow.process_block(block_in, y_eng[:, start:stop])
+            for ev in st.midi_out:
+                midi_out.append((host_start + ev.offset // F,
+                                 ev.b1, ev.b2, ev.b3))
+            st.midi_out = []
+
+        y = downsample_box(y_eng, F) if F > 1 else y_eng
+        wall = time.perf_counter() - t_start
+        audio_seconds = host_n / self.srate
+        return RenderResult(
+            audio=y, srate=self.srate, engine="cpu-shadow", wall_seconds=wall,
+            realtime_factor=(audio_seconds / wall) if wall > 0 else float("inf"),
+            state=st,
+            details={"midi_out": midi_out,
+                     **({"spec_error": self.spec_error} if self.spec_error else {})},
         )
 
 
