@@ -131,12 +131,72 @@ class TestUnsupportedFallsOut:
         with pytest.raises(SpecializeError):
             specialize_sample_kernel(prog, shadow.state, 1)
 
-    def test_nonlinear_recurrence_rejected_v1(self):
-        src = "@sample\nz = z*z*0.5 + spl0;\nspl0 = z;\n"
+    def test_delay_feedback_into_scan_group_rejected(self):
+        # ring write fed by a nonlinear recurrence = delay-line feedback
+        src = ("@init\nMASK=255;\n"
+               "@sample\nz = z*z*0.5 + spl0;\nbuf[w & MASK] = z;\n"
+               "spl0 = buf[(w-10) & MASK];\nw += 1;\n")
         prog = compile_plugin_source(src)
         shadow = make_initialized_shadow(prog)
         with pytest.raises(SpecializeError):
             specialize_sample_kernel(prog, shadow.state, 1)
+
+
+class TestScanGroup:
+    def test_nonlinear_self_recurrence(self):
+        src = "@sample\nz = z*0.9 + z*z*0.01 + spl0*0.1;\nspl0 = z;\n"
+        rep = null_test_plugin(compile_plugin_source(src), noise(1, 3000, scale=0.3))
+        assert rep.audio_passed, rep.summary()
+
+    def test_attack_release_envelope(self):
+        # classic state-dependent coefficient follower
+        src = ("@init\na_att = 0.6; a_rel = 0.999;\n"
+               "@sample\nr = abs(spl0);\n"
+               "env = r > env ? a_att*env + (1-a_att)*r : a_rel*env + (1-a_rel)*r;\n"
+               "spl0 = env;\n")
+        rep = null_test_plugin(compile_plugin_source(src), noise(1, 4000))
+        assert rep.audio_passed, rep.summary()
+        bad = [m for m in rep.var_mismatches if abs(m[1] - m[2]) > 1e-9]
+        assert not bad, bad
+
+    def test_mutually_recursive_pair(self):
+        src = ("@sample\n"
+               "a2 = 0.95*b + 0.05*spl0;\n"
+               "b = 0.9*a2 + 0.1*abs(spl0);\n"
+               "spl0 = a2 - b;\n")
+        rep = null_test_plugin(compile_plugin_source(src), noise(1, 2500))
+        assert rep.audio_passed, rep.summary()
+
+    def test_group_feeding_from_vectorized_delay(self):
+        # delay line feeds the sequential follower (no feedback into it)
+        src = ("@init\nMASK = 511; d = 100;\n"
+               "@sample\nbuf[w & MASK] = spl0;\n"
+               "late = buf[(w - d) & MASK];\n"
+               "pk = abs(late) > pk ? abs(late) : pk*0.995;\n"
+               "spl0 = late * (1 - 0.5*pk);\n"
+               "w += 1;\n")
+        rep = null_test_plugin(compile_plugin_source(src), noise(1, 3000),
+                               segment_len=1024)
+        assert rep.passed, rep.summary()
+
+    def test_catalog_attack_null(self, reference_plugins):
+        prog = load_plugin_file(reference_plugins / "Dynamics/ATTACK/src/ATTACK.jsfx")
+        x = noise(2, 6000, scale=0.3)
+        try:
+            rep = null_test_plugin(prog, x, segment_len=2048, compare_state=False)
+        except SpecializeError as exc:
+            pytest.skip(f"ATTACK not vectorizable yet: {exc}")
+        assert rep.audio_passed, rep.summary()
+
+    def test_catalog_easyexpander_null(self, reference_plugins):
+        prog = load_plugin_file(
+            reference_plugins / "Dynamics/EasyExpander/src/EasyExpander.jsfx")
+        x = noise(2, 6000, scale=0.3)
+        try:
+            rep = null_test_plugin(prog, x, segment_len=2048, compare_state=False)
+        except SpecializeError as exc:
+            pytest.skip(f"EasyExpander not vectorizable yet: {exc}")
+        assert rep.audio_passed, rep.summary()
 
 
 class TestDDTNull:

@@ -618,31 +618,84 @@ class _SymExec:
 # recurrence classification
 
 
-def _prev_deps(node: Union[GNode, float], cache: Dict[int, Set]) -> Set:
+def _tarjan_sccs(adj: Dict[Any, Set]):
+    """Iterative Tarjan over the var dependency graph; yields components."""
+    index: Dict[Any, int] = {}
+    low: Dict[Any, int] = {}
+    on_stack: Set[Any] = set()
+    stack: List[Any] = []
+    counter = [0]
+    out = []
+
+    for root in adj:
+        if root in index:
+            continue
+        work = [(root, iter(adj[root]))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        stack.append(root)
+        on_stack.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(adj[w])))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                out.append(comp)
+    return out
+
+
+def _prev_deps(node: Union[GNode, float], cache: Dict[int, Set],
+               ring_writes: Optional[Dict] = None) -> Set:
     if not isinstance(node, GNode):
         return set()
     got = cache.get(id(node))
     if got is not None:
         return got
-    cache[id(node)] = set()  # cycle guard (graphs are DAGs, but be safe)
+    cache[id(node)] = set()  # cycle guard (delay feedback creates real cycles)
     out: Set = set()
     if node.kind == "prev":
         out.add(node.meta["key"])
+    if node.kind == "ringread" and ring_writes is not None:
+        w = ring_writes.get(node.meta["region"])
+        if w is not None:
+            out |= _prev_deps(w.value, cache, ring_writes)
     for a in node.args:
-        out |= _prev_deps(a, cache)
-    if node.kind in ("ringread",):
-        pass  # ring reads resolve through region writes, handled separately
+        out |= _prev_deps(a, cache, ring_writes)
     cache[id(node)] = out
     return out
 
 
-def _linearize(node: Union[GNode, float], key, cache: Dict[int, Set]):
+def _linearize(node: Union[GNode, float], key, cache: Dict[int, Set],
+               ring_writes: Optional[Dict] = None):
     """Match node == A * prev(key) + B with A, B free of prev(key).
 
     Returns (A, B) as graph-or-float operands, or None.
     """
     def free(x) -> bool:
-        return key not in _prev_deps(x, cache)
+        return key not in _prev_deps(x, cache, ring_writes)
 
     def mk(op, a, b):
         if isinstance(a, float) and isinstance(b, float):
@@ -784,7 +837,7 @@ class SpecializedSampleKernel:
                 node = out.node if isinstance(out, TS) else None
                 if node is None:
                     continue
-                lin = _linearize(node, key, cache)
+                lin = _linearize(node, key, cache, sym.ring_writes)
                 if lin is not None and isinstance(lin[0], float) and lin[0] == 1.0 \
                         and isinstance(lin[1], float) and _is_int(lin[1]) \
                         and lin[1] == 1.0:
@@ -836,8 +889,66 @@ class SpecializedSampleKernel:
         for key in sym.writes:
             out = sym.env[key]
             node = out.node if isinstance(out, TS) else None
-            dep_edges[key] = _prev_deps(node, cache) if node is not None else set()
+            dep_edges[key] = (_prev_deps(node, cache, sym.ring_writes)
+                              if node is not None else set())
 
+        # strongly-connected components over cross-timestep dependencies:
+        # an SCC of size > 1 (or a non-linear self-loop) runs as an inner
+        # lax.scan; everything feeding it stays time-parallel
+        scc_group: Set[Any] = set()
+        assigned = set(sym.writes)
+        adj = {v: {w for w in dep_edges.get(v, ()) if w in assigned and w != v}
+               for v in assigned}
+        for comp in _tarjan_sccs(adj):
+            if len(comp) > 1:
+                scc_group.update(comp)
+
+        def _absorb_between(group: Set[Any]) -> None:
+            """All SCCs run as ONE merged lax.scan; any var lying on a path
+            both from and to the group would make that merged unit cyclic,
+            so it must execute inside the scan as well."""
+            if not group:
+                return
+            radj: Dict[Any, Set] = {v: set() for v in adj}
+            for v, ws in adj.items():
+                for w in ws:
+                    radj.setdefault(w, set()).add(v)
+
+            def reach(start, graph):
+                seen = set(start)
+                todo = list(start)
+                while todo:
+                    v = todo.pop()
+                    for w in graph.get(v, ()):
+                        if w not in seen:
+                            seen.add(w)
+                            todo.append(w)
+                return seen
+
+            needs = reach(group, adj)        # vars the group depends on
+            needed_by = reach(group, radj)   # vars depending on the group
+            group |= (needs & needed_by)
+
+        # pass A: nonlinear self-recurrences join the group, then absorb
+        # every var lying between group members
+        lin_cache: Dict[Any, Tuple] = {}
+        for key in sym.writes:
+            out = sym.env[key]
+            if key in sym.inductions or not isinstance(out, TS):
+                continue
+            deps = dep_edges[key]
+            if key in deps and key not in scc_group:
+                lin = _linearize(out.node, key, cache, sym.ring_writes)
+                ok = (lin is not None
+                      and key not in _prev_deps(lin[0], cache, sym.ring_writes)
+                      and key not in _prev_deps(lin[1], cache, sym.ring_writes))
+                if ok:
+                    lin_cache[key] = lin
+                else:
+                    scc_group.add(key)
+        _absorb_between(scc_group)
+
+        # pass B: assign plans
         for key in sym.writes:
             out = sym.env[key]
             if key in sym.inductions:
@@ -851,19 +962,26 @@ class SpecializedSampleKernel:
                 plans[key] = _VarPlan("stream", out=sym._node(out))
                 continue
             node = out.node
-            deps = dep_edges[key]
-            if key in deps:
-                lin = _linearize(node, key, cache)
-                if lin is None:
-                    raise SpecializeError(
-                        f"non-linear self-recurrence on {key!r} (scan-group "
-                        f"fallback not yet implemented)")
-                A, B = lin
-                if key in _prev_deps(A, cache) or key in _prev_deps(B, cache):
-                    raise SpecializeError(f"recurrence coefficients depend on {key!r}")
-                plans[key] = _VarPlan("linrec", A=A, B=B)
+            if key in scc_group:
+                plans[key] = _VarPlan("scan", out=node)
+            elif key in lin_cache:
+                lin = lin_cache[key]
+                plans[key] = _VarPlan("linrec", A=lin[0], B=lin[1])
             else:
                 plans[key] = _VarPlan("stream", out=node)
+
+        self.scan_group = scc_group
+        if scc_group:
+            # delay-line feedback into the sequential group is not supported:
+            # the ring would have to live inside the scan carry
+            gdeps: Set[Any] = set()
+            for w in sym.ring_writes.values():
+                gdeps |= (_prev_deps(w.value, cache, sym.ring_writes)
+                          if isinstance(w.value, GNode) else set())
+            if gdeps & scc_group:
+                raise SpecializeError(
+                    "ring-buffer write depends on a sequential recurrence "
+                    "group (delay-line feedback) — not vectorizable yet")
 
         # cross-variable cycles (v depends on prev(w), w on prev(v)) are fine:
         # prev() only needs the other var's solved stream shifted by one — but a
@@ -902,8 +1020,12 @@ class SpecializedSampleKernel:
                     snap.mem[origin:origin + mod], dtype=np.float64)
 
         scalar_index = self.scalar_index
+        scan_group = sorted(self.scan_group, key=repr)
+        scan_gset = set(scan_group)
 
         def seg(carry, xseg):
+            import jax
+
             svec, rings = carry
             scalars = _VecView(svec, scalar_index)
             t64 = jnp.arange(L, dtype=jnp.int64)
@@ -975,6 +1097,90 @@ class SpecializedSampleKernel:
                     return jnp.full((L,), v, dtype=jnp.float64)
                 return jnp.broadcast_to(v, (L,))
 
+            def solve_scan_group():
+                """Jointly solve all sequential-recurrence vars with ONE
+                lax.scan; external feeds stay vectorized and stream in as
+                scan inputs."""
+                targets = {g: P_plans[g].out for g in scan_group}
+                internal_memo: Dict[int, bool] = {}
+
+                def is_internal(x) -> bool:
+                    if not isinstance(x, GNode):
+                        return False
+                    got = internal_memo.get(id(x))
+                    if got is not None:
+                        return got
+                    if x.kind == "prev":
+                        r = x.meta["key"] in scan_gset
+                    elif x.kind in ("in", "ind", "ringidx", "ringread",
+                                    "ringstatic"):
+                        r = False
+                    else:
+                        r = any(is_internal(a) for a in x.args)
+                    internal_memo[id(x)] = r
+                    return r
+
+                externals: List[GNode] = []
+                ext_ids: Dict[int, int] = {}
+
+                def collect(x):
+                    if not isinstance(x, GNode):
+                        return
+                    if not is_internal(x):
+                        if id(x) not in ext_ids:
+                            ext_ids[id(x)] = len(externals)
+                            externals.append(x)
+                        return
+                    if x.kind == "prev":
+                        return
+                    for a in x.args:
+                        collect(a)
+
+                for g in scan_group:
+                    collect(targets[g])
+
+                xs = (jnp.stack([_full(emit(e)) for e in externals], axis=1)
+                      if externals else jnp.zeros((L, 0), dtype=jnp.float64))
+                c0 = jnp.stack([scalars[g] for g in scan_group])
+                g_index = {g: i for i, g in enumerate(scan_group)}
+
+                def _sc(v):
+                    return jnp.float64(v) if isinstance(v, float) else v
+
+                def body(carry_v, x_t):
+                    env: Dict[int, Any] = {}
+
+                    def es(x):
+                        if not isinstance(x, GNode):
+                            return x
+                        got = env.get(id(x))
+                        if got is not None:
+                            return got
+                        if id(x) in ext_ids:
+                            v = x_t[ext_ids[id(x)]]
+                        elif x.kind == "prev":
+                            v = carry_v[g_index[x.meta["key"]]]
+                        elif x.kind == "bin":
+                            v = EM.BINARY[x.op](_sc(es(x.args[0])),
+                                                _sc(es(x.args[1])))
+                        elif x.kind == "call":
+                            v = EM.UNARY[x.op](_sc(es(x.args[0])))
+                        elif x.kind == "select":
+                            v = EM.eel_select(_sc(es(x.args[0])),
+                                              _sc(es(x.args[1])),
+                                              _sc(es(x.args[2])))
+                        else:
+                            raise AssertionError(f"scan-internal {x.kind}")
+                        env[id(x)] = v
+                        return v
+
+                    outs = jnp.stack([_sc(es(targets[g])) for g in scan_group])
+                    return outs, outs
+
+                _, ys = jax.lax.scan(body, c0, xs)
+                for i, g in enumerate(scan_group):
+                    var_stream[g] = ys[:, i]
+
             def stream_of(key):
                 got = var_stream.get(key)
                 if got is not None:
@@ -993,6 +1199,9 @@ class SpecializedSampleKernel:
                     A = emit(plan.A)
                     B = _full(emit(plan.B))
                     val = EM.linrec_assoc_scan(A, B, scalars[key])
+                elif plan.kind == "scan":
+                    solve_scan_group()
+                    val = var_stream[key]
                 else:
                     raise AssertionError(plan.kind)
                 in_progress.discard(key)
