@@ -124,12 +124,54 @@ class TestUnsupportedFallsOut:
         with pytest.raises(SpecializeError):
             specialize_sample_kernel(prog, shadow.state, 1)
 
-    def test_block_section_rejected_v1(self):
-        src = "@block\nc += 1;\n@sample\nspl0 = c;\n"
+    def test_audio_coupled_block_rejected(self):
+        # @block reading @sample-written state cannot become a control stream
+        src = "@sample\nacc += abs(spl0);\n@block\ng = acc * 0.1;\n"
         prog = compile_plugin_source(src)
         shadow = make_initialized_shadow(prog)
         with pytest.raises(SpecializeError):
             specialize_sample_kernel(prog, shadow.state, 1)
+
+
+class TestBlockControlTrajectory:
+    def test_block_counter_stream(self):
+        src = "@block\nc += 1;\n@sample\nspl0 = c;\n"
+        rep = null_test_plugin(compile_plugin_source(src),
+                               np.zeros((1, 2048), dtype=np.float32),
+                               block_size=256, segment_len=512)
+        assert rep.passed, rep.summary()
+
+    def test_block_modulated_gain(self):
+        src = ("@block\nphase += 0.1;\ng = 0.5 + 0.4*sin(phase);\n"
+               "@sample\nspl0 *= g;\n")
+        rep = null_test_plugin(compile_plugin_source(src), noise(1, 4096),
+                               block_size=512, segment_len=1024)
+        assert rep.passed, rep.summary()
+
+    def test_block_with_linrec_in_sample(self):
+        src = ("@block\ntarget = (blk += 1) % 7;\n"
+               "@sample\nz = 0.99*z + 0.01*target;\nspl0 = spl0 + z*0.1;\n")
+        rep = null_test_plugin(compile_plugin_source(src), noise(1, 3000),
+                               block_size=128, segment_len=1024)
+        assert rep.audio_passed, rep.summary()
+
+    def test_sliderchange_retriggers_slider_in_trajectory(self):
+        src = ("@slider\nd = slider1 * 2;\n"
+               "@block\nc += 1; c == 3 ? ( slider1 = 5; sliderchange(slider1); );\n"
+               "@sample\nspl0 = d;\n")
+        rep = null_test_plugin(compile_plugin_source(src),
+                               np.zeros((1, 2048), dtype=np.float32),
+                               block_size=256, segment_len=512)
+        assert rep.audio_passed, rep.summary()
+
+    def test_catalog_erbtilt_null(self, reference_plugins):
+        prog = load_plugin_file(reference_plugins / "Spectral/ERBTilt/src/ERB Tilt.jsfx")
+        x = noise(2, 6000, scale=0.3)
+        try:
+            rep = null_test_plugin(prog, x, segment_len=2048, compare_state=False)
+        except SpecializeError as exc:
+            pytest.skip(f"ERBTilt not vectorizable yet: {exc}")
+        assert rep.audio_passed, rep.summary()
 
     def test_delay_feedback_into_scan_group_rejected(self):
         # ring write fed by a nonlinear recurrence = delay-line feedback

@@ -126,31 +126,153 @@ def _is_int(x: float) -> bool:
 # syntactic assigned-variable analysis
 
 
-def assigned_vars_of_sample(program: PluginProgram) -> Set[Any]:
-    """Variables (by env key) that @sample may assign, transitively through
-    user functions it calls.  Conservative on dynamic slider()/spl()."""
-    out: Set[Any] = set()
+_MEM_WRITING_BUILTINS = frozenset({
+    "memset", "memcpy", "fft", "ifft", "fft_real", "ifft_real",
+    "fft_permute", "fft_ipermute", "convolve_c", "gmem_get", "file_mem",
+    "sample_export_mem", "sample_export_mem2", "midirecv_buf", "msg_recv_buf",
+})
+
+
+def section_var_usage(program: PluginProgram, section: str):
+    """(reads, writes, writes_mem) of a section by env key, transitively
+    through called user functions.  Conservative on dynamic slider()/spl()."""
+    reads: Set[Any] = set()
+    writes: Set[Any] = set()
+    writes_mem = [False]
+    reads_mem = [False]
     seen_fns: Set[str] = set()
 
     def scan(nodes: Sequence[Node], params: Set[str]) -> None:
         for root in nodes:
             for n in walk(root):
+                if isinstance(n, Name) and n.ident not in params \
+                        and n.ident not in ("mem", "gmem") \
+                        and dollar_const(n.ident) is None:
+                    reads.add(_env_key_for_name(n.ident))
+                if isinstance(n, Mem) and not (
+                        isinstance(n.base, Name) and n.base.ident == "gmem"):
+                    reads_mem[0] = True  # over-approximate: any bracket access
                 if isinstance(n, Asn):
                     t = n.target
                     if isinstance(t, Name) and t.ident not in params:
-                        out.add(_env_key_for_name(t.ident))
+                        writes.add(_env_key_for_name(t.ident))
+                    elif isinstance(t, Mem):
+                        if not (isinstance(t.base, Name) and t.base.ident == "gmem"):
+                            writes_mem[0] = True
                     elif isinstance(t, CallExpr) and t.func == "spl":
-                        out.update(("spl", c) for c in range(64))
+                        writes.update(("spl", c) for c in range(64))
                     elif isinstance(t, CallExpr) and t.func == "slider":
-                        out.update(("slider", c) for c in range(64))
-                if isinstance(n, CallExpr) and n.func in program.fn_defs \
-                        and n.func not in seen_fns:
-                    seen_fns.add(n.func)
-                    proto = program.fn_defs[n.func]
-                    scan([proto.body], set(proto.params))
+                        writes.update(("slider", c) for c in range(64))
+                if isinstance(n, CallExpr):
+                    if n.func in _MEM_WRITING_BUILTINS:
+                        writes_mem[0] = True
+                    if n.func in program.fn_defs and n.func not in seen_fns:
+                        seen_fns.add(n.func)
+                        proto = program.fn_defs[n.func]
+                        scan([proto.body], set(proto.params))
+                    # out-params of recv-style builtins are writes
+                    if n.func in ("midirecv", "msg_recv", "file_var",
+                                  "file_riff", "sample_read2",
+                                  "sample_read2_interp", "sample_preview_read",
+                                  "slider_next_chg", "instance_uid",
+                                  "instance_get_name", "track_name",
+                                  "msg_peer_name", "msg_peer_uid"):
+                        for a in n.args:
+                            if isinstance(a, Name):
+                                writes.add(_env_key_for_name(a.ident))
 
-    scan(program.sections.get("sample", []), set())
-    return out
+    scan(program.sections.get(section, []), set())
+    return reads, writes, writes_mem[0], reads_mem[0]
+
+
+def assigned_vars_of_sample(program: PluginProgram) -> Set[Any]:
+    """Variables (by env key) that @sample may assign."""
+    return section_var_usage(program, "sample")[1]
+
+
+def section_genuine_reads(program: PluginProgram, section: str) -> Set[Any]:
+    """Flow-sensitive read-before-write set: vars whose value ENTERING the
+    section is actually consumed (scratch loop counters assigned first do
+    not count).  Conservative: assignments inside branches/loops are not
+    'definite', reads inside them still count unless defined earlier at
+    the top level."""
+    genuine: Set[Any] = set()
+    fn_reads_cache: Dict[str, Set[Any]] = {}
+
+    def fn_reads(fname: str) -> Set[Any]:
+        got = fn_reads_cache.get(fname)
+        if got is not None:
+            return got
+        fn_reads_cache[fname] = set()  # recursion guard
+        proto = program.fn_defs[fname]
+        out: Set[Any] = set()
+        _walk(proto.body, set(), set(proto.params), out, definite=True)
+        fn_reads_cache[fname] = out
+        return out
+
+    def _walk(n: Node, defined: Set[Any], params: Set[str],
+              out: Set[Any], definite: bool) -> None:
+        if isinstance(n, Name):
+            if n.ident in params or n.ident in ("mem", "gmem") \
+                    or dollar_const(n.ident) is not None:
+                return
+            key = _env_key_for_name(n.ident)
+            if key not in defined:
+                out.add(key)
+            return
+        if isinstance(n, (Const, Str)):
+            return
+        if isinstance(n, Asn):
+            _walk(n.value, defined, params, out, definite)
+            t = n.target
+            if isinstance(t, Name) and t.ident not in params:
+                key = _env_key_for_name(t.ident)
+                if n.op != "=" and key not in defined:
+                    out.add(key)  # compound assign reads the target
+                if definite:
+                    defined.add(key)
+            else:
+                for c in _children_of(t):
+                    _walk(c, defined, params, out, definite)
+            return
+        if isinstance(n, (IfStmt, Cond)):
+            _walk(n.pred, defined, params, out, definite)
+            # walk each branch sequentially on a copy: write-then-read
+            # inside one branch is not a pre-section read; the copy is
+            # discarded so later code can't rely on branch writes
+            _walk(n.then, set(defined), params, out, definite)
+            other = getattr(n, "other", None)
+            if other is not None:
+                _walk(other, set(defined), params, out, definite)
+            return
+        if isinstance(n, (LoopExpr, WhileStmt)):
+            head = n.count if isinstance(n, LoopExpr) else n.pred
+            _walk(head, defined, params, out, definite)
+            # first-iteration order decides whether a pre-section value
+            # is consumed; later iterations read loop-internal values
+            _walk(n.body, set(defined), params, out, definite)
+            return
+        if isinstance(n, Block):
+            for item in n.items:
+                _walk(item, defined, params, out, definite)
+            return
+        if isinstance(n, CallExpr):
+            for a in n.args:
+                _walk(a, defined, params, out, definite)
+            if n.func in program.fn_defs:
+                out |= (fn_reads(n.func) - defined)
+            return
+        for c in _children_of(n):
+            _walk(c, defined, params, out, definite)
+
+    def _children_of(n: Node):
+        from ..frontend.astnodes import children
+        return children(n)
+
+    defined: Set[Any] = set()
+    for stmt in program.sections.get(section, []):
+        _walk(stmt, defined, set(), genuine, True)
+    return genuine
 
 
 def _env_key_for_name(ident: str):
@@ -185,18 +307,22 @@ class _SymExec:
     def __init__(self, program: PluginProgram, snapshot, nch: int,
                  induction_vars: Dict[Any, int],
                  known_mem_cells: Set[int],
-                 segment_len_hint: int):
+                 segment_len_hint: int,
+                 control_vars: Optional[Set[Any]] = None):
         self.P = program
         self.snap = snapshot              # ShadowState after init/slider
         self.nch = nch
         self.inductions = induction_vars  # env key -> step (always 1 for ring use)
         self.known_cells = known_mem_cells
         self.assigned = assigned_vars_of_sample(program)
+        self.control_vars = control_vars or set()
+        self.ctrl_nodes: Dict[Any, GNode] = {}
         self.env: Dict[Any, SymVal] = {}
         self.prev_nodes: Dict[Any, GNode] = {}
         self.writes: Set[Any] = set()
         self.ring_writes: Dict[Tuple[int, int], _RingWrite] = {}
         self.written_cells: Set[int] = set()
+        self.read_cells: Set[int] = set()
         self.order = 0
         self.depth = 0
         self.L_hint = segment_len_hint
@@ -234,6 +360,12 @@ class _SymExec:
             if node is None:
                 node = GNode("prev", meta={"key": key})
                 self.prev_nodes[key] = node
+            val = TS(node)
+        elif key in self.control_vars:
+            node = self.ctrl_nodes.get(key)
+            if node is None:
+                node = GNode("ctrl", meta={"key": key})
+                self.ctrl_nodes[key] = node
             val = TS(node)
         else:
             val = CV(self._state_value(key))
@@ -314,6 +446,7 @@ class _SymExec:
     def mem_read(self, base: SymVal, idx: SymVal) -> SymVal:
         addr = self._addr_of(base, idx)
         if isinstance(addr, CV):
+            self.read_cells.add(int(addr.v))
             return self.read_key(("mem", int(addr.v)))
         if isinstance(addr, RingIdx):
             region = (addr.origin, addr.mod)
@@ -798,24 +931,69 @@ class SpecializedSampleKernel:
     """Compiled, segment-scanned render kernel for one plugin config."""
 
     def __init__(self, program: PluginProgram, snapshot, nch: int,
-                 segment_len: int = 1 << 17):
+                 segment_len: int = 1 << 17, block_size: int = 512):
         import jax
 
         self.P = program
         self.snap = snapshot
         self.nch = nch
-        self.L = int(segment_len)
+        self.B = int(block_size)
+        self.L = max(self.B, (int(segment_len) // self.B) * self.B)
 
-        if program.sections.get("block"):
-            raise SpecializeError("@block section present (vector engine v1 "
-                                  "supports @sample-only plugins)")
         if not program.sections.get("sample"):
             raise SpecializeError("no @sample section")
 
+        # @block support: when the block section is audio-independent, its
+        # whole trajectory is interpreted on the host and enters the device
+        # program as piecewise-constant control streams (one value per block)
+        self.has_block = bool(program.sections.get("block"))
+        self.control_vars: Set[Any] = set()
+        self.block_writes_mem = False
+        self.block_reads_mem = False
+        if self.has_block:
+            _, writes_b, wmem_b, rmem_b = section_var_usage(program, "block")
+            reads_b = section_genuine_reads(program, "block")
+            sample_writes = assigned_vars_of_sample(program)
+            # @block writing mem[] is allowed when @sample's mem accesses
+            # are all concrete-addressed: those cells join the control
+            # trajectory (per-block coefficient tables).  Verified after
+            # symbolic execution below.
+            self.block_writes_mem = wmem_b
+            self.block_reads_mem = rmem_b
+            # @slider joins the trajectory only if @block can retrigger it
+            retriggers = any(
+                isinstance(n, CallExpr)
+                and n.func in ("sliderchange", "slider_automate")
+                for stmt in program.sections.get("block", [])
+                for n in walk(stmt))
+            writes_sl: Set[Any] = set()
+            if retriggers:
+                _, writes_sl, wmem_sl, _rm = section_var_usage(program, "slider")
+                if wmem_sl:
+                    raise SpecializeError(
+                        "@slider (re-run from @block) writes mem[]")
+            spl_keys = {("spl", c) for c in range(64)}
+            hot = reads_b & (sample_writes | spl_keys)
+            if hot:
+                raise SpecializeError(
+                    f"@block reads audio-rate state {sorted(hot, key=repr)[:4]}")
+            # feedback only matters for vars @sample genuinely consumes
+            # across samples; scratch vars written-first in both
+            # sections are dead at the block boundary
+            sample_greads = section_genuine_reads(program, "sample")
+            fb = (writes_b | writes_sl) & sample_writes & sample_greads
+            if fb:
+                raise SpecializeError(
+                    f"@block rewrites audio-rate vars {sorted(fb, key=repr)[:4]}")
+            self.control_vars = (writes_b | writes_sl) - sample_writes
+
         sym = self._stable_symexec()
         self._plan(sym)
+        self.ctrl_order = sorted(sym.ctrl_nodes.keys(), key=repr)
+        self._traj_plugin = None
+        self.last_control_state = None
         self._jax = jax
-        self._seg_fns: Dict[int, Callable] = {}
+        self._seg_fns: Dict[Any, Callable] = {}
 
     # -- discovery loop ------------------------------------------------------
 
@@ -823,8 +1001,9 @@ class SpecializedSampleKernel:
         inductions: Dict[Any, int] = {}
         cells: Set[int] = set()
         sym = None
-        for _ in range(4):
-            sym = _SymExec(self.P, self.snap, self.nch, inductions, cells, self.L)
+        for _ in range(6):
+            sym = _SymExec(self.P, self.snap, self.nch, inductions, cells,
+                           self.B, control_vars=self.control_vars)
             sym.run(self.P.sections["sample"])
             new_ind = dict(inductions)
             cache: Dict[int, Set] = {}
@@ -845,17 +1024,72 @@ class SpecializedSampleKernel:
                     if _is_int(start):
                         new_ind[key] = 1
             new_cells = {c for c in sym.written_cells if c >= 0}
-            if new_ind == inductions and new_cells <= cells:
+            grew_ctrl = False
+            if self.block_writes_mem:
+                # concrete cells @sample reads but does not write become
+                # block-trajectory control streams
+                ctrl_cells = {("mem", a) for a in sym.read_cells
+                              if a not in new_cells and a not in cells}
+                fresh = ctrl_cells - self.control_vars
+                if fresh:
+                    self.control_vars |= fresh
+                    grew_ctrl = True
+            if new_ind == inductions and new_cells <= cells and not grew_ctrl:
                 break
             inductions = new_ind
             cells = cells | new_cells
         assert sym is not None
         if -1 in sym.written_cells:
             raise SpecializeError("data-dependent mem write address in @sample")
+        has_ringstatic = False
         for node_check in self._all_nodes(sym):
             if node_check.kind == "dynmem":
                 raise SpecializeError("data-dependent mem read address in @sample")
+            if node_check.kind == "ringstatic":
+                has_ringstatic = True
+        if self.block_reads_mem and (sym.written_cells or sym.ring_writes):
+            raise SpecializeError(
+                "@block reads mem[] while @sample writes mem[] — block work "
+                "may consume audio-rate state")
+        if self.block_writes_mem and (sym.ring_writes or has_ringstatic
+                                      or sym.written_cells):
+            blocked = self._probe_block_mem_writes()
+            conflict = blocked & sym.written_cells
+            spans = [(w.origin, w.mod) for w in sym.ring_writes.values()]
+            for node_check in self._all_nodes(sym):
+                if node_check.kind == "ringstatic":
+                    spans.append(node_check.meta["region"])
+            for origin, mod in spans:
+                if any(origin <= a < origin + mod for a in blocked):
+                    conflict.add(origin)
+            if conflict:
+                raise SpecializeError(
+                    f"@block mem writes alias @sample state cells "
+                    f"{sorted(conflict)[:6]}")
         return sym
+
+    def _probe_block_mem_writes(self) -> Set[int]:
+        """Empirically determine which mem cells @block writes by running a
+        few trajectory blocks against a clone and diffing the heap.  Used
+        only for the disjointness check (the null-test suite backstops the
+        heuristic for plugins with block-varying write addresses)."""
+        from ..shadow import compile_shadow
+
+        plug = compile_shadow(self.P)
+        plug.state = self.snap.clone()
+        st = plug.state
+        base = self.snap.mem
+        written: Set[int] = set()
+        for _ in range(3):
+            st.samplesblock = float(self.B)
+            plug.run_block()
+            n = min(len(base), len(st.mem))
+            diff = np.nonzero(st.mem[:n] != base[:n])[0]
+            written.update(int(i) for i in diff)
+            if len(st.mem) > len(base):
+                extra = np.nonzero(st.mem[len(base):])[0]
+                written.update(int(i) + len(base) for i in extra)
+        return written
 
     def _all_nodes(self, sym: _SymExec):
         seen: Set[int] = set()
@@ -1022,10 +1256,13 @@ class SpecializedSampleKernel:
         scalar_index = self.scalar_index
         scan_group = sorted(self.scan_group, key=repr)
         scan_gset = set(scan_group)
+        ctrl_index = {k: i for i, k in enumerate(self.ctrl_order)}
+        B = self.B
 
-        def seg(carry, xseg):
+        def seg(carry, xs):
             import jax
 
+            xseg, ctrlseg = xs
             svec, rings = carry
             scalars = _VecView(svec, scalar_index)
             t64 = jnp.arange(L, dtype=jnp.int64)
@@ -1048,6 +1285,9 @@ class SpecializedSampleKernel:
                     return got
                 if x.kind == "in":
                     val = xseg[x.meta["ch"]]
+                elif x.kind == "ctrl":
+                    col = ctrlseg[:, ctrl_index[x.meta["key"]]]
+                    val = jnp.repeat(col, B)[:L]
                 elif x.kind == "prev":
                     val = prev_of(x.meta["key"])
                 elif x.kind == "ind":
@@ -1113,7 +1353,7 @@ class SpecializedSampleKernel:
                     if x.kind == "prev":
                         r = x.meta["key"] in scan_gset
                     elif x.kind in ("in", "ind", "ringidx", "ringread",
-                                    "ringstatic"):
+                                    "ringstatic", "ctrl"):
                         r = False
                     else:
                         r = any(is_internal(a) for a in x.args)
@@ -1267,6 +1507,50 @@ class SpecializedSampleKernel:
 
     # -- state plumbing ------------------------------------------------------
 
+    def control_trajectory(self, n_blocks: int, rem_block: int = 0):
+        """Interpret the @block/@slider trajectory on the host; returns the
+        control matrix [n_blocks(+1 if rem), n_ctrl] and keeps the final
+        control-state for writeback."""
+        from ..shadow import compile_shadow
+
+        if self._traj_plugin is None:
+            self._traj_plugin = compile_shadow(self.P)
+        plug = self._traj_plugin
+        plug.state = self.snap.clone()
+        st = plug.state
+
+        rows = n_blocks + (1 if rem_block else 0)
+        out = np.zeros((rows, len(self.ctrl_order)), dtype=np.float64)
+        for b in range(rows):
+            nb = rem_block if (rem_block and b == n_blocks) else self.B
+            st.samplesblock = float(nb)
+            plug.run_block()
+            if (st.pending_change_mask or st.pending_automate_mask
+                    or st.pending_automate_end_mask):
+                plug.run_slider()
+                st.pending_change_mask = 0
+                st.pending_automate_mask = 0
+                st.pending_automate_end_mask = 0
+            for i, key in enumerate(self.ctrl_order):
+                out[b, i] = self._key_value(st, key)
+        self.last_control_state = st
+        return out
+
+    @staticmethod
+    def _key_value(st, key) -> float:
+        kind = key[0]
+        if kind == "spl":
+            return float(st.spl[key[1]])
+        if kind == "slider":
+            return float(st.sliders[key[1]])
+        if kind == "builtin":
+            return float(getattr(st, key[1]))
+        if kind == "var":
+            return float(st.V.get(key[1], 0.0))
+        if kind == "mem":
+            return float(st.mem[key[1]]) if key[1] < len(st.mem) else 0.0
+        raise AssertionError(key)
+
     def initial_carry(self):
         """Host-side initial carry (numpy); uploaded on first use as part
         of the single jitted render dispatch."""
@@ -1307,16 +1591,24 @@ class SpecializedSampleKernel:
         seg = self._make_seg_fn(L)
         seg_rem = self._make_seg_fn(rem) if rem else None
 
-        def run(carry, x32):
+        B = self.B
+        rows_per_seg = L // B
+        rem_rows = -(-rem // B) if rem else 0
+        n_ctrl = len(self.ctrl_order)
+
+        def run(carry, x32, ctrl):
             x64 = x32.astype(jnp.float64)
             ys = []
             if nfull:
                 xin = x64[:, : nfull * L].reshape(nch, nfull, L).transpose(1, 0, 2)
-                carry2, yseg = jax.lax.scan(seg, carry, xin)
+                cin = ctrl[: nfull * rows_per_seg].reshape(nfull, rows_per_seg,
+                                                           n_ctrl)
+                carry2, yseg = jax.lax.scan(seg, carry, (xin, cin))
             else:
                 carry2 = carry
             if rem:
-                carry2, y_r = seg_rem(carry2, x64[:, nfull * L:])
+                carry2, y_r = seg_rem(
+                    carry2, (x64[:, nfull * L:], ctrl[nfull * rows_per_seg:]))
             if nfull:
                 ys.append(yseg.transpose(1, 0, 2).reshape(nch, nfull * L))
             if rem:
@@ -1339,8 +1631,16 @@ class SpecializedSampleKernel:
         assert nch == self.nch
         if carry is None:
             carry = self.initial_carry()
-        L = min(self.L, T) if T else self.L
-        return self._render_fn(T, L)(carry, np.ascontiguousarray(x, np.float32))
+        L = min(self.L, max(self.B, (T // self.B) * self.B)) if T else self.L
+        n_full_blocks = T // self.B
+        rem_block = T - n_full_blocks * self.B
+        if self.has_block:
+            ctrl = self.control_trajectory(n_full_blocks, rem_block)
+        else:
+            rows = n_full_blocks + (1 if rem_block else 0)
+            ctrl = np.zeros((rows, len(self.ctrl_order)), dtype=np.float64)
+        return self._render_fn(T, L)(carry,
+                                     np.ascontiguousarray(x, np.float32), ctrl)
 
     def render(self, x: np.ndarray, carry=None):
         """x: float32 [nch, T].  Returns (y float32 np [nch, T], final_carry)."""
@@ -1349,6 +1649,13 @@ class SpecializedSampleKernel:
 
     def writeback(self, carry, state) -> None:
         """Flush final carry into a ShadowState (for state parity checks)."""
+        if self.last_control_state is not None:
+            ts = self.last_control_state
+            state.V.update(ts.V)
+            state.sliders = list(ts.sliders)
+            state.srate = ts.srate
+            state.samplesblock = ts.samplesblock
+            state.rng.restore(ts.rng.snapshot())
         svec, rings = carry
         svec_np = np.asarray(svec)
         for key in self.carried_vars:
@@ -1372,5 +1679,7 @@ class SpecializedSampleKernel:
 
 
 def specialize_sample_kernel(program: PluginProgram, snapshot, nch: int,
-                             segment_len: int = 1 << 17) -> SpecializedSampleKernel:
-    return SpecializedSampleKernel(program, snapshot, nch, segment_len)
+                             segment_len: int = 1 << 17,
+                             block_size: int = 512) -> SpecializedSampleKernel:
+    return SpecializedSampleKernel(program, snapshot, nch, segment_len,
+                                   block_size=block_size)

@@ -119,7 +119,8 @@ class PluginInstance:
         if prefer in ("auto", "tpu"):
             try:
                 self.kernel = specialize_sample_kernel(
-                    program, self.shadow.state, self.nch, segment_len=segment_len)
+                    program, self.shadow.state, self.nch,
+                    segment_len=segment_len, block_size=512)
                 self.engine = "tpu-vector"
             except SpecializeError as exc:
                 self.spec_error = str(exc)

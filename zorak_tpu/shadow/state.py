@@ -208,3 +208,33 @@ class ShadowState:
             return self.strings_by_handle.get(int(handle))
         except (ValueError, OverflowError):
             return None
+
+    def clone(self) -> "ShadowState":
+        """Deep copy for host-side trajectory interpretation (shares the
+        host services object — block-rate service calls are host-side)."""
+        c = ShadowState.__new__(ShadowState)
+        c.spl = list(self.spl)
+        c.sliders = list(self.sliders)
+        c.V = dict(self.V)
+        c.mem = self.mem.copy()
+        c.mem_used = self.mem_used
+        c.srate = self.srate
+        c.samplesblock = self.samplesblock
+        c.midi_bus = self.midi_bus
+        c.ext_midi_bus = self.ext_midi_bus
+        c.rng = EelRng()
+        c.rng.restore(self.rng.snapshot())
+        c.pending_change_mask = self.pending_change_mask
+        c.pending_automate_mask = self.pending_automate_mask
+        c.pending_automate_end_mask = self.pending_automate_end_mask
+        c.slider_visible_mask = self.slider_visible_mask
+        c.slider_vis_init = self.slider_vis_init
+        c.host = self.host
+        c.gmem = self.gmem
+        c.midi_in = list(self.midi_in)
+        c.midi_in_pos = self.midi_in_pos
+        c.midi_out = list(self.midi_out)
+        c.strings_by_handle = dict(self.strings_by_handle)
+        c.handles_by_string = dict(self.handles_by_string)
+        c.memtop = self.memtop
+        return c

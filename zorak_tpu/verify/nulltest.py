@@ -202,7 +202,8 @@ def null_test_plugin(program, x: np.ndarray, srate: float = 48000.0,
     # vectorized render from an identical snapshot
     snap_owner = make_initialized_shadow(program, srate, slider_overrides)
     kern = specialize_sample_kernel(program, snap_owner.state, nch,
-                                    segment_len=segment_len)
+                                    segment_len=segment_len,
+                                    block_size=block_size)
     y_test, carry = kern.render(x)
 
     rep = compare_audio(y_ref, y_test)
