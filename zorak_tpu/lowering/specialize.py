@@ -410,6 +410,13 @@ class _SymExec:
             m = b.v
             if _is_int(m) and int(m) > 0 and (int(m) + 1) & int(m) == 0:
                 return RingIdx(a.var, a.offset, int(m) + 1, 0)
+        if op == "&" and isinstance(a, TS) and isinstance(b, CV):
+            # time-varying value masked to a power-of-2 ring: tag it so
+            # mem addressing can recognize dynamic ring/table indexing
+            m = b.v
+            if _is_int(m) and int(m) > 0 and (int(m) + 1) & int(m) == 0:
+                return TS(GNode("maskidx", args=(a.node,),
+                                meta={"mod": int(m) + 1}))
         if op in ("&&", "||"):
             raise AssertionError("logical ops handled in eval")
         return TS(GNode("bin", op=op, args=(self._node(a), self._node(b))))
@@ -443,6 +450,19 @@ class _SymExec:
             return s  # integral by construction; bias is a no-op
         return s
 
+    @staticmethod
+    def _match_dynaddr(node: GNode):
+        """origin + (ts & mask) addressing -> (origin, mod, maskidx_node)."""
+        if node.kind == "maskidx":
+            return (0, node.meta["mod"], node)
+        if node.kind == "bin" and node.op == "+":
+            a, b = node.args
+            for c, n in ((a, b), (b, a)):
+                if isinstance(c, float) and _is_int(c) and c >= 0.0 \
+                        and isinstance(n, GNode) and n.kind == "maskidx":
+                    return (int(c), n.meta["mod"], n)
+        return None
+
     def mem_read(self, base: SymVal, idx: SymVal) -> SymVal:
         addr = self._addr_of(base, idx)
         if isinstance(addr, CV):
@@ -450,20 +470,21 @@ class _SymExec:
             return self.read_key(("mem", int(addr.v)))
         if isinstance(addr, RingIdx):
             region = (addr.origin, addr.mod)
-            w = self.ring_writes.get(region)
-            if w is not None:
-                delay = (w.offset - addr.offset) % addr.mod
-                if w.var != addr.var:
-                    raise SpecializeError("ring read/write use different cursors")
-                if delay == 0 and w.order > self.order:
-                    raise SpecializeError("same-slot ring read before write")
-                return TS(GNode("ringread",
-                                meta={"region": region, "delay": delay,
-                                      "var": addr.var, "offset": addr.offset}))
-            # region never written in @sample: static gather over snapshot mem
-            return TS(GNode("ringstatic",
+            self.order += 1
+            # resolution against the region's write (delay, ordering, or
+            # static snapshot gather) happens at emission when all writes
+            # of the body are known
+            return TS(GNode("ringref",
                             meta={"region": region, "var": addr.var,
-                                  "offset": addr.offset}))
+                                  "offset": addr.offset, "order": self.order}))
+        if isinstance(addr, TS):
+            m = self._match_dynaddr(addr.node)
+            if m is not None:
+                origin, mod, idx_node = m
+                self.order += 1
+                return TS(GNode("dynringref", args=(idx_node,),
+                                meta={"region": (origin, mod),
+                                      "order": self.order}))
         if isinstance(addr, IndAff):
             raise SpecializeError("unbounded cursor mem read (no mask)")
         # dynamic address: tolerated during discovery passes, fatal at final
@@ -811,7 +832,7 @@ def _prev_deps(node: Union[GNode, float], cache: Dict[int, Set],
     out: Set = set()
     if node.kind == "prev":
         out.add(node.meta["key"])
-    if node.kind == "ringread" and ring_writes is not None:
+    if node.kind in ("ringref", "dynringref") and ring_writes is not None:
         w = ring_writes.get(node.meta["region"])
         if w is not None:
             out |= _prev_deps(w.value, cache, ring_writes)
@@ -1045,8 +1066,19 @@ class SpecializedSampleKernel:
         for node_check in self._all_nodes(sym):
             if node_check.kind == "dynmem":
                 raise SpecializeError("data-dependent mem read address in @sample")
-            if node_check.kind == "ringstatic":
+            if node_check.kind in ("ringref", "dynringref") \
+                    and node_check.meta["region"] not in sym.ring_writes:
                 has_ringstatic = True
+        written_spans = [(w.origin, w.mod) for w in sym.ring_writes.values()]
+        for node_check in self._all_nodes(sym):
+            if node_check.kind in ("ringref", "dynringref") \
+                    and node_check.meta["region"] not in sym.ring_writes:
+                o, m = node_check.meta["region"]
+                for wo, wm in written_spans:
+                    if o < wo + wm and wo < o + m:
+                        raise SpecializeError(
+                            "mem read region overlaps a written ring at a "
+                            "different origin/stride — cannot vectorize")
         if self.block_reads_mem and (sym.written_cells or sym.ring_writes):
             raise SpecializeError(
                 "@block reads mem[] while @sample writes mem[] — block work "
@@ -1057,7 +1089,8 @@ class SpecializedSampleKernel:
             conflict = blocked & sym.written_cells
             spans = [(w.origin, w.mod) for w in sym.ring_writes.values()]
             for node_check in self._all_nodes(sym):
-                if node_check.kind == "ringstatic":
+                if node_check.kind in ("ringref", "dynringref") \
+                        and node_check.meta["region"] not in sym.ring_writes:
                     spans.append(node_check.meta["region"])
             for origin, mod in spans:
                 if any(origin <= a < origin + mod for a in blocked):
@@ -1224,7 +1257,9 @@ class SpecializedSampleKernel:
         self.plans = plans
 
         # dynamic carried state: every written var + every prev-read key
+        # + input spl registers (their post-render value is the last input)
         carried = set(sym.writes) | set(sym.prev_nodes.keys()) | set(sym.inductions)
+        carried |= {("spl", c) for c in range(self.nch)}
         self.carried_vars = sorted(carried, key=repr)
         self.scalar_index = {key: i for i, key in enumerate(self.carried_vars)}
         self.ring_regions = sorted(
@@ -1247,7 +1282,8 @@ class SpecializedSampleKernel:
 
         static_regions: Dict[Tuple[int, int], np.ndarray] = {}
         for node in self._all_nodes(sym):
-            if node.kind == "ringstatic":
+            if node.kind in ("ringref", "dynringref") \
+                    and node.meta["region"] not in sym.ring_writes:
                 origin, mod = node.meta["region"]
                 snap.mem_ensure(origin + mod)
                 static_regions[(origin, mod)] = np.asarray(
@@ -1302,13 +1338,28 @@ class SpecializedSampleKernel:
                 elif x.kind == "select":
                     c = _arr(emit(x.args[0]))
                     val = EM.eel_select(c, emit(x.args[1]), emit(x.args[2]))
-                elif x.kind == "ringread":
-                    val = ring_delayed(x.meta["region"], x.meta["delay"])
-                elif x.kind == "ringstatic":
-                    origin, mod = x.meta["region"]
-                    const = jnp.asarray(static_regions[(origin, mod)])
-                    idx = cursor_idx(x.meta["var"], x.meta["offset"], mod, 0, L)
-                    val = const[idx]
+                elif x.kind == "maskidx":
+                    val = EM.eel_and(_arr(emit(x.args[0])),
+                                     jnp.float64(x.meta["mod"] - 1))
+                elif x.kind == "ringref":
+                    region = x.meta["region"]
+                    w = sym.ring_writes.get(region)
+                    if w is None:
+                        origin, mod = region
+                        const = jnp.asarray(static_regions[region])
+                        idx = cursor_idx(x.meta["var"], x.meta["offset"],
+                                         mod, 0, L)
+                        val = const[idx]
+                    else:
+                        if w.var != x.meta["var"]:
+                            raise SpecializeError(
+                                "ring read/write use different cursors")
+                        delay = (w.offset - x.meta["offset"]) % w.mod
+                        if delay == 0 and w.order > x.meta["order"]:
+                            delay = w.mod  # read precedes write: prior wrap
+                        val = ring_delayed(region, delay)
+                elif x.kind == "dynringref":
+                    val = dyn_ring_read(x)
                 else:
                     raise AssertionError(x.kind)
                 memo[id(x)] = val
@@ -1337,6 +1388,31 @@ class SpecializedSampleKernel:
                     return jnp.full((L,), v, dtype=jnp.float64)
                 return jnp.broadcast_to(v, (L,))
 
+            def dyn_ring_read(x):
+                """Read with a time-varying slot index: resolve each sample
+                against whichever write (this segment or ring history) last
+                touched that slot."""
+                region = x.meta["region"]
+                origin, mod = region
+                sigma = EM.to_i64(_arr(emit(x.args[0])))  # slot in [0,mod)
+                w = sym.ring_writes.get(region)
+                if w is None:
+                    const = jnp.asarray(static_regions[region])
+                    return const[sigma]
+                src = ring_src.get(region)
+                if src is None:
+                    src = _full(emit(w.value))
+                    ring_src[region] = src
+                mask = mod - 1
+                prefix_idx = cursor_idx(w.var, w.offset, mod, 0, mod)
+                full = jnp.concatenate([rings[region][prefix_idx], src])
+                w0c = EM.to_i64(scalars[w.var]) + w.offset
+                if w.order > x.meta["order"]:
+                    dtil = ((w0c + t64 - sigma - 1) & mask) + 1
+                else:
+                    dtil = (w0c + t64 - sigma) & mask
+                return full[mod + t64 - dtil]
+
             def solve_scan_group():
                 """Jointly solve all sequential-recurrence vars with ONE
                 lax.scan; external feeds stay vectorized and stream in as
@@ -1352,8 +1428,13 @@ class SpecializedSampleKernel:
                         return got
                     if x.kind == "prev":
                         r = x.meta["key"] in scan_gset
-                    elif x.kind in ("in", "ind", "ringidx", "ringread",
-                                    "ringstatic", "ctrl"):
+                    elif x.kind == "dynringref":
+                        if any(is_internal(a) for a in x.args):
+                            raise SpecializeError(
+                                "dynamic delay index driven by a sequential "
+                                "recurrence group")
+                        r = False
+                    elif x.kind in ("in", "ind", "ringidx", "ringref", "ctrl"):
                         r = False
                     else:
                         r = any(is_internal(a) for a in x.args)
@@ -1487,6 +1568,8 @@ class SpecializedSampleKernel:
                         new_vals.append(jnp.float64(plan.out))
                     else:
                         new_vals.append(stream_of(key)[-1])
+                elif key[0] == "spl" and key[1] < nch:
+                    new_vals.append(xseg[key[1], -1])
                 else:
                     new_vals.append(scalars[key])
             new_svec = jnp.stack(new_vals) if new_vals \
