@@ -1,0 +1,169 @@
+"""Batch scale-out: many files x many plugin configs on one chip (vmap),
+or sharded over a device mesh (files = data-parallel axis, instances =
+config-parallel axis).
+
+This is the TPU-native replacement for the reference's throughput model
+(one realtime process per plugin instance): the whole catalog renders as
+one vmapped XLA program; multi-chip scale-out shards the batch axes over
+`jax.sharding.Mesh` (ref mapping: SURVEY.md section 5.8 — the reference's
+parallel axes are files x channels x instances, not model parallelism).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ir.program import PluginProgram
+from ..lowering import SpecializeError, specialize_sample_kernel
+from ..verify.nulltest import make_initialized_shadow
+
+
+class BatchRenderer:
+    """One plugin, many (slider-config) instances, many files.
+
+    Instances share one compiled kernel when their CONTROL STATE is
+    identical; differing slider configs specialize separately (control
+    state is baked into the XLA program — that is where the speed comes
+    from), so the batch axes here are files and channels, and the
+    instance axis vmaps over per-instance carried state.
+    """
+
+    def __init__(self, program: PluginProgram, srate: float = 48000.0,
+                 sliders: Optional[Dict[int, float]] = None,
+                 segment_len: int = 1 << 16, block_size: int = 512):
+        self.program = program
+        self.srate = srate
+        self.nch = max(1, program.io_channels["process"])
+        shadow = make_initialized_shadow(program, srate, sliders)
+        self.kernel = specialize_sample_kernel(
+            program, shadow.state, self.nch, segment_len=segment_len,
+            block_size=block_size)
+        self._batched_fns: Dict[Tuple[int, int, int], object] = {}
+
+    def render_files(self, x: np.ndarray, mesh=None):
+        """x: float32 [files, nch, T] -> y float32 device array (same shape).
+
+        With a mesh, the files axis shards across devices ('files' axis
+        name); otherwise it vmaps on one chip.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        nf, nch, T = x.shape
+        assert nch == self.nch
+        kern = self.kernel
+        L = min(kern.L, max(kern.B, (T // kern.B) * kern.B))
+
+        key = (nf, T, 0 if mesh is None else 1)
+        fn = self._batched_fns.get(key)
+        if fn is None:
+            inner = kern._render_fn.__wrapped__ if hasattr(
+                kern._render_fn, "__wrapped__") else None
+            # use the raw (unjitted) pipeline so vmap sees one function
+            raw = _raw_render(kern, T, L)
+            batched = jax.vmap(raw, in_axes=(0, 0, None))
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                fn = jax.jit(
+                    batched,
+                    in_shardings=(
+                        jax.tree.map(lambda _: NamedSharding(mesh, P("files")),
+                                     kern.initial_carry()),
+                        NamedSharding(mesh, P("files")),
+                        None),
+                    out_shardings=(NamedSharding(mesh, P("files")),
+                                   jax.tree.map(
+                                       lambda _: NamedSharding(mesh, P("files")),
+                                       kern.initial_carry())))
+            else:
+                fn = jax.jit(batched)
+            self._batched_fns[key] = fn
+
+        carry0 = kern.initial_carry()
+        carry = jax.tree.map(
+            lambda leaf: np.broadcast_to(np.asarray(leaf),
+                                         (nf,) + np.shape(leaf)).copy(),
+            carry0)
+
+        n_full_blocks = T // kern.B
+        rem_block = T - n_full_blocks * kern.B
+        if kern.has_block:
+            ctrl = kern.control_trajectory(n_full_blocks, rem_block)
+        else:
+            rows = n_full_blocks + (1 if rem_block else 0)
+            ctrl = np.zeros((rows, len(kern.ctrl_order)), dtype=np.float64)
+
+        y, _ = fn(carry, np.ascontiguousarray(x, np.float32), jnp.asarray(ctrl))
+        return y
+
+
+def _raw_render(kern, T: int, L: int):
+    """Unjitted whole-render pipeline (vmap-able)."""
+    import jax
+    import jax.numpy as jnp
+
+    nch = kern.nch
+    nfull = T // L
+    rem = T - nfull * L
+    seg = kern._make_seg_fn(L)
+    seg_rem = kern._make_seg_fn(rem) if rem else None
+    B = kern.B
+    rows_per_seg = L // B
+    n_ctrl = len(kern.ctrl_order)
+
+    def run(carry, x32, ctrl):
+        x64 = x32.astype(jnp.float64)
+        ys = []
+        if nfull:
+            xin = x64[:, : nfull * L].reshape(nch, nfull, L).transpose(1, 0, 2)
+            cin = ctrl[: nfull * rows_per_seg].reshape(nfull, rows_per_seg, n_ctrl)
+            carry2, yseg = jax.lax.scan(seg, carry, (xin, cin))
+        else:
+            carry2 = carry
+        if rem:
+            carry2, y_r = seg_rem(
+                carry2, (x64[:, nfull * L:], ctrl[nfull * rows_per_seg:]))
+        if nfull:
+            ys.append(yseg.transpose(1, 0, 2).reshape(nch, nfull * L))
+        if rem:
+            ys.append(y_r)
+        y = jnp.concatenate(ys, axis=1) if len(ys) > 1 else ys[0]
+        return y.astype(jnp.float32), carry2
+
+    return run
+
+
+def render_batch(program: PluginProgram, x_files: np.ndarray,
+                 srate: float = 48000.0, mesh=None, **kw):
+    return BatchRenderer(program, srate=srate, **kw).render_files(
+        x_files, mesh=mesh)
+
+
+def catalog_batch_render(catalog_root: str, x: np.ndarray,
+                         srate: float = 48000.0, only: str = "",
+                         segment_len: int = 1 << 16):
+    """Render the same input through every vectorizable catalog plugin;
+    returns {slug: device audio} plus the skip map — the 'whole catalog on
+    one chip' configuration."""
+    from ..catalog import discover, select
+
+    outs = {}
+    skipped = {}
+    specs = select(discover(catalog_root), only)
+    for spec in specs:
+        if spec.plugin_type != "jsfx":
+            skipped[spec.slug] = "faust (use models registry)"
+            continue
+        prog = spec.load_program()
+        nch = max(1, prog.io_channels["process"])
+        xf = x[None, :nch] if x.shape[0] >= nch else np.broadcast_to(
+            x[None, :1], (1, nch, x.shape[1]))
+        try:
+            r = BatchRenderer(prog, srate=srate, segment_len=segment_len)
+        except SpecializeError as exc:
+            skipped[spec.slug] = str(exc)
+            continue
+        outs[spec.slug] = r.render_files(np.ascontiguousarray(xf, np.float32))
+    return outs, skipped
