@@ -186,6 +186,48 @@ def cmd_bench(args) -> int:
     return 0
 
 
+NEW_PLUGIN_TEMPLATE = """\
+desc:{name}
+
+slider1:50<0,100,1>Amount
+
+@init
+g = 0;
+
+@slider
+g = slider1 / 100;
+
+@sample
+spl0 *= g;
+spl1 *= g;
+"""
+
+
+def cmd_new_plugin(args) -> int:
+    """Scaffold a catalog leaf (ref: scripts/new_plugin.py)."""
+    import json as _json
+
+    root = Path(args.catalog) / "plugins" / args.category / args.key
+    if root.exists():
+        print(f"{root} already exists", file=sys.stderr)
+        return 2
+    (root / "src").mkdir(parents=True)
+    code = (args.key.upper() + "1111")[:4]
+    (root / "plugin.json").write_text(_json.dumps({
+        "name": args.name or args.key,
+        "slug": args.key,
+        "pluginCode": code,
+        "pluginType": "jsfx",
+    }, indent=2) + "\n")
+    (root / "README.md").write_text(f"# {args.name or args.key}\n\n"
+                                    f"Describe the plugin here; this file "
+                                    f"is the embedded '?' help panel.\n")
+    (root / "src" / f"{args.key}.jsfx").write_text(
+        NEW_PLUGIN_TEMPLATE.format(name=args.name or args.key))
+    print(f"scaffolded {root}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="zorak-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -227,6 +269,14 @@ def main(argv=None) -> int:
     p.add_argument("--srate", type=float, default=48000.0)
     p.add_argument("--json", action="store_true")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("new-plugin")
+    p.add_argument("--catalog", required=True,
+                   help="catalog root to scaffold into (must be writable)")
+    p.add_argument("--category", required=True)
+    p.add_argument("--key", required=True)
+    p.add_argument("--name", default="")
+    p.set_defaults(fn=cmd_new_plugin)
 
     args = ap.parse_args(argv)
     return args.fn(args)

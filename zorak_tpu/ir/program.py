@@ -19,8 +19,12 @@ from . import analyses as A
 from .funcsl import extract_function_defs, specialize_user_functions
 from .symbols import collect_user_vars
 
-# Sections the DSP engines compile; @gfx/@serialize are host/UI concerns.
+# Sections the DSP engines compile. @serialize is compiled for the golden
+# executors only (the reference AOT likewise leaves it to the shadow VM,
+# ref: dsp_jsfx_aot.py _OPT_DEBUG_SECTION_ORDER); @gfx is a UI concern
+# analyzed separately (ir/gfxsync.py).
 DSP_SECTIONS = ("init", "slider", "block", "sample")
+SHADOW_SECTIONS = DSP_SECTIONS + ("serialize",)
 
 STRING_HANDLE_BASE = 1 << 40  # opaque string-literal handles (ref: dsp_jsfx_aot.py:3694)
 
@@ -86,7 +90,7 @@ def compile_plugin_source(text: str, path: Optional[Path] = None) -> PluginProgr
 
     raw_sections = split_sections(text)
     programs: Dict[str, List[Node]] = {}
-    for sec in DSP_SECTIONS:
+    for sec in SHADOW_SECTIONS:
         if sec in raw_sections:
             body, first_line = raw_sections[sec]
             programs[sec] = parse_section(body, first_line=first_line)
@@ -95,7 +99,8 @@ def compile_plugin_source(text: str, path: Optional[Path] = None) -> PluginProgr
 
     fn_defs, programs = extract_function_defs(programs)
     programs, fn_defs = specialize_user_functions(programs, fn_defs)
-    A.validate_builtin_sections(programs)
+    A.validate_builtin_sections({k: v for k, v in programs.items()
+                                 if k in DSP_SECTIONS})
 
     user_vars = collect_user_vars(programs, fn_defs)
 

@@ -1011,7 +1011,7 @@ class ShadowPlugin:
             _compile_callable(program, ns, _py_fn_name(spec_name),
                               proto.params, [proto.body], return_last=True)
         self._sections: Dict[str, Callable] = {}
-        for sec in ("init", "slider", "block", "sample"):
+        for sec in ("init", "slider", "block", "sample", "serialize"):
             self._sections[sec] = _compile_callable(
                 program, ns, f"jsfx_{sec}", (), program.sections.get(sec, []),
                 return_last=False)
@@ -1031,6 +1031,12 @@ class ShadowPlugin:
 
     def run_sample(self) -> None:
         self._sections["sample"](self.state)
+
+    def run_serialize(self) -> None:
+        """@serialize runs in the golden executor only (host-side state
+        persistence hook, mirroring the reference's shadow-VM-only
+        compilation of this section)."""
+        self._sections["serialize"](self.state)
 
     # -- host-block driver (ref: dsp_jsfx_aot.py:5713-5905) ------------------
 
