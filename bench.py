@@ -97,6 +97,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             result["err"] = str(exc)
 
+    import os
     import threading
     th = threading.Thread(target=fetch, daemon=True)
     th.start()
@@ -109,7 +110,10 @@ def main() -> int:
         log("audio stats fetch timed out (tunnel D2H); compute validated "
             "separately by the null-test suite")
         emit(best, {"engine": "tpu-vector", "audio_ok": None, "runs": runs})
-    return 0
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # a stuck D2H fetch thread must not abort interpreter teardown
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -325,6 +325,8 @@ class _SymExec:
         self.read_cells: Set[int] = set()
         self.order = 0
         self.depth = 0
+        self.rand_slots = 0
+        self._branch_depth = 0
         self.L_hint = segment_len_hint
 
         for c in range(nch):
@@ -521,6 +523,7 @@ class _SymExec:
 
         # run each branch with its OWN write-set so the merge below only
         # touches variables the branch actually assigned
+        self._branch_depth += 1
         self.writes = set()
         tval = then_fn() if then_fn else CV(0.0)
         then_env, then_writes = self.env, self.writes
@@ -534,6 +537,7 @@ class _SymExec:
         if self.ring_writes != base_rings:
             raise SpecializeError("ring write inside data-dependent branch")
 
+        self._branch_depth -= 1
         merged = dict(base_env)
         cnode = self._node(cond)
         for key in then_writes | else_writes:
@@ -756,6 +760,31 @@ class _SymExec:
             return self.binop("*", a, a)
         if fn in _SC_UNARY:
             return self.call_math(fn, [self.eval(n.args[0], scope)])
+        if fn == "rand":
+            if len(n.args) > 1:
+                raise SpecializeError("rand expects 0 or 1 args")
+            if self._branch_depth > 0:
+                raise SpecializeError(
+                    "rand() inside a data-dependent branch (draw count "
+                    "would diverge from the golden sequence)")
+            slot = self.rand_slots
+            self.rand_slots += 1
+            u = TS(GNode("rand", meta={"slot": slot}))
+            if n.args:
+                limit = self.eval(n.args[0], scope)
+            else:
+                limit = CV(1.0)
+            top = self.call_math("floor", [limit])
+            if isinstance(top, CV):
+                tv = top.v
+                top = CV(tv if tv >= 1.0 else 1.0)
+            else:
+                ge = self.binop(">=", top, CV(1.0))
+                top = TS(GNode("select",
+                               args=(self._node(ge), self._node(top), 1.0)))
+            scaled = self.binop("*", u, CV(1.0 / 4294967295.0))
+            return self.binop("*", scaled, top)
+
         if fn == "__memtop":
             return CV(float(self.P.memtop))
         if fn == "freembuf":
@@ -1011,6 +1040,15 @@ class SpecializedSampleKernel:
         sym = self._stable_symexec()
         self._plan(sym)
         self.ctrl_order = sorted(sym.ctrl_nodes.keys(), key=repr)
+        self.n_rand = sym.rand_slots
+        if self.n_rand and self.has_block:
+            for stmt in program.sections.get("block", []):
+                for nd in walk(stmt):
+                    if isinstance(nd, CallExpr) and nd.func == "rand":
+                        raise SpecializeError(
+                            "rand() in both @block and @sample — draw "
+                            "interleaving not reproducible")
+        self._rng_state = None
         self._traj_plugin = None
         self.last_control_state = None
         self._jax = jax
@@ -1298,7 +1336,7 @@ class SpecializedSampleKernel:
         def seg(carry, xs):
             import jax
 
-            xseg, ctrlseg = xs
+            xseg, ctrlseg, randseg = xs
             svec, rings = carry
             scalars = _VecView(svec, scalar_index)
             t64 = jnp.arange(L, dtype=jnp.int64)
@@ -1324,6 +1362,8 @@ class SpecializedSampleKernel:
                 elif x.kind == "ctrl":
                     col = ctrlseg[:, ctrl_index[x.meta["key"]]]
                     val = jnp.repeat(col, B)[:L]
+                elif x.kind == "rand":
+                    val = randseg[:, x.meta["slot"]]
                 elif x.kind == "prev":
                     val = prev_of(x.meta["key"])
                 elif x.kind == "ind":
@@ -1434,7 +1474,8 @@ class SpecializedSampleKernel:
                                 "dynamic delay index driven by a sequential "
                                 "recurrence group")
                         r = False
-                    elif x.kind in ("in", "ind", "ringidx", "ringref", "ctrl"):
+                    elif x.kind in ("in", "ind", "ringidx", "ringref",
+                                    "ctrl", "rand"):
                         r = False
                     else:
                         r = any(is_internal(a) for a in x.args)
@@ -1678,20 +1719,23 @@ class SpecializedSampleKernel:
         rows_per_seg = L // B
         rem_rows = -(-rem // B) if rem else 0
         n_ctrl = len(self.ctrl_order)
+        n_rand = self.n_rand
 
-        def run(carry, x32, ctrl):
+        def run(carry, x32, ctrl, rand):
             x64 = x32.astype(jnp.float64)
             ys = []
             if nfull:
                 xin = x64[:, : nfull * L].reshape(nch, nfull, L).transpose(1, 0, 2)
                 cin = ctrl[: nfull * rows_per_seg].reshape(nfull, rows_per_seg,
                                                            n_ctrl)
-                carry2, yseg = jax.lax.scan(seg, carry, (xin, cin))
+                rin = rand[: nfull * L].reshape(nfull, L, n_rand)
+                carry2, yseg = jax.lax.scan(seg, carry, (xin, cin, rin))
             else:
                 carry2 = carry
             if rem:
                 carry2, y_r = seg_rem(
-                    carry2, (x64[:, nfull * L:], ctrl[nfull * rows_per_seg:]))
+                    carry2, (x64[:, nfull * L:], ctrl[nfull * rows_per_seg:],
+                             rand[nfull * L:]))
             if nfull:
                 ys.append(yseg.transpose(1, 0, 2).reshape(nch, nfull * L))
             if rem:
@@ -1722,8 +1766,22 @@ class SpecializedSampleKernel:
         else:
             rows = n_full_blocks + (1 if rem_block else 0)
             ctrl = np.zeros((rows, len(self.ctrl_order)), dtype=np.float64)
+        rand = self._rand_streams(T, reset=(carry is None))
         return self._render_fn(T, L)(carry,
-                                     np.ascontiguousarray(x, np.float32), ctrl)
+                                     np.ascontiguousarray(x, np.float32),
+                                     ctrl, rand)
+
+    def _rand_streams(self, T: int, reset: bool) -> np.ndarray:
+        """Pregenerate the exact MT19937 draw matrix [T, n_rand] (f64 u32
+        values), continuing the per-instance generator state."""
+        if self.n_rand == 0:
+            return np.zeros((T, 0), dtype=np.float64)
+        from ..semantics import mt19937np as MT
+
+        if reset or self._rng_state is None:
+            self._rng_state = MT.eelrng_state_tuple(self.snap.rng)
+        draws, self._rng_state = MT.generate(T * self.n_rand, self._rng_state)
+        return draws.astype(np.float64).reshape(T, self.n_rand)
 
     def render(self, x: np.ndarray, carry=None):
         """x: float32 [nch, T].  Returns (y float32 np [nch, T], final_carry)."""
@@ -1732,6 +1790,10 @@ class SpecializedSampleKernel:
 
     def writeback(self, carry, state) -> None:
         """Flush final carry into a ShadowState (for state parity checks)."""
+        if self.n_rand and self._rng_state is not None:
+            from ..semantics import mt19937np as MT
+
+            MT.restore_eelrng(state.rng, self._rng_state)
         if self.last_control_state is not None:
             ts = self.last_control_state
             state.V.update(ts.V)

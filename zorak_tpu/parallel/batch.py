@@ -62,7 +62,7 @@ class BatchRenderer:
                 kern._render_fn, "__wrapped__") else None
             # use the raw (unjitted) pipeline so vmap sees one function
             raw = _raw_render(kern, T, L)
-            batched = jax.vmap(raw, in_axes=(0, 0, None))
+            batched = jax.vmap(raw, in_axes=(0, 0, None, None))
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -72,7 +72,7 @@ class BatchRenderer:
                         jax.tree.map(lambda _: NamedSharding(mesh, P("files")),
                                      kern.initial_carry()),
                         NamedSharding(mesh, P("files")),
-                        None),
+                        None, None),
                     out_shardings=(NamedSharding(mesh, P("files")),
                                    jax.tree.map(
                                        lambda _: NamedSharding(mesh, P("files")),
@@ -95,7 +95,9 @@ class BatchRenderer:
             rows = n_full_blocks + (1 if rem_block else 0)
             ctrl = np.zeros((rows, len(kern.ctrl_order)), dtype=np.float64)
 
-        y, _ = fn(carry, np.ascontiguousarray(x, np.float32), jnp.asarray(ctrl))
+        rand = kern._rand_streams(T, reset=True)
+        y, _ = fn(carry, np.ascontiguousarray(x, np.float32),
+                  jnp.asarray(ctrl), jnp.asarray(rand))
         return y
 
 
@@ -113,18 +115,22 @@ def _raw_render(kern, T: int, L: int):
     rows_per_seg = L // B
     n_ctrl = len(kern.ctrl_order)
 
-    def run(carry, x32, ctrl):
+    n_rand = kern.n_rand
+
+    def run(carry, x32, ctrl, rand):
         x64 = x32.astype(jnp.float64)
         ys = []
         if nfull:
             xin = x64[:, : nfull * L].reshape(nch, nfull, L).transpose(1, 0, 2)
             cin = ctrl[: nfull * rows_per_seg].reshape(nfull, rows_per_seg, n_ctrl)
-            carry2, yseg = jax.lax.scan(seg, carry, (xin, cin))
+            rin = rand[: nfull * L].reshape(nfull, L, n_rand)
+            carry2, yseg = jax.lax.scan(seg, carry, (xin, cin, rin))
         else:
             carry2 = carry
         if rem:
             carry2, y_r = seg_rem(
-                carry2, (x64[:, nfull * L:], ctrl[nfull * rows_per_seg:]))
+                carry2, (x64[:, nfull * L:], ctrl[nfull * rows_per_seg:],
+                         rand[nfull * L:]))
         if nfull:
             ys.append(yseg.transpose(1, 0, 2).reshape(nch, nfull * L))
         if rem:

@@ -63,10 +63,11 @@ def dump_stages(kernel, out_dir: str | Path,
     x = np.zeros((kernel.nch, L), dtype=np.float64)
     rows = -(-L // kernel.B)
     ctrl = np.zeros((rows, len(kernel.ctrl_order)), dtype=np.float64)
-    jaxpr = jax.make_jaxpr(seg)(carry, (x, ctrl))
+    rand = np.zeros((L, kernel.n_rand), dtype=np.float64)
+    jaxpr = jax.make_jaxpr(seg)(carry, (x, ctrl, rand))
     put("04_jaxpr.txt", str(jaxpr))
 
-    lowered = jax.jit(seg).lower(carry, (x, ctrl))
+    lowered = jax.jit(seg).lower(carry, (x, ctrl, rand))
     put("05_stablehlo.txt", lowered.as_text())
     try:
         put("06_compiled_hlo.txt", lowered.compile().as_text())
