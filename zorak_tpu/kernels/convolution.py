@@ -1,0 +1,70 @@
+"""Convolution kernels: direct FIR (conv/MXU) and partitioned FFT
+convolution for long impulse responses.
+
+The TPU-native form of PsychoConvolver's partitioned engine (ref:
+plugins/Spatialization/PsychoConvolver/src/PsychoConvolver.jsfx:288-401 —
+per-block fft_real + convolve_c accumulation over partitions): all
+partitions and all frames multiply-accumulate as ONE batched complex
+product (an einsum the MXU can chew on), then overlap-add.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+F64 = jnp.float64
+
+
+def fir_conv(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
+    """Causal direct FIR via XLA conv: y[t] = sum_k taps[k] x[t-k].
+
+    x: [..., T]; taps: [K]. Right choice for K up to a few thousand."""
+    taps = jnp.asarray(taps, F64)
+    k = taps.shape[-1]
+    lead = x.shape[:-1]
+    xf = x.reshape((-1, 1, x.shape[-1])).astype(F64)
+    w = taps[::-1].reshape((1, 1, k))
+    y = jax.lax.conv_general_dilated(xf, w, window_strides=(1,),
+                                     padding=[(k - 1, 0)])
+    return y.reshape(lead + (x.shape[-1],))
+
+
+@partial(jax.jit, static_argnames=("part_size",))
+def partitioned_convolve(x: jnp.ndarray, ir: jnp.ndarray,
+                         part_size: int = 2048) -> jnp.ndarray:
+    """Uniform partitioned convolution (overlap-save per partition).
+
+    x: [T] input; ir: [K] impulse response. Output length T (causal,
+    truncated like a realtime convolver). part_size must be a power of 2.
+
+    Frequency-domain MAC across partitions is one einsum over
+    [frames, parts, bins] x [parts, bins] — batched work XLA maps well.
+    """
+    B = part_size
+    N = 2 * B
+    x = jnp.asarray(x, F64)
+    ir = jnp.asarray(ir, F64)
+    T = x.shape[-1]
+    k = ir.shape[-1]
+    n_parts = max(1, -(-k // B))
+    ir_p = jnp.pad(ir, (0, n_parts * B - k)).reshape(n_parts, B)
+    H = jnp.fft.rfft(ir_p, N, axis=-1)  # [parts, bins]
+
+    n_frames = -(-T // B)
+    xp = jnp.pad(x, (B, n_frames * B - T))  # leading history block
+    # frame f covers input samples [f*B - B, f*B + B) (overlap-save)
+    idx = jnp.arange(n_frames)[:, None] * B + jnp.arange(N)[None, :]
+    X = jnp.fft.rfft(xp[idx], axis=-1)  # [frames, bins]
+
+    # delay-line of spectra: output frame f accumulates X[f - p] * H[p]
+    frames_i = jnp.arange(n_frames)[:, None]
+    parts_i = jnp.arange(n_parts)[None, :]
+    src = frames_i - parts_i  # [frames, parts]
+    valid = src >= 0
+    Xd = jnp.where(valid[..., None], X[jnp.clip(src, 0)], 0.0)  # [f, p, bins]
+    Y = jnp.einsum("fpb,pb->fb", Xd, H)
+    y = jnp.fft.irfft(Y, N, axis=-1)[:, B:]  # overlap-save keeps the tail half
+    return y.reshape(-1)[:T]

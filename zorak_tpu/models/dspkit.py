@@ -106,6 +106,28 @@ def switching_onepole(x, up_pole, down_pole, z0=0.0):
     return jnp.moveaxis(y, 0, -1)
 
 
+_PALLAS_OK: dict = {}
+
+
+def switching_onepole_fast(x, up_pole, dn_pole, z0=0.0):
+    """f32 fast path: tries the Pallas VMEM-resident sequential kernel
+    (kernels/pallas_scan.py), falling back to lax.scan when Mosaic is
+    unavailable on the current backend (some dev tunnels can't compile
+    Pallas kernels; the result is identical either way at f32)."""
+    key = jax.default_backend()
+    if _PALLAS_OK.get(key, True):
+        try:
+            from ..kernels.pallas_scan import switching_onepole_pallas
+
+            y = switching_onepole_pallas(jnp.asarray(x, jnp.float32),
+                                         up_pole, dn_pole, z0)
+            _PALLAS_OK[key] = True
+            return y.astype(jnp.asarray(x).dtype)
+        except Exception:  # noqa: BLE001 — backend capability probe
+            _PALLAS_OK[key] = False
+    return switching_onepole(x, up_pole, dn_pole, z0)
+
+
 def amp_follower_ar(x, att_sec, rel_sec, srate, z0=0.0):
     """Faust an.amp_follower_ar: abs + attack/release switching one-pole."""
     up = jnp.exp(-1.0 / (srate * jnp.maximum(att_sec, 1e-9)))
