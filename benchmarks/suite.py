@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""Multi-config benchmark suite (BASELINE.json configs).
+
+Prints one JSON line per config to stdout; progress to stderr.
+Run on the TPU: `python benchmarks/suite.py [--seconds 60]`.
+
+Configs:
+  1. ddt          — DDT dynamics, 60s 48kHz stereo offline render (RTx)
+  2. stft         — 2048-pt STFT overlap-add bin processing via XLA FFT
+  3. denoiser     — spectral gate restoration (kernels.stft.spectral_gate)
+  4. convolution  — partitioned FIR convolution, 2s IR (131072 taps)
+  5. catalog      — every vectorizable catalog plugin over one input
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+T0 = time.time()
+
+
+def log(msg):
+    print(f"[suite {time.time() - T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def emit(name, rtx, extra=None):
+    out = {"metric": f"{name}_rtx", "value": round(rtx, 1),
+           "unit": "x_realtime_48k"}
+    out.update(extra or {})
+    print(json.dumps(out), flush=True)
+
+
+def timed_rtx(fn, audio_seconds, warmup=1, runs=3):
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn())
+    best = 0.0
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        best = max(best, audio_seconds / (time.perf_counter() - t0))
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=60.0)
+    ap.add_argument("--catalog", default="/root/reference")
+    ap.add_argument("--configs", default="ddt,stft,denoiser,convolution,catalog")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    secs = args.seconds
+    srate = 48000.0
+    n = int(secs * srate)
+    rng = np.random.RandomState(11)
+    configs = set(args.configs.split(","))
+
+    if "ddt" in configs:
+        from zorak_tpu.ir import load_plugin_file
+        from zorak_tpu.lowering import specialize_sample_kernel
+        from zorak_tpu.verify import make_initialized_shadow
+
+        seg = 1 << 17
+        nseg = max(1, n // seg)
+        prog = load_plugin_file(Path(args.catalog) /
+                                "plugins/Spatialization/DDT/src/DDT.jsfx")
+        kern = specialize_sample_kernel(
+            prog, make_initialized_shadow(prog, srate).state, 2,
+            segment_len=seg)
+        x = (rng.randn(2, seg * nseg) * 0.25).astype(np.float32)
+        log("ddt: compiling")
+        rtx = timed_rtx(lambda: kern.render_device(x)[0], seg * nseg / srate)
+        emit("ddt_offline_render", rtx, {"vs_baseline": round(rtx / 1000.0, 3)})
+
+    if "stft" in configs:
+        from zorak_tpu.kernels.stft import stft_process
+
+        x = jnp.asarray(rng.randn(n) * 0.25, jnp.float64)
+        tilt = None
+
+        @jax.jit
+        def run(a):
+            def bins(spec):
+                w = jnp.linspace(0.5, 1.5, spec.shape[-1])
+                return spec * w
+            return stft_process(a, bins, size=2048, hop=512)
+
+        log("stft: compiling")
+        rtx = timed_rtx(lambda: run(x), secs)
+        emit("stft2048_overlap_add", rtx)
+
+    if "denoiser" in configs:
+        from zorak_tpu.kernels.stft import spectral_gate
+
+        x = jnp.asarray(rng.randn(n) * 0.02, jnp.float64)
+        log("denoiser: compiling")
+        rtx = timed_rtx(lambda: spectral_gate(x, size=2048), secs)
+        emit("restoration_spectral_gate", rtx)
+
+    if "convolution" in configs:
+        from zorak_tpu.kernels.convolution import partitioned_convolve
+
+        x = jnp.asarray(rng.randn(n) * 0.25, jnp.float64)
+        k = 131072  # ~2.7s IR
+        ir = jnp.asarray(rng.randn(k) * np.exp(-np.arange(k) / (k / 5)),
+                         jnp.float64)
+        log("convolution: compiling")
+        rtx = timed_rtx(lambda: partitioned_convolve(x, ir, part_size=2048),
+                        secs)
+        emit("partitioned_convolution_131072tap", rtx)
+
+    if "catalog" in configs:
+        from zorak_tpu.parallel import catalog_batch_render
+
+        short = int(min(secs, 10.0) * srate)
+        x = (rng.randn(2, short) * 0.25).astype(np.float32)
+        log("catalog: building kernels")
+        t0 = time.perf_counter()
+        outs, skipped = catalog_batch_render(args.catalog, x,
+                                             segment_len=1 << 16)
+        jax.block_until_ready(list(outs.values()))
+        # timed pass (kernels compiled)
+        t0 = time.perf_counter()
+        outs, _ = catalog_batch_render(args.catalog, x, segment_len=1 << 16)
+        jax.block_until_ready(list(outs.values()))
+        wall = time.perf_counter() - t0
+        total_audio = len(outs) * short / srate
+        emit("catalog_sweep", total_audio / wall,
+             {"plugins_vectorized": len(outs), "plugins_fallback": len(skipped)})
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

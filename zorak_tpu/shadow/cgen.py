@@ -149,10 +149,15 @@ static inline int64_t z_addr(ZState* S, double base, double idx) {
     return a;
 }
 static inline double z_mget(ZState* S, double base, double idx) {
-    return S->mem[z_addr(S, base, idx)];
+    /* sequence the address computation BEFORE loading S->mem: z_addr may
+       grow the heap through the host callback, which can move the buffer
+       (S->mem[z_addr(...)] has unspecified evaluation order in C) */
+    int64_t a = z_addr(S, base, idx);
+    return S->mem[a];
 }
 static inline double z_mset(ZState* S, double v, double base, double idx) {
-    S->mem[z_addr(S, base, idx)] = v;
+    int64_t a = z_addr(S, base, idx);
+    S->mem[a] = v;
     return v;
 }
 static inline double z_blob_addr(double x) {
