@@ -35,12 +35,14 @@ def stft(x: jnp.ndarray, size: int = 2048, hop: Optional[int] = None,
     if window is None:
         window = jnp.hanning(size).astype(F64)
     frames = _frame(x.astype(F64), size, hop) * window
-    return jnp.fft.rfft(frames, axis=-1), (size, hop, window, x.shape[-1])
+    # TPU has no f64 FFT; f32 transforms are well inside the audio epsilon
+    spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
+    return spec, (size, hop, window, x.shape[-1])
 
 
 def istft(spec: jnp.ndarray, meta) -> jnp.ndarray:
     size, hop, window, t_out = meta
-    frames = jnp.fft.irfft(spec, size, axis=-1) * window
+    frames = jnp.fft.irfft(spec, size, axis=-1).astype(F64) * window
     n_frames = frames.shape[0]
     total = (n_frames - 1) * hop + size
     y = jnp.zeros(total, dtype=F64)
