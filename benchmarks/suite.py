@@ -83,12 +83,14 @@ def main():
         from zorak_tpu.kernels.stft import stft_process
 
         x = jnp.asarray(rng.randn(n) * 0.25, jnp.float64)
-        tilt = None
 
         @jax.jit
         def run(a):
             def bins(spec):
-                w = jnp.linspace(0.5, 1.5, spec.shape[-1])
+                # f32 weights: an f64 gain would promote the spectrum to
+                # c128, which the TPU f64-emulation pass can't convert
+                w = jnp.linspace(0.5, 1.5, spec.shape[-1],
+                                 dtype=jnp.float32)
                 return spec * w
             return stft_process(a, bins, size=2048, hop=512)
 

@@ -66,5 +66,6 @@ def partitioned_convolve(x: jnp.ndarray, ir: jnp.ndarray,
     valid = src >= 0
     Xd = jnp.where(valid[..., None], X[jnp.clip(src, 0)], 0.0)  # [f, p, bins]
     Y = jnp.einsum("fpb,pb->fb", Xd, H)
-    y = jnp.fft.irfft(Y, N, axis=-1).astype(F64)[:, B:]  # overlap-save tail half
+    y = jnp.fft.irfft(Y.astype(jnp.complex64), N,
+                      axis=-1).astype(F64)[:, B:]  # overlap-save tail half
     return y.reshape(-1)[:T]

@@ -42,7 +42,10 @@ def stft(x: jnp.ndarray, size: int = 2048, hop: Optional[int] = None,
 
 def istft(spec: jnp.ndarray, meta) -> jnp.ndarray:
     size, hop, window, t_out = meta
-    frames = jnp.fft.irfft(spec, size, axis=-1).astype(F64) * window
+    # bin_fn may promote c64 -> c128 (e.g. multiplying by an f64 gain);
+    # TPU FFT only takes c64, so normalize at the transform boundary
+    frames = jnp.fft.irfft(spec.astype(jnp.complex64), size,
+                           axis=-1).astype(F64) * window
     n_frames = frames.shape[0]
     total = (n_frames - 1) * hop + size
     y = jnp.zeros(total, dtype=F64)
@@ -85,6 +88,8 @@ def spectral_gate(x: jnp.ndarray, threshold_db: float = -50.0,
         gain = jnp.clip((over - 1.0) / 2.0, 0.0, 1.0)
         min_gain = 10.0 ** (floor_db / 20.0)
         g = min_gain + (1.0 - min_gain) * gain * gain * (3.0 - 2.0 * gain)
-        return spec * g
+        # keep the spectrum c64: an f64 gain would promote to c128, and
+        # the TPU f64-emulation pass can't expand a c64->c128 convert
+        return spec * g.astype(jnp.float32)
 
     return stft_process(x, gate, size, hop)
