@@ -454,15 +454,24 @@ class _SymExec:
 
     @staticmethod
     def _match_dynaddr(node: GNode):
-        """origin + (ts & mask) addressing -> (origin, mod, maskidx_node)."""
-        if node.kind == "maskidx":
-            return (0, node.meta["mod"], node)
-        if node.kind == "bin" and node.op == "+":
+        """origin + (ts & mask) addressing -> (origin, mod, maskidx_node).
+
+        Constant adds may nest (base vars fold one CV at a time, e.g.
+        `bX + ((wofs - d) & MASK)` then the implicit +0 of addressing),
+        so peel them recursively while accumulating the origin."""
+        origin = 0
+        while isinstance(node, GNode) and node.kind == "bin" and node.op == "+":
             a, b = node.args
-            for c, n in ((a, b), (b, a)):
-                if isinstance(c, float) and _is_int(c) and c >= 0.0 \
-                        and isinstance(n, GNode) and n.kind == "maskidx":
-                    return (int(c), n.meta["mod"], n)
+            if isinstance(a, float) and _is_int(a):
+                origin += int(a)
+                node = b
+            elif isinstance(b, float) and _is_int(b):
+                origin += int(b)
+                node = a
+            else:
+                return None
+        if isinstance(node, GNode) and node.kind == "maskidx" and origin >= 0:
+            return (origin, node.meta["mod"], node)
         return None
 
     def mem_read(self, base: SymVal, idx: SymVal) -> SymVal:
