@@ -119,18 +119,21 @@ def main():
         emit("partitioned_convolution_131072tap", rtx)
 
     if "catalog" in configs:
-        from zorak_tpu.parallel import catalog_batch_render
+        from zorak_tpu.parallel import build_catalog_renderers, \
+            catalog_batch_render
 
         short = int(min(secs, 10.0) * srate)
         x = (rng.randn(2, short) * 0.25).astype(np.float32)
-        log("catalog: building kernels")
-        t0 = time.perf_counter()
-        outs, skipped = catalog_batch_render(args.catalog, x,
-                                             segment_len=1 << 16)
+        log("catalog: specializing kernels")
+        renderers, skipped = build_catalog_renderers(args.catalog,
+                                                     segment_len=1 << 16)
+        log("catalog: compiling (warmup render)")
+        outs, _ = catalog_batch_render(args.catalog, x, renderers=renderers)
         jax.block_until_ready(list(outs.values()))
-        # timed pass (kernels compiled)
+        # timed pass: kernels specialized AND compiled; render only
+        log("catalog: timed render")
         t0 = time.perf_counter()
-        outs, _ = catalog_batch_render(args.catalog, x, segment_len=1 << 16)
+        outs, _ = catalog_batch_render(args.catalog, x, renderers=renderers)
         jax.block_until_ready(list(outs.values()))
         wall = time.perf_counter() - t0
         total_audio = len(outs) * short / srate

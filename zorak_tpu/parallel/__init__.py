@@ -1,1 +1,2 @@
-from .batch import BatchRenderer, render_batch, catalog_batch_render
+from .batch import (BatchRenderer, build_catalog_renderers,
+                    catalog_batch_render, render_batch)

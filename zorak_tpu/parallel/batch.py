@@ -147,29 +147,43 @@ def render_batch(program: PluginProgram, x_files: np.ndarray,
         x_files, mesh=mesh)
 
 
-def catalog_batch_render(catalog_root: str, x: np.ndarray,
-                         srate: float = 48000.0, only: str = "",
-                         segment_len: int = 1 << 16):
-    """Render the same input through every vectorizable catalog plugin;
-    returns {slug: device audio} plus the skip map — the 'whole catalog on
-    one chip' configuration."""
+def build_catalog_renderers(catalog_root: str, srate: float = 48000.0,
+                            only: str = "", segment_len: int = 1 << 16):
+    """Specialize every vectorizable catalog plugin once.
+
+    Returns ({slug: BatchRenderer}, {slug: fallback reason}) so callers
+    can render (and time) repeatedly without paying re-specialization."""
     from ..catalog import discover, select
 
-    outs = {}
-    skipped = {}
-    specs = select(discover(catalog_root), only)
-    for spec in specs:
+    renderers: Dict[str, BatchRenderer] = {}
+    skipped: Dict[str, str] = {}
+    for spec in select(discover(catalog_root), only):
         if spec.plugin_type != "jsfx":
             skipped[spec.slug] = "faust (use models registry)"
             continue
-        prog = spec.load_program()
-        nch = max(1, prog.io_channels["process"])
-        xf = x[None, :nch] if x.shape[0] >= nch else np.broadcast_to(
-            x[None, :1], (1, nch, x.shape[1]))
         try:
-            r = BatchRenderer(prog, srate=srate, segment_len=segment_len)
+            renderers[spec.slug] = BatchRenderer(
+                spec.load_program(), srate=srate, segment_len=segment_len)
         except SpecializeError as exc:
             skipped[spec.slug] = str(exc)
-            continue
-        outs[spec.slug] = r.render_files(np.ascontiguousarray(xf, np.float32))
+    return renderers, skipped
+
+
+def catalog_batch_render(catalog_root: str, x: np.ndarray,
+                         srate: float = 48000.0, only: str = "",
+                         segment_len: int = 1 << 16, renderers=None):
+    """Render the same input through every vectorizable catalog plugin;
+    returns {slug: device audio} plus the skip map — the 'whole catalog on
+    one chip' configuration.  Pass a prebuilt `renderers` map (from
+    build_catalog_renderers) to skip re-specialization."""
+    skipped: Dict[str, str] = {}
+    if renderers is None:
+        renderers, skipped = build_catalog_renderers(
+            catalog_root, srate=srate, only=only, segment_len=segment_len)
+    outs = {}
+    for slug, r in renderers.items():
+        nch = r.nch
+        xf = x[None, :nch] if x.shape[0] >= nch else np.broadcast_to(
+            x[None, :1], (1, nch, x.shape[1]))
+        outs[slug] = r.render_files(np.ascontiguousarray(xf, np.float32))
     return outs, skipped
