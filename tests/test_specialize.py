@@ -173,15 +173,74 @@ class TestBlockControlTrajectory:
             pytest.skip(f"ERBTilt not vectorizable yet: {exc}")
         assert rep.audio_passed, rep.summary()
 
-    def test_delay_feedback_into_scan_group_rejected(self):
-        # ring write fed by a nonlinear recurrence = delay-line feedback
+    def test_delay_feedforward_through_ring_supported(self):
+        # ring write fed by a nonlinear recurrence, read only toward the
+        # output: feed-forward, solvable (scan first, then the delay)
         src = ("@init\nMASK=255;\n"
-               "@sample\nz = z*z*0.5 + spl0;\nbuf[w & MASK] = z;\n"
+               "@sample\nz = z*z*0.5 + spl0*0.1;\nbuf[w & MASK] = z;\n"
                "spl0 = buf[(w-10) & MASK];\nw += 1;\n")
+        rep = null_test_plugin(compile_plugin_source(src),
+                               noise(1, 3000, scale=0.3))
+        assert rep.audio_passed, rep.summary()
+
+    def test_delay_feedback_into_scan_group_rejected(self):
+        # the recurrence consumes its own delayed output: true delay-line
+        # feedback through the ring — cannot be ordered vectorized
+        src = ("@init\nMASK=255;\n"
+               "@sample\nd = buf[(w-10) & MASK];\n"
+               "z = z*z*0.5 + spl0 + 0.3*d;\nbuf[w & MASK] = z;\n"
+               "spl0 = d;\nw += 1;\n")
         prog = compile_plugin_source(src)
         shadow = make_initialized_shadow(prog)
         with pytest.raises(SpecializeError):
             specialize_sample_kernel(prog, shadow.state, 1)
+
+
+class TestModRing:
+    """Wrapped (mod-M) cursor counters — the JSFX circular-buffer idiom
+    with a conditional reset instead of a pow2 mask (ref: SOMA.jsfx:550,
+    Roomalizer.jsfx:366, Alias.jsfx:106)."""
+
+    def test_nonpow2_wrapped_counter_delay(self):
+        src = ("@init\nM = 100;\n"
+               "@sample\nbuf[p] = spl0;\n"
+               "r = p - 37; r < 0 ? r += M;\n"
+               "spl0 = 0.5*spl0 + buf[r];\n"
+               "p += 1; p >= M ? p = 0;\n")
+        rep = null_test_plugin(compile_plugin_source(src), noise(1, 6000),
+                               segment_len=2048)
+        assert rep.audio_passed, rep.summary()
+
+    def test_wrap_by_subtract(self):
+        src = ("@init\nM = 77;\n"
+               "@sample\nbuf[p] = spl0;\n"
+               "r = p - 11; r < 0 ? r += M;\n"
+               "spl0 = buf[r];\n"
+               "p += 1; p >= M ? p -= M;\n")
+        rep = null_test_plugin(compile_plugin_source(src), noise(1, 5000),
+                               segment_len=1024)
+        assert rep.audio_passed, rep.summary()
+
+    def test_masked_update_counter(self):
+        # cursor advanced by re-masking instead of a conditional reset
+        src = ("@sample\nbuf[p] = spl0;\n"
+               "q = p - 5; q < 0 ? q += 8;\n"
+               "spl0 = buf[q];\n"
+               "p = (p + 1) & 7;\n")
+        rep = null_test_plugin(compile_plugin_source(src), noise(1, 4000),
+                               segment_len=512)
+        assert rep.audio_passed, rep.summary()
+
+    def test_slewed_dynamic_tap(self):
+        # DPT-style: audio-independent per-sample delay offset, pow2 ring
+        src = ("@init\nMASK = 1023;\n"
+               "@sample\nmem[w & MASK] = spl0;\n"
+               "d += (200 - d) * 0.001;\n"
+               "di = floor(d + 0.5);\n"
+               "spl0 = mem[(w - di) & MASK];\nw += 1;\n")
+        rep = null_test_plugin(compile_plugin_source(src), noise(1, 6000),
+                               segment_len=2048)
+        assert rep.audio_passed, rep.summary()
 
 
 class TestScanGroup:

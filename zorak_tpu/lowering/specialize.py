@@ -308,11 +308,15 @@ class _SymExec:
                  induction_vars: Dict[Any, int],
                  known_mem_cells: Set[int],
                  segment_len_hint: int,
-                 control_vars: Optional[Set[Any]] = None):
+                 control_vars: Optional[Set[Any]] = None,
+                 mod_inductions: Optional[Dict[Any, int]] = None):
         self.P = program
         self.snap = snapshot              # ShadowState after init/slider
         self.nch = nch
         self.inductions = induction_vars  # env key -> step (always 1 for ring use)
+        # wrapped counters: v = (v + 1) mod M each sample (either via
+        # `v >= M ? v = 0` or `v = (v+1) & mask`) -> env key -> modulus M
+        self.mod_inductions = mod_inductions or {}
         self.known_cells = known_mem_cells
         self.assigned = assigned_vars_of_sample(program)
         self.control_vars = control_vars or set()
@@ -355,8 +359,12 @@ class _SymExec:
     def read_key(self, key) -> SymVal:
         if key in self.env:
             return self.env[key]
-        if key in self.inductions:
-            val: SymVal = IndAff(key, 0)
+        if key in self.mod_inductions:
+            # the carried scalar is the wrapped cursor in [0, M); its value
+            # at sample t is (c0 + t) mod M — a ring position with offset 0
+            val: SymVal = RingIdx(key, 0, self.mod_inductions[key], 0)
+        elif key in self.inductions:
+            val = IndAff(key, 0)
         elif key in self.assigned or (key[0] == "mem" and key[1] in self.known_cells):
             node = self.prev_nodes.get(key)
             if node is None:
@@ -412,6 +420,13 @@ class _SymExec:
             m = b.v
             if _is_int(m) and int(m) > 0 and (int(m) + 1) & int(m) == 0:
                 return RingIdx(a.var, a.offset, int(m) + 1, 0)
+        if op == "&" and isinstance(a, RingIdx) and isinstance(b, CV):
+            # re-masking a wrapped position: (origin + pos) & (M-1) folds the
+            # origin into the mod-M offset (two's-complement & == mod for
+            # pow2, including negative origins)
+            m = b.v
+            if _is_int(m) and int(m) + 1 == a.mod and (int(m) + 1) & int(m) == 0:
+                return RingIdx(a.var, a.offset + a.origin, a.mod, 0)
         if op == "&" and isinstance(a, TS) and isinstance(b, CV):
             # time-varying value masked to a power-of-2 ring: tag it so
             # mem addressing can recognize dynamic ring/table indexing
@@ -454,8 +469,11 @@ class _SymExec:
 
     @staticmethod
     def _match_dynaddr(node: GNode):
-        """origin + (ts & mask) addressing -> (origin, mod, maskidx_node).
+        """origin + (bounded time-varying index) -> (origin, mod, idx_node).
 
+        The index is bounded either by a pow2 mask (maskidx) or by the
+        runtime-wrap idiom `select(X < 0, X + M, X)` (exact when the raw
+        index lies in [-M, M), which `cursor - clamp(delay, 0, M)` does).
         Constant adds may nest (base vars fold one CV at a time, e.g.
         `bX + ((wofs - d) & MASK)` then the implicit +0 of addressing),
         so peel them recursively while accumulating the origin."""
@@ -470,8 +488,22 @@ class _SymExec:
                 node = a
             else:
                 return None
-        if isinstance(node, GNode) and node.kind == "maskidx" and origin >= 0:
+        if not isinstance(node, GNode) or origin < 0:
+            return None
+        if node.kind == "maskidx":
             return (origin, node.meta["mod"], node)
+        if node.kind == "select":
+            cond, tv, ev = node.args
+            if isinstance(cond, GNode) and cond.kind == "bin" \
+                    and cond.op == "<" and cond.args[0] is ev \
+                    and cond.args[1] == 0.0 \
+                    and isinstance(tv, GNode) and tv.kind == "bin" \
+                    and tv.op == "+":
+                ta, tb = tv.args
+                for x_arg, m_arg in ((ta, tb), (tb, ta)):
+                    if x_arg is ev and isinstance(m_arg, float) \
+                            and _is_int(m_arg) and int(m_arg) >= 2:
+                        return (origin, int(m_arg), node)
         return None
 
     def mem_read(self, base: SymVal, idx: SymVal) -> SymVal:
@@ -480,6 +512,9 @@ class _SymExec:
             self.read_cells.add(int(addr.v))
             return self.read_key(("mem", int(addr.v)))
         if isinstance(addr, RingIdx):
+            if addr.origin < 0:
+                raise SpecializeError(
+                    "ring read at negative base (unnormalized wrap index?)")
             region = (addr.origin, addr.mod)
             self.order += 1
             # resolution against the region's write (delay, ordering, or
@@ -509,6 +544,9 @@ class _SymExec:
             self.write_key(("mem", a), val)
             return
         if isinstance(addr, RingIdx):
+            if addr.origin < 0:
+                raise SpecializeError(
+                    "ring write at negative base (unnormalized wrap index?)")
             region = (addr.origin, addr.mod)
             if region in self.ring_writes:
                 raise SpecializeError("multiple ring writes to one region per sample")
@@ -523,6 +561,40 @@ class _SymExec:
         self.written_cells.add(-1)
 
     # -- branch merging ------------------------------------------------------
+
+    @staticmethod
+    def _wrap_normalize(cnode, tv, ev) -> Optional[RingIdx]:
+        """Recognize conditional ring-wrap normalization idioms
+        (`r < 0 ? r += M` after a delay subtract; `v >= M ? v = 0` /
+        `v -= M` on a wrapped cursor) merging to an EXACT mod-M position.
+        Returns the normalized RingIdx or None."""
+        if not (isinstance(cnode, GNode) and cnode.kind == "bin"
+                and isinstance(ev, RingIdx)):
+            return None
+        x, lim = cnode.args
+        if not (isinstance(x, GNode) and x.kind == "ringidx"
+                and isinstance(lim, float)):
+            return None
+        m = x.meta
+        if (m["var"], m["offset"], m["mod"], m["origin"]) != \
+                (ev.var, ev.offset, ev.mod, ev.origin):
+            return None
+        M = ev.mod
+        if cnode.op == "<" and lim == 0.0 and -M <= ev.origin <= 0:
+            # raw value w + origin is in [-M, M): one +M wrap is exact
+            if isinstance(tv, RingIdx) and (tv.var, tv.offset, tv.mod) == \
+                    (ev.var, ev.offset, ev.mod) and tv.origin == ev.origin + M:
+                return RingIdx(ev.var, ev.offset + ev.origin, M, 0)
+        if cnode.op in (">=", ">") and 0 <= ev.origin <= M \
+                and lim == float(M if cnode.op == ">=" else M - 1):
+            # raw value w + origin is in [0, 2M): one -M wrap is exact;
+            # `= 0` matches only a unit-step cursor (wrap lands exactly on 0)
+            if isinstance(tv, CV) and tv.v == 0.0 and ev.origin == 1:
+                return RingIdx(ev.var, ev.offset + 1, M, 0)
+            if isinstance(tv, RingIdx) and (tv.var, tv.offset, tv.mod) == \
+                    (ev.var, ev.offset, ev.mod) and tv.origin == ev.origin - M:
+                return RingIdx(ev.var, ev.offset + ev.origin, M, 0)
+        return None
 
     def _merged_exec(self, cond: SymVal, then_fn, else_fn) -> SymVal:
         """Execute both branches on env copies, select-merge the writes."""
@@ -566,8 +638,19 @@ class _SymExec:
             if tv == ev:  # CV by value, TS by node identity
                 merged[key] = tv
             else:
-                merged[key] = TS(GNode("select",
-                                       args=(cnode, self._node(tv), self._node(ev))))
+                norm = self._wrap_normalize(cnode, tv, ev)
+                if norm is None and isinstance(cnode, GNode) \
+                        and cnode.kind == "call" and cnode.op == "not":
+                    # inverted condition (`r >= 0 ? : r += M` style): the
+                    # arms swap roles
+                    inner = cnode.args[0]
+                    norm = self._wrap_normalize(inner, ev, tv)
+                if norm is not None:
+                    merged[key] = norm
+                else:
+                    merged[key] = TS(GNode(
+                        "select",
+                        args=(cnode, self._node(tv), self._node(ev))))
         self.env = merged
         self.writes = base_writes | then_writes | else_writes
 
@@ -880,6 +963,56 @@ def _prev_deps(node: Union[GNode, float], cache: Dict[int, Set],
     return out
 
 
+def _match_mod_induction(node, key) -> Optional[int]:
+    """Detect a wrapped unit-step counter from the var's end-of-sample value
+    in a discovery pass (where the var reads back as prev(key)):
+
+        select(prev+1 >= M, 0,        prev+1)    v += 1; v >= M ? v = 0;
+        select(prev+1 >  M-1, 0,      prev+1)
+        select(prev+1 >= M, prev+1-M, prev+1)    v += 1; v >= M ? v -= M;
+        maskidx(prev+1)                          v = (v + 1) & (M - 1);
+
+    Returns the modulus M or None.  (Ref semantics: the JSFX circular-
+    buffer idiom, e.g. SOMA.jsfx:550-551, Roomalizer.jsfx:366-367,
+    Alias.jsfx:106.)"""
+    def is_prev_plus_1(x) -> bool:
+        if not (isinstance(x, GNode) and x.kind == "bin" and x.op == "+"):
+            return False
+        a, b = x.args
+        for p, c in ((a, b), (b, a)):
+            if isinstance(p, GNode) and p.kind == "prev" \
+                    and p.meta["key"] == key and c == 1.0:
+                return True
+        return False
+
+    if not isinstance(node, GNode):
+        return None
+    if node.kind == "maskidx" and is_prev_plus_1(node.args[0]):
+        return int(node.meta["mod"])
+    if node.kind != "select":
+        return None
+    cond, tv, ev = node.args
+    if not (is_prev_plus_1(ev) and isinstance(cond, GNode)
+            and cond.kind == "bin" and cond.args[0] is ev
+            and isinstance(cond.args[1], float) and _is_int(cond.args[1])):
+        return None
+    lim = int(cond.args[1])
+    if cond.op == ">=":
+        M = lim
+    elif cond.op == ">":
+        M = lim + 1
+    else:
+        return None
+    if M < 2:
+        return None
+    if tv == 0.0:
+        return M
+    if isinstance(tv, GNode) and tv.kind == "bin" and tv.op == "-" \
+            and tv.args[0] is ev and tv.args[1] == float(M):
+        return M
+    return None
+
+
 def _linearize(node: Union[GNode, float], key, cache: Dict[int, Set],
                ring_writes: Optional[Dict] = None):
     """Match node == A * prev(key) + B with A, B free of prev(key).
@@ -1067,19 +1200,22 @@ class SpecializedSampleKernel:
 
     def _stable_symexec(self) -> _SymExec:
         inductions: Dict[Any, int] = {}
+        mod_inductions: Dict[Any, int] = {}
         cells: Set[int] = set()
         sym = None
-        for _ in range(6):
+        for _ in range(8):
             sym = _SymExec(self.P, self.snap, self.nch, inductions, cells,
-                           self.B, control_vars=self.control_vars)
+                           self.B, control_vars=self.control_vars,
+                           mod_inductions=mod_inductions)
             sym.run(self.P.sections["sample"])
             new_ind = dict(inductions)
+            new_modind = dict(mod_inductions)
             cache: Dict[int, Set] = {}
             for key in sym.writes:
-                if key in inductions:
+                if key in inductions or key in mod_inductions:
                     continue
                 out = sym.env[key]
-                if isinstance(out, IndAff):
+                if isinstance(out, (IndAff, RingIdx)):
                     continue
                 node = out.node if isinstance(out, TS) else None
                 if node is None:
@@ -1091,6 +1227,12 @@ class SpecializedSampleKernel:
                     start = sym._state_value(key)
                     if _is_int(start):
                         new_ind[key] = 1
+                    continue
+                mod = _match_mod_induction(node, key)
+                if mod is not None:
+                    start = sym._state_value(key)
+                    if _is_int(start) and 0 <= start < mod:
+                        new_modind[key] = mod
             new_cells = {c for c in sym.written_cells if c >= 0}
             grew_ctrl = False
             if self.block_writes_mem:
@@ -1102,9 +1244,11 @@ class SpecializedSampleKernel:
                 if fresh:
                     self.control_vars |= fresh
                     grew_ctrl = True
-            if new_ind == inductions and new_cells <= cells and not grew_ctrl:
+            if new_ind == inductions and new_modind == mod_inductions \
+                    and new_cells <= cells and not grew_ctrl:
                 break
             inductions = new_ind
+            mod_inductions = new_modind
             cells = cells | new_cells
         assert sym is not None
         if -1 in sym.written_cells:
@@ -1207,51 +1351,25 @@ class SpecializedSampleKernel:
                               if node is not None else set())
 
         # strongly-connected components over cross-timestep dependencies:
-        # an SCC of size > 1 (or a non-linear self-loop) runs as an inner
-        # lax.scan; everything feeding it stays time-parallel
-        scc_group: Set[Any] = set()
+        # each SCC of size > 1 (and each non-linear self-loop) runs as its
+        # OWN inner lax.scan, in dependency order; everything between the
+        # scans stays time-parallel (SCCs of a dependency graph form a DAG,
+        # so no between-var absorption is needed)
         assigned = set(sym.writes)
         adj = {v: {w for w in dep_edges.get(v, ()) if w in assigned and w != v}
                for v in assigned}
-        for comp in _tarjan_sccs(adj):
-            if len(comp) > 1:
-                scc_group.update(comp)
+        group_sets: List[Set[Any]] = [set(c) for c in _tarjan_sccs(adj)
+                                      if len(c) > 1]
+        in_group: Set[Any] = set().union(*group_sets) if group_sets else set()
 
-        def _absorb_between(group: Set[Any]) -> None:
-            """All SCCs run as ONE merged lax.scan; any var lying on a path
-            both from and to the group would make that merged unit cyclic,
-            so it must execute inside the scan as well."""
-            if not group:
-                return
-            radj: Dict[Any, Set] = {v: set() for v in adj}
-            for v, ws in adj.items():
-                for w in ws:
-                    radj.setdefault(w, set()).add(v)
-
-            def reach(start, graph):
-                seen = set(start)
-                todo = list(start)
-                while todo:
-                    v = todo.pop()
-                    for w in graph.get(v, ()):
-                        if w not in seen:
-                            seen.add(w)
-                            todo.append(w)
-                return seen
-
-            needs = reach(group, adj)        # vars the group depends on
-            needed_by = reach(group, radj)   # vars depending on the group
-            group |= (needs & needed_by)
-
-        # pass A: nonlinear self-recurrences join the group, then absorb
-        # every var lying between group members
+        # pass A: nonlinear self-recurrences become singleton groups
         lin_cache: Dict[Any, Tuple] = {}
         for key in sym.writes:
             out = sym.env[key]
             if key in sym.inductions or not isinstance(out, TS):
                 continue
             deps = dep_edges[key]
-            if key in deps and key not in scc_group:
+            if key in deps and key not in in_group:
                 lin = _linearize(out.node, key, cache, sym.ring_writes)
                 ok = (lin is not None
                       and key not in _prev_deps(lin[0], cache, sym.ring_writes)
@@ -1259,8 +1377,9 @@ class SpecializedSampleKernel:
                 if ok:
                     lin_cache[key] = lin
                 else:
-                    scc_group.add(key)
-        _absorb_between(scc_group)
+                    group_sets.append({key})
+                    in_group.add(key)
+        scc_group = in_group
 
         # pass B: assign plans
         for key in sym.writes:
@@ -1268,6 +1387,16 @@ class SpecializedSampleKernel:
             if key in sym.inductions:
                 off = out.offset if isinstance(out, IndAff) else 0
                 plans[key] = _VarPlan("induction", step=1, out=off)
+                continue
+            if key in sym.mod_inductions:
+                M = sym.mod_inductions[key]
+                if not (isinstance(out, RingIdx) and out.var == key
+                        and out.origin == 0 and out.offset == 1
+                        and out.mod == M):
+                    raise SpecializeError(
+                        "wrapped-counter final value inconsistent with its "
+                        "classification")
+                plans[key] = _VarPlan("modind", step=1, out=1, A=M)
                 continue
             if isinstance(out, CV):
                 plans[key] = _VarPlan("const", out=out.v)
@@ -1277,7 +1406,8 @@ class SpecializedSampleKernel:
                 continue
             node = out.node
             if key in scc_group:
-                plans[key] = _VarPlan("scan", out=node)
+                gid = next(i for i, g in enumerate(group_sets) if key in g)
+                plans[key] = _VarPlan("scan", out=node, step=gid)
             elif key in lin_cache:
                 lin = lin_cache[key]
                 plans[key] = _VarPlan("linrec", A=lin[0], B=lin[1])
@@ -1285,17 +1415,88 @@ class SpecializedSampleKernel:
                 plans[key] = _VarPlan("stream", out=node)
 
         self.scan_group = scc_group
-        if scc_group:
-            # delay-line feedback into the sequential group is not supported:
-            # the ring would have to live inside the scan carry
-            gdeps: Set[Any] = set()
-            for w in sym.ring_writes.values():
-                gdeps |= (_prev_deps(w.value, cache, sym.ring_writes)
-                          if isinstance(w.value, GNode) else set())
-            if gdeps & scc_group:
-                raise SpecializeError(
-                    "ring-buffer write depends on a sequential recurrence "
-                    "group (delay-line feedback) — not vectorizable yet")
+        self.scan_groups = [sorted(g, key=repr) for g in group_sets]
+        if group_sets:
+            # ring writes driven by a sequential group are fine as long as
+            # no group transitively consumes a read of a region whose write
+            # depends on THAT SAME group or on a group downstream of it —
+            # that would be delay-line feedback the vectorized emission
+            # cannot order (the ring would have to live in a scan carry)
+            def feeding_regions(keys) -> Set[Tuple[int, int]]:
+                regions: Set[Tuple[int, int]] = set()
+                seen_k: Set[Any] = set()
+                seen_n: Set[int] = set()
+                stack_k = list(keys)
+                while stack_k:
+                    k = stack_k.pop()
+                    if k in seen_k:
+                        continue
+                    seen_k.add(k)
+                    out_k = sym.env.get(k)
+                    node_k = out_k.node if isinstance(out_k, TS) else None
+                    todo = [node_k] if node_k is not None else []
+                    while todo:
+                        n = todo.pop()
+                        if not isinstance(n, GNode) or id(n) in seen_n:
+                            continue
+                        seen_n.add(id(n))
+                        if n.kind in ("ringref", "dynringref"):
+                            regions.add(n.meta["region"])
+                        if n.kind == "prev":
+                            stack_k.append(n.meta["key"])
+                        todo.extend(a for a in n.args if isinstance(a, GNode))
+                return regions
+
+            ring_wdeps = {
+                region: (_prev_deps(w.value, cache, sym.ring_writes)
+                         if isinstance(w.value, GNode) else set())
+                for region, w in sym.ring_writes.items()}
+
+            # group dependency edges: g -> h when solving g's externals can
+            # recurse into h's scan (through vars or through ring reads)
+            def reach_keys(keys) -> Set[Any]:
+                seen = set(keys)
+                todo = list(keys)
+                while todo:
+                    v = todo.pop()
+                    for w in adj.get(v, ()):
+                        if w not in seen:
+                            seen.add(w)
+                            todo.append(w)
+                return seen
+
+            gedges: Dict[int, Set[int]] = {}
+            for gi, g in enumerate(group_sets):
+                needs = reach_keys(g) - g
+                for region in feeding_regions(g):
+                    wd = reach_keys(ring_wdeps.get(region, set()))
+                    if wd & g:
+                        raise SpecializeError(
+                            "delay-line feedback through a ring buffer into "
+                            "a sequential recurrence group — not "
+                            "vectorizable yet")
+                    needs |= wd
+                gedges[gi] = {hi for hi, h in enumerate(group_sets)
+                              if hi != gi and needs & h}
+            # the group graph must be a DAG (cross-group ring entanglement
+            # could otherwise deadlock the emission ordering)
+            state: Dict[int, int] = {}
+
+            def dfs(u) -> bool:
+                state[u] = 1
+                for v in gedges.get(u, ()):
+                    if state.get(v) == 1:
+                        return False
+                    if state.get(v) is None and not dfs(v):
+                        return False
+                state[u] = 2
+                return True
+
+            for gi in range(len(group_sets)):
+                if state.get(gi) is None and not dfs(gi):
+                    raise SpecializeError(
+                        "cyclic entanglement between sequential recurrence "
+                        "groups (through delay lines) — not vectorizable yet")
 
         # cross-variable cycles (v depends on prev(w), w on prev(v)) are fine:
         # prev() only needs the other var's solved stream shifted by one — but a
@@ -1337,8 +1538,7 @@ class SpecializedSampleKernel:
                     snap.mem[origin:origin + mod], dtype=np.float64)
 
         scalar_index = self.scalar_index
-        scan_group = sorted(self.scan_group, key=repr)
-        scan_gset = set(scan_group)
+        scan_groups = self.scan_groups
         ctrl_index = {k: i for i, k in enumerate(self.ctrl_order)}
         B = self.B
 
@@ -1358,7 +1558,10 @@ class SpecializedSampleKernel:
 
             def cursor_idx(var, offset, mod, k0, k1):
                 w = EM.to_i64(scalars[var])
-                return (w + offset + jnp.arange(k0, k1, dtype=jnp.int64)) & (mod - 1)
+                pos = w + offset + jnp.arange(k0, k1, dtype=jnp.int64)
+                if mod & (mod - 1) == 0:
+                    return pos & (mod - 1)
+                return jnp.mod(pos, mod)  # non-pow2 ring (wrapped counter)
 
             def emit(x):
                 if not isinstance(x, GNode):
@@ -1417,12 +1620,25 @@ class SpecializedSampleKernel:
             def _arr(v):
                 return v if not isinstance(v, float) else jnp.float64(v)
 
-            def ring_delayed(region, delay):
+            ring_emitting: Set[Tuple[int, int]] = set()
+
+            def ring_source(region):
                 w = sym.ring_writes[region]
                 src = ring_src.get(region)
                 if src is None:
+                    if region in ring_emitting:
+                        raise SpecializeError(
+                            "cyclic delay-line coupling between ring buffers"
+                            " — not vectorizable yet")
+                    ring_emitting.add(region)
                     src = _full(emit(w.value))
+                    ring_emitting.discard(region)
                     ring_src[region] = src
+                return src
+
+            def ring_delayed(region, delay):
+                w = sym.ring_writes[region]
+                src = ring_source(region)
                 if delay == 0:
                     return src
                 k = min(delay, L)
@@ -1448,24 +1664,28 @@ class SpecializedSampleKernel:
                 if w is None:
                     const = jnp.asarray(static_regions[region])
                     return const[sigma]
-                src = ring_src.get(region)
-                if src is None:
-                    src = _full(emit(w.value))
-                    ring_src[region] = src
-                mask = mod - 1
+                src = ring_source(region)
                 prefix_idx = cursor_idx(w.var, w.offset, mod, 0, mod)
                 full = jnp.concatenate([rings[region][prefix_idx], src])
                 w0c = EM.to_i64(scalars[w.var]) + w.offset
                 if w.order > x.meta["order"]:
-                    dtil = ((w0c + t64 - sigma - 1) & mask) + 1
+                    dtil = jnp.mod(w0c + t64 - sigma - 1, mod) + 1
                 else:
-                    dtil = (w0c + t64 - sigma) & mask
+                    dtil = jnp.mod(w0c + t64 - sigma, mod)
                 return full[mod + t64 - dtil]
 
-            def solve_scan_group():
-                """Jointly solve all sequential-recurrence vars with ONE
+            solved_groups: Set[int] = set()
+
+            def solve_scan_group(gid):
+                """Jointly solve one sequential-recurrence group with ONE
                 lax.scan; external feeds stay vectorized and stream in as
-                scan inputs."""
+                scan inputs.  Groups run in dependency order (the group
+                graph is a DAG, checked at plan time)."""
+                if gid in solved_groups:
+                    return
+                solved_groups.add(gid)
+                scan_group = scan_groups[gid]
+                scan_gset = set(scan_group)
                 targets = {g: P_plans[g].out for g in scan_group}
                 internal_memo: Dict[int, bool] = {}
 
@@ -1564,6 +1784,10 @@ class SpecializedSampleKernel:
                     val = jnp.full((L,), plan.out, dtype=jnp.float64)
                 elif plan.kind == "induction":
                     val = scalars[key] + (plan.out + tf)
+                elif plan.kind == "modind":
+                    # end-of-sample cursor value: (c0 + t + step) mod M
+                    val = cursor_idx(key, plan.out, plan.A, 0, L).astype(
+                        jnp.float64)
                 elif plan.kind == "stream":
                     val = _full(emit(plan.out))
                 elif plan.kind == "linrec":
@@ -1571,7 +1795,7 @@ class SpecializedSampleKernel:
                     B = _full(emit(plan.B))
                     val = EM.linrec_assoc_scan(A, B, scalars[key])
                 elif plan.kind == "scan":
-                    solve_scan_group()
+                    solve_scan_group(plan.step)
                     val = var_stream[key]
                 else:
                     raise AssertionError(plan.kind)
@@ -1614,6 +1838,10 @@ class SpecializedSampleKernel:
                     if plan.kind == "induction":
                         # value after the last sample: w0 + final_offset + (L-1)
                         new_vals.append(scalars[key] + float(plan.out + L - 1))
+                    elif plan.kind == "modind":
+                        new_vals.append(jnp.mod(
+                            scalars[key] + float(plan.out + L - 1),
+                            jnp.float64(plan.A)))
                     elif plan.kind == "const":
                         new_vals.append(jnp.float64(plan.out))
                     else:
@@ -1627,10 +1855,7 @@ class SpecializedSampleKernel:
             new_rings = {}
             for region in ring_regions:
                 w = sym.ring_writes[region]
-                src = ring_src.get(region)
-                if src is None:
-                    src = _full(emit(w.value))
-                    ring_src[region] = src
+                src = ring_source(region)
                 k = min(L, w.mod)
                 idx = cursor_idx(w.var, w.offset, w.mod, L - k, L)
                 new_rings[region] = rings[region].at[idx].set(src[L - k:])
