@@ -1,0 +1,718 @@
+"""On-device EEL2 section executor (the @block half of the fused
+block/sample pipeline).
+
+Compiles a section's AST to a pure JAX function over a packed state
+``(vars, mem) -> (vars, mem)`` so audio-coupled @block work (control
+computed FROM the audio: meters, accumulators, spectral state) runs on
+the device between vectorized @sample segments — one fused XLA program,
+zero host round-trips per block.  This replaces the reference's
+interleaved per-block interpreter dispatch (ref: src/JSFXJuceProcessor.cpp
+processBlock -> @block -> per-sample loop) with a scan-of-blocks.
+
+Design mirrors the numeric contract of the golden executors
+(shadow/pyexec.py) exactly:
+
+* values are python floats (STATIC: derived only from @init/@slider
+  state, folded at trace time — this keeps fft sizes, loop bounds and
+  buffer bases compile-time constants) or traced f64 scalars (DYNAMIC:
+  anything @block or @sample can change between blocks),
+* rhs-before-target assignment order, loop(count) truncates once,
+  while() re-evaluates side-effecting predicates per iteration,
+  branches on traced predicates run both arms and select-merge state,
+* mem uses EEL bracket addressing trunc(base + idx + 1e-5) clamped >= 0.
+
+Unsupported constructs raise DevgenError; the caller falls back to the
+host-interpreted trajectory or the shadow executor (honest coverage).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from ..frontend.astnodes import (
+    Asn, Bin, Block, CallExpr, Cond, Const, IfStmt, LoopExpr, Mem, Name,
+    Node, Str, Un, WhileStmt,
+)
+from ..ir.program import PluginProgram
+from ..ir.symbols import dollar_const, slider_index, spl_index
+from ..semantics import scalar as SC
+from . import eelmath as EM
+
+
+class DevgenError(Exception):
+    """Section uses a construct the device executor does not support."""
+
+
+_dft_mat_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _dft_mats(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    got = _dft_mat_cache.get(n)
+    if got is None:
+        k = np.arange(n, dtype=np.float64)
+        ang = (2.0 * np.pi / n) * np.outer(k, k)
+        got = (np.cos(ang), np.sin(ang))
+        _dft_mat_cache[n] = got
+    return got
+
+
+_SC_UNARY = {
+    "sin": SC.eel_sin, "cos": SC.eel_cos, "tan": SC.eel_tan,
+    "asin": SC.eel_asin, "acos": SC.eel_acos, "atan": SC.eel_atan,
+    "exp": SC.eel_exp, "log": SC.eel_log, "log10": SC.eel_log10,
+    "sqrt": SC.eel_sqrt, "abs": SC.eel_abs, "fabs": SC.eel_abs,
+    "floor": SC.eel_floor, "ceil": SC.eel_ceil, "invsqrt": SC.eel_invsqrt,
+    "sign": SC.eel_sign, "sqr": SC.eel_sqr,
+}
+_SC_BINARY = {
+    "+": lambda a, b: a + b, "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": SC.eel_div, "^": SC.eel_pow, "%": SC.eel_mod,
+    "|": SC.eel_or, "&": SC.eel_and, "~": SC.eel_xor,
+    "<<": SC.eel_shl, ">>": SC.eel_shr,
+    "<": SC.cmp_lt, "<=": SC.cmp_le, ">": SC.cmp_gt, ">=": SC.cmp_ge,
+    "==": SC.cmp_eq, "!=": SC.cmp_ne,
+    "min": SC.eel_min, "max": SC.eel_max,
+    "pow": SC.eel_pow, "atan2": SC.eel_atan2,
+}
+_COMPOUND_OPS = {
+    "+=": "+", "-=": "-", "*=": "*", "/=": "/", "%=": "%", "^=": "^",
+    "|=": "|", "&=": "&", "~=": "~",
+}
+# EM.UNARY lacks a couple of entries the scalar side has
+_EM_UNARY_EXTRA = {"sqr": lambda x: x * x}
+
+
+def _env_key(ident: str):
+    i = spl_index(ident)
+    if i is not None:
+        return ("spl", i)
+    i = slider_index(ident)
+    if i is not None:
+        return ("slider", i)
+    if ident in ("srate", "samplesblock", "midi_bus", "ext_midi_bus"):
+        return ("builtin", ident)
+    return ("var", ident)
+
+
+def section_dynamic_keys(program: PluginProgram, sections: Sequence[str]):
+    """Env keys any DSP section can CHANGE at runtime (everything else is
+    frozen @init/@slider state and folds to constants on the device)."""
+    from .specialize import section_var_usage
+
+    dyn: Set[Any] = set()
+    for sec in sections:
+        if program.sections.get(sec):
+            _, writes, _, _ = section_var_usage(program, sec)
+            dyn |= writes
+    dyn |= {("spl", c) for c in range(64)}
+    return dyn
+
+
+class DeviceSection:
+    """One EEL2 section compiled to a traceable (vars, mem) step."""
+
+    def __init__(self, program: PluginProgram, snapshot, section: str,
+                 dynamic_keys: Set[Any], mem_size: int,
+                 consts: Optional[Dict[str, float]] = None):
+        self.P = program
+        self.snap = snapshot
+        self.section = section
+        self.mem_size = int(mem_size)
+        self.consts = dict(consts or {})
+        self._validate(program.sections.get(section, []))
+
+        # slot table: dynamic vars + every specialized-fn param (params are
+        # assigned per call; functions are non-reentrant, so one slot each)
+        keys = sorted((k for k in dynamic_keys if k[0] != "builtin"),
+                      key=repr)
+        self.slots: Dict[Any, int] = {k: i for i, k in enumerate(keys)}
+        for fname, fdef in program.fn_defs.items():
+            for p in fdef.params:
+                k = ("param", fname, p)
+                self.slots[k] = len(self.slots)
+        self.n_vars = len(self.slots)
+
+    # -- static validation ----------------------------------------------------
+
+    _FORBIDDEN = frozenset({
+        "rand", "midirecv", "midisend", "midisend_buf", "midirecv_buf",
+        "sliderchange", "slider_automate", "slider_show", "slider_next_chg",
+        "gmem_attach", "gmem_attach_size", "gmem_put", "gmem_get",
+        "gmem_fill", "gmem_zero", "msg_send", "msg_recv", "msg_peek",
+        "msg_advertise", "msg_subscribe", "msg_peer_count", "msg_peer_id",
+        "comm_join", "instance_id", "instance_set_name",
+        "file_open", "file_close", "file_avail", "file_riff", "file_mem",
+        "file_rewind", "file_var", "file_string", "file_read", "file_write",
+        "sample_read", "sample_read2", "sample_get", "sample_len",
+        "sample_channels", "sample_srate", "sample_peak", "sample_rms",
+        "strcpy", "strcat", "strcmp", "strlen", "sprintf", "printf",
+        "str_getchar", "str_setchar", "strncpy", "time", "time_precise",
+        "get_host_placement", "export_buffer_to_project", "freembuf",
+        "__memtop", "mem_set_values", "mem_get_values", "atomic_setifequal",
+        "stack_push", "stack_pop", "stack_peek", "stack_exch",
+    })
+
+    def _validate(self, stmts: Sequence[Node]) -> None:
+        from ..frontend.astnodes import walk
+
+        seen_fns: Set[str] = set()
+
+        def scan(nodes):
+            for root in nodes:
+                for n in walk(root):
+                    if isinstance(n, CallExpr):
+                        f = n.func
+                        if f in self.P.fn_defs:
+                            if f not in seen_fns:
+                                seen_fns.add(f)
+                                scan([self.P.fn_defs[f].body])
+                        elif f in self._FORBIDDEN:
+                            raise DevgenError(
+                                f"@{self.section} uses {f}() — not "
+                                "device-executable")
+                    if isinstance(n, Mem) and isinstance(n.base, Name) \
+                            and n.base.ident == "gmem":
+                        raise DevgenError(
+                            f"@{self.section} uses gmem[] — not "
+                            "device-executable")
+        scan(stmts)
+
+    # -- trace-time state -----------------------------------------------------
+
+    def step(self, vars_vec, mem):
+        """Trace the section body once. vars_vec: f64[n_vars]; mem:
+        f64[mem_size].  Returns the updated pair."""
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        self.vars = vars_vec
+        self.mem = mem
+        for stmt in self.P.sections.get(self.section, []):
+            self.ex(stmt)
+        return self.vars, self.mem
+
+    def initial_vars(self) -> np.ndarray:
+        out = np.zeros(self.n_vars, dtype=np.float64)
+        for key, slot in self.slots.items():
+            out[slot] = self._snap_value(key)
+        return out
+
+    def initial_mem(self) -> np.ndarray:
+        self.snap.mem_ensure(1)
+        out = np.zeros(self.mem_size, dtype=np.float64)
+        n = min(len(self.snap.mem), self.mem_size)
+        out[:n] = self.snap.mem[:n]
+        return out
+
+    def _snap_value(self, key) -> float:
+        kind = key[0]
+        if kind == "spl":
+            return float(self.snap.spl[key[1]])
+        if kind == "slider":
+            return float(self.snap.sliders[key[1]])
+        if kind == "var":
+            return float(self.snap.V.get(key[1], 0.0))
+        if kind == "param":
+            return 0.0
+        raise AssertionError(key)
+
+    # -- value helpers --------------------------------------------------------
+
+    @staticmethod
+    def _is_static(v) -> bool:
+        return isinstance(v, float)
+
+    def _truthy(self, v):
+        if isinstance(v, float):
+            return SC.truthy(v)
+        return EM.truthy_mask(v)
+
+    def _read_slot(self, key):
+        return self.vars[self.slots[key]]
+
+    def _write_slot(self, key, val):
+        if key not in self.slots:
+            raise DevgenError(f"write to unclassified state {key!r}")
+        v = self._jnp.float64(val) if isinstance(val, float) else val
+        self.vars = self.vars.at[self.slots[key]].set(v)
+
+    def _read_name(self, ident: str, scope: Dict[str, Any]):
+        if ident in scope:
+            return self._read_slot(scope[ident])
+        if ident == "mem":
+            return 0.0
+        if ident == "gmem":
+            raise DevgenError("gmem in device section")
+        c = dollar_const(ident)
+        if c is not None:
+            return float(c)
+        key = _env_key(ident)
+        if key[0] == "builtin":
+            name = key[1]
+            if name in self.consts:
+                return float(self.consts[name])
+            return float(getattr(self.snap, name))
+        if key in self.slots:
+            return self._read_slot(key)
+        return self._snap_value(key)
+
+    def _mem_addr(self, base, idx):
+        if isinstance(base, float) and isinstance(idx, float):
+            a = SC.mem_address(base, idx)
+            if a >= self.mem_size:
+                raise DevgenError(
+                    f"static mem address {a} beyond device heap "
+                    f"({self.mem_size})")
+            return a
+        jnp = self._jnp
+        b = jnp.float64(base) if isinstance(base, float) else base
+        i = jnp.float64(idx) if isinstance(idx, float) else idx
+        a = EM.to_i64(b + i + 1.0e-5)
+        return jnp.clip(a, 0, self.mem_size - 1)
+
+    def _mem_get(self, a):
+        if isinstance(a, int):
+            return self.mem[a]
+        return self.mem[a]
+
+    def _mem_set(self, a, v):
+        jnp = self._jnp
+        vv = jnp.float64(v) if isinstance(v, float) else v
+        self.mem = self.mem.at[a].set(vv)
+
+    # -- structured control flow ----------------------------------------------
+
+    def _merged(self, cond, then_fn, else_fn):
+        """Run both arms on state copies; where-merge state + value."""
+        jnp = self._jnp
+        saved = (self.vars, self.mem)
+        tval = then_fn() if then_fn is not None else 0.0
+        t_state = (self.vars, self.mem)
+        self.vars, self.mem = saved
+        eval_ = else_fn() if else_fn is not None else 0.0
+        e_state = (self.vars, self.mem)
+        m = EM.truthy_mask(cond)
+        self.vars = (t_state[0] if t_state[0] is e_state[0]
+                     else jnp.where(m, t_state[0], e_state[0]))
+        self.mem = (t_state[1] if t_state[1] is e_state[1]
+                    else jnp.where(m, t_state[1], e_state[1]))
+        if isinstance(tval, float) and isinstance(eval_, float) \
+                and tval == eval_:
+            return tval
+        tv = jnp.float64(tval) if isinstance(tval, float) else tval
+        ev = jnp.float64(eval_) if isinstance(eval_, float) else eval_
+        return jnp.where(m, tv, ev)
+
+    def _loop(self, n: LoopExpr, scope):
+        import jax
+
+        jnp = self._jnp
+        cnt = self.ex(n.count, scope)
+        if isinstance(cnt, float):
+            trip = max(SC.trunc_i64(cnt), 0)
+            if trip <= 8:
+                last: Any = 0.0
+                for _ in range(trip):
+                    last = self.ex(n.body, scope)
+                return last
+            trip_val: Any = trip
+        else:
+            trip_val = jnp.maximum(EM.to_i64(cnt), 0)
+
+        def body(_i, carry):
+            self.vars, self.mem, _last = carry
+            v = self.ex(n.body, scope)
+            v = jnp.float64(v) if isinstance(v, float) else v
+            return (self.vars, self.mem, v)
+
+        carry0 = (self.vars, self.mem, jnp.float64(0.0))
+        self.vars, self.mem, last = jax.lax.fori_loop(
+            0, trip_val, body, carry0)
+        return last
+
+    def _while(self, n: WhileStmt, scope):
+        import jax
+
+        jnp = self._jnp
+        # predicate side effects run once before each test: evaluate the
+        # predicate now, then (body; predicate) per iteration
+        p0 = self.ex(n.pred, scope)
+        if isinstance(p0, float):
+            # constant predicate: either never runs, or we must prove the
+            # body can change it — re-evaluate after one traced iteration
+            if not SC.truthy(p0):
+                return 0.0
+            p0 = jnp.float64(p0)
+        carry0 = (self.vars, self.mem, p0)
+
+        def cond(c):
+            return EM.truthy_mask(c[2])
+
+        def body(c):
+            self.vars, self.mem, _p = c
+            self.ex(n.body, scope)
+            p = self.ex(n.pred, scope)
+            p = jnp.float64(p) if isinstance(p, float) else p
+            return (self.vars, self.mem, p)
+
+        self.vars, self.mem, _ = jax.lax.while_loop(cond, body, carry0)
+        return 0.0
+
+    # -- expression evaluation --------------------------------------------------
+
+    def ex(self, n: Node, scope: Optional[Dict[str, Any]] = None):
+        scope = scope if scope is not None else {}
+        jnp = self._jnp
+        if isinstance(n, Const):
+            return float(n.value)
+        if isinstance(n, Str):
+            return float(self.P.string_handle(n.text))
+        if isinstance(n, Name):
+            return self._read_name(n.ident, scope)
+        if isinstance(n, Mem):
+            b = self.ex(n.base, scope)
+            i = self.ex(n.index, scope)
+            return self._mem_get(self._mem_addr(b, i))
+        if isinstance(n, Un):
+            a = self.ex(n.operand, scope)
+            if n.op == "+":
+                return a
+            if n.op == "-":
+                return (0.0 - a) if isinstance(a, float) else 0.0 - a
+            if n.op == "!":
+                return SC.eel_not(a) if isinstance(a, float) else EM.eel_not(a)
+            raise DevgenError(f"unary {n.op!r}")
+        if isinstance(n, Bin):
+            if n.op in ("&&", "||"):
+                return self._logical(n, scope)
+            a = self.ex(n.lhs, scope)
+            b = self.ex(n.rhs, scope)
+            if isinstance(a, float) and isinstance(b, float):
+                return _SC_BINARY[n.op](a, b)
+            return EM.BINARY[n.op](self._arr(a), self._arr(b))
+        if isinstance(n, Cond):
+            c = self.ex(n.pred, scope)
+            if isinstance(c, float):
+                taken = n.then if SC.truthy(c) else n.other
+                return self.ex(taken, scope)
+            return self._merged(c, lambda: self.ex(n.then, scope),
+                                lambda: self.ex(n.other, scope))
+        if isinstance(n, Asn):
+            return self._assign(n, scope)
+        if isinstance(n, CallExpr):
+            return self._call(n, scope)
+        if isinstance(n, LoopExpr):
+            return self._loop(n, scope)
+        if isinstance(n, Block):
+            last: Any = 0.0
+            for item in n.items:
+                last = self.ex(item, scope)
+            return last
+        if isinstance(n, IfStmt):
+            c = self.ex(n.pred, scope)
+            if isinstance(c, float):
+                if SC.truthy(c):
+                    self.ex(n.then, scope)
+                elif n.other is not None:
+                    self.ex(n.other, scope)
+                return 0.0
+            self._merged(
+                c, lambda: self.ex(n.then, scope),
+                (lambda: self.ex(n.other, scope))
+                if n.other is not None else None)
+            return 0.0
+        if isinstance(n, WhileStmt):
+            return self._while(n, scope)
+        raise DevgenError(f"unsupported node {type(n).__name__}")
+
+    def _arr(self, v):
+        return self._jnp.float64(v) if isinstance(v, float) else v
+
+    def _logical(self, n: Bin, scope):
+        a = self.ex(n.lhs, scope)
+        if isinstance(a, float):
+            at = SC.truthy(a)
+            if n.op == "&&" and not at:
+                return 0.0
+            if n.op == "||" and at:
+                return 1.0
+            b = self.ex(n.rhs, scope)
+            if isinstance(b, float):
+                return 1.0 if SC.truthy(b) else 0.0
+            return EM._bool_to_f(EM.truthy_mask(b))
+        # traced lhs: the rhs arm runs under a state merge (it may assign)
+        if n.op == "&&":
+            return self._merged(
+                a, lambda: self._bool_val(self.ex(n.rhs, scope)), None)
+        inv = EM.eel_not(a)
+        return self._merged(
+            inv, lambda: self._bool_val(self.ex(n.rhs, scope)),
+            lambda: 1.0)
+
+    def _bool_val(self, v):
+        if isinstance(v, float):
+            return 1.0 if SC.truthy(v) else 0.0
+        return EM._bool_to_f(EM.truthy_mask(v))
+
+    def _assign(self, n: Asn, scope):
+        rhs = self.ex(n.value, scope)
+        tgt = n.target
+        if isinstance(tgt, Name):
+            ident = tgt.ident
+            if ident in ("mem", "gmem"):
+                raise DevgenError(f"assignment to {ident}")
+            key = scope.get(ident) or _env_key(ident)
+            if n.op == "=":
+                out = rhs
+            else:
+                cur = self._read_name(ident, scope)
+                op = _COMPOUND_OPS[n.op]
+                if isinstance(cur, float) and isinstance(rhs, float):
+                    out = _SC_BINARY[op](cur, rhs)
+                else:
+                    out = EM.BINARY[op](self._arr(cur), self._arr(rhs))
+            if key[0] == "builtin":
+                raise DevgenError(f"assignment to builtin {key[1]}")
+            self._write_slot(key, out)
+            return out
+        if isinstance(tgt, Mem):
+            b = self.ex(tgt.base, scope)
+            i = self.ex(tgt.index, scope)
+            a = self._mem_addr(b, i)
+            if n.op == "=":
+                out = rhs
+            else:
+                cur = self._mem_get(a)
+                out = EM.BINARY[_COMPOUND_OPS[n.op]](self._arr(cur),
+                                                     self._arr(rhs))
+            self._mem_set(a, out)
+            return out
+        if isinstance(tgt, CallExpr) and tgt.func in ("slider", "spl") \
+                and len(tgt.args) == 1:
+            raise DevgenError(f"dynamic {tgt.func}() assignment")
+        raise DevgenError("invalid assignment target")
+
+    # -- calls ------------------------------------------------------------------
+
+    def _call(self, n: CallExpr, scope):
+        f = n.func
+        if f in self.P.fn_defs:
+            return self._user_call(f, n.args, scope)
+        if f in ("min", "max") and len(n.args) == 2:
+            a = self.ex(n.args[0], scope)
+            b = self.ex(n.args[1], scope)
+            if isinstance(a, float) and isinstance(b, float):
+                return _SC_BINARY[f](a, b)
+            return EM.BINARY[f](self._arr(a), self._arr(b))
+        if f in _SC_UNARY and len(n.args) == 1:
+            a = self.ex(n.args[0], scope)
+            if isinstance(a, float):
+                return _SC_UNARY[f](a)
+            fn = EM.UNARY.get(f) or _EM_UNARY_EXTRA.get(f)
+            if fn is None:
+                raise DevgenError(f"no device impl for {f}()")
+            return fn(a)
+        if f in ("pow", "atan2") and len(n.args) == 2:
+            a = self.ex(n.args[0], scope)
+            b = self.ex(n.args[1], scope)
+            if isinstance(a, float) and isinstance(b, float):
+                return _SC_BINARY[f](a, b)
+            return EM.BINARY[f](self._arr(a), self._arr(b))
+        if f == "memset" and len(n.args) == 3:
+            return self._memset(n.args, scope)
+        if f == "memcpy" and len(n.args) == 3:
+            return self._memcpy(n.args, scope)
+        if f in ("fft", "ifft", "fft_real", "ifft_real", "fft_permute",
+                 "fft_ipermute", "convolve_c"):
+            return self._fft_call(f, n.args, scope)
+        if f in ("slider", "spl") and len(n.args) == 1:
+            raise DevgenError(f"dynamic {f}() read")
+        raise DevgenError(f"@{self.section} builtin {f}() not "
+                          "device-executable")
+
+    def _user_call(self, fname: str, args: Sequence[Node], scope):
+        fdef = self.P.fn_defs[fname]
+        if len(args) != len(fdef.params):
+            raise DevgenError(f"{fname}: arg count {len(args)} != "
+                              f"{len(fdef.params)}")
+        vals = [self.ex(a, scope) for a in args]
+        inner: Dict[str, Any] = {}
+        for p, v in zip(fdef.params, vals):
+            key = ("param", fname, p)
+            self._write_slot(key, v)
+            inner[p] = key
+        return self.ex(fdef.body, inner)
+
+    def _memset(self, args, scope):
+        dest = self.ex(args[0], scope)
+        val = self.ex(args[1], scope)
+        length = self.ex(args[2], scope)
+        if not isinstance(length, float):
+            raise DevgenError("memset with non-static length")
+        ln = max(SC.trunc_i64(length + 1.0e-5), 0)
+        if ln == 0:
+            return dest
+        jnp = self._jnp
+        fill = jnp.full((ln,), self._arr(val), dtype=jnp.float64)
+        if isinstance(dest, float):
+            a = SC.blob_address(dest)
+            if a + ln > self.mem_size:
+                raise DevgenError("memset beyond device heap")
+            self.mem = self.mem.at[a:a + ln].set(fill)
+        else:
+            import jax
+
+            a = jnp.clip(EM.to_i64(dest + 1.0e-5), 0,
+                         self.mem_size - ln)
+            self.mem = jax.lax.dynamic_update_slice(self.mem, fill, (a,))
+        return dest
+
+    def _memcpy(self, args, scope):
+        dest = self.ex(args[0], scope)
+        src = self.ex(args[1], scope)
+        length = self.ex(args[2], scope)
+        if not isinstance(length, float):
+            raise DevgenError("memcpy with non-static length")
+        ln = max(SC.trunc_i64(length + 1.0e-5), 0)
+        if ln == 0:
+            return dest
+        import jax
+
+        jnp = self._jnp
+        if isinstance(src, float):
+            sa = SC.blob_address(src)
+            if sa + ln > self.mem_size:
+                raise DevgenError("memcpy src beyond device heap")
+            chunk = self.mem[sa:sa + ln]
+        else:
+            sa = jnp.clip(EM.to_i64(src + 1.0e-5), 0, self.mem_size - ln)
+            chunk = jax.lax.dynamic_slice(self.mem, (sa,), (ln,))
+        if isinstance(dest, float):
+            da = SC.blob_address(dest)
+            if da + ln > self.mem_size:
+                raise DevgenError("memcpy dest beyond device heap")
+            self.mem = self.mem.at[da:da + ln].set(chunk)
+        else:
+            da = jnp.clip(EM.to_i64(dest + 1.0e-5), 0, self.mem_size - ln)
+            self.mem = jax.lax.dynamic_update_slice(self.mem, chunk, (da,))
+        return dest
+
+    _DFT_MAX = 4096  # f64 DFT-matmul bound (matrices are n^2 doubles)
+
+    def _dft(self, re, im, n: int, inverse: bool):
+        """Unnormalized DFT via f64 matmuls (TPU has no f64 FFT; a matmul
+        keeps golden-executor precision for the WDL sizes the catalog
+        uses).  Returns (re, im)."""
+        jnp = self._jnp
+        C, S_ = _dft_mats(n)
+        C = jnp.asarray(C)
+        S_ = jnp.asarray(S_)
+        if not inverse:  # X = sum x * e^{-i theta}
+            return C @ re + S_ @ im, C @ im - S_ @ re
+        return C @ re - S_ @ im, C @ im + S_ @ re
+
+    def _fft_call(self, which: str, args, scope):
+        """WDL FFT family on a static mem slice.  Bases and sizes must fold
+        to constants (they are @init constants in the catalog).  Semantics
+        mirror runtime/fftops.py exactly (the empirically-verified WDL
+        contract); region-guard failures are the same silent no-op."""
+        from ..runtime import fftops as FO
+
+        if which == "convolve_c":
+            dest = self.ex(args[0], scope)
+            src = self.ex(args[1], scope)
+            size = self.ex(args[2], scope)
+        else:
+            dest = self.ex(args[0], scope)
+            size = self.ex(args[1], scope)
+            src = None
+        if not isinstance(size, float) or not isinstance(dest, float) \
+                or (src is not None and not isinstance(src, float)):
+            raise DevgenError(f"{which} with non-static base/size")
+        jnp = self._jnp
+        sz = FO._round_index(size)
+        da = max(0, FO._round_index(dest))
+
+        def store_complex(base, re, im):
+            inter = jnp.stack([re, im], axis=1).reshape(-1)
+            self.mem = self.mem.at[base:base + inter.shape[0]].set(inter)
+
+        def load_complex(base, n):
+            buf = self.mem[base:base + 2 * n].reshape(n, 2)
+            return buf[:, 0], buf[:, 1]
+
+        if which == "convolve_c":
+            n = FO._round_index(size)
+            sa = max(0, FO._round_index(src))
+            if (n <= 0 or n > FO.PAGE_DOUBLES // 2
+                    or not FO._same_page(da, 2 * n)
+                    or not FO._same_page(sa, 2 * n)
+                    or da + 2 * n > self.mem_size
+                    or sa + 2 * n > self.mem_size):
+                return 0.0  # WDL guard: silent no-op
+            dr, di = load_complex(da, n)
+            sr, si = load_complex(sa, n)
+            store_complex(da, dr * sr - di * si, dr * si + di * sr)
+            return 0.0
+
+        if not FO._pow2_ok(sz):
+            return 0.0
+        if which in ("fft", "ifft", "fft_permute", "fft_ipermute"):
+            span = 2 * sz
+        else:
+            span = sz
+        if not FO._same_page(da, span) or da + span > self.mem_size:
+            return 0.0
+        if which in ("fft", "ifft", "fft_real", "ifft_real") \
+                and sz > self._DFT_MAX:
+            raise DevgenError(f"{which} size {sz} beyond device DFT bound")
+
+        if which == "fft":
+            re, im = load_complex(da, sz)
+            xr, xi = self._dft(re, im, sz, inverse=False)
+            ip = jnp.asarray(FO.iperm_table(sz))
+            store_complex(da, xr[ip], xi[ip])  # natural -> WDL order
+        elif which == "ifft":
+            re, im = load_complex(da, sz)
+            p = jnp.asarray(FO.perm_table(sz))
+            xr, xi = self._dft(re[p], im[p], sz, inverse=True)
+            store_complex(da, xr, xi)
+        elif which == "fft_permute":
+            re, im = load_complex(da, sz)
+            p = jnp.asarray(FO.perm_table(sz))
+            store_complex(da, re[p], im[p])
+        elif which == "fft_ipermute":
+            re, im = load_complex(da, sz)
+            ip = jnp.asarray(FO.iperm_table(sz))
+            store_complex(da, re[ip], im[ip])
+        elif which == "fft_real":
+            half = sz // 2
+            x = self.mem[da:da + sz]
+            zero = jnp.zeros_like(x)
+            Rr, Ri = self._dft(x, zero, sz, inverse=False)
+            Rr, Ri = 2.0 * Rr[:half + 1], 2.0 * Ri[:half + 1]
+            nat_r = Rr[:half]
+            nat_i = Ri[:half].at[0].set(Rr[half])  # bin0 = (2*DC, 2*Nyq)
+            ip = jnp.asarray(FO.iperm_table(half))
+            store_complex(da, nat_r[ip], nat_i[ip])
+        elif which == "ifft_real":
+            half = sz // 2
+            wr, wi = load_complex(da, half)
+            p = jnp.asarray(FO.perm_table(half))
+            nr, ni = wr[p], wi[p]
+            # R[0]=nat0.re/2, R[half]=nat0.im/2, R[k]=nat[k]/2; x =
+            # irfft(R, n) * 2n == 2 * Re(unnormalized hermitian IDFT)
+            Rr = jnp.concatenate([nr / 2.0, ni[:1] / 2.0])
+            Ri = jnp.concatenate([ni / 2.0, jnp.zeros((1,))])
+            Rr = Rr.at[0].set(nr[0] / 2.0)
+            Ri = Ri.at[0].set(0.0)
+            Ri = Ri.at[half].set(0.0)
+            # hermitian extension to the full n-point spectrum
+            fr = jnp.concatenate([Rr, Rr[1:half][::-1]])
+            fi = jnp.concatenate([Ri, -Ri[1:half][::-1]])
+            xr, _xi = self._dft(fr, fi, sz, inverse=True)
+            # irfft(R, n) * 2n  ==  2 * unnormalized hermitian IDFT
+            self.mem = self.mem.at[da:da + sz].set(2.0 * xr)
+        return 0.0
