@@ -124,13 +124,14 @@ class TestUnsupportedFallsOut:
         with pytest.raises(SpecializeError):
             specialize_sample_kernel(prog, shadow.state, 1)
 
-    def test_audio_coupled_block_rejected(self):
-        # @block reading @sample-written state cannot become a control stream
-        src = "@sample\nacc += abs(spl0);\n@block\ng = acc * 0.1;\n"
+    def test_audio_coupled_block_goes_device(self):
+        # @block reading @sample-written state switches to the fused
+        # device pipeline instead of falling out (see test_coupled_block)
+        src = "@sample\nacc += abs(spl0);\nspl0 *= g;\n@block\ng = 1/(1 + acc*0.001);\n"
         prog = compile_plugin_source(src)
         shadow = make_initialized_shadow(prog)
-        with pytest.raises(SpecializeError):
-            specialize_sample_kernel(prog, shadow.state, 1)
+        kern = specialize_sample_kernel(prog, shadow.state, 1)
+        assert kern.coupled
 
 
 class TestBlockControlTrajectory:

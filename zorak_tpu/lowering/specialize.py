@@ -42,6 +42,11 @@ MAX_WHILE_CONCRETE = 1 << 22
 MAX_INLINE_DEPTH = 64
 
 
+class _CoupledUpgrade(Exception):
+    """Internal: @block/@sample mem sharing discovered during symexec —
+    retry with the device-executed (coupled) @block regime."""
+
+
 class SpecializeError(Exception):
     """Raised when @sample uses features outside the vectorizable subset."""
 
@@ -1135,13 +1140,20 @@ class SpecializedSampleKernel:
         if not program.sections.get("sample"):
             raise SpecializeError("no @sample section")
 
-        # @block support: when the block section is audio-independent, its
-        # whole trajectory is interpreted on the host and enters the device
-        # program as piecewise-constant control streams (one value per block)
+        # @block support, two regimes:
+        #  - audio-independent @block: the whole trajectory is interpreted
+        #    on the host and enters the device program as piecewise-constant
+        #    control streams (one value per block),
+        #  - audio-COUPLED @block (reads meters/accumulators @sample
+        #    computes, rewrites audio-rate state, or shares mem with
+        #    @sample): the section compiles to device code (devgen) and runs
+        #    between vectorized sample segments inside ONE fused scan.
         self.has_block = bool(program.sections.get("block"))
         self.control_vars: Set[Any] = set()
         self.block_writes_mem = False
         self.block_reads_mem = False
+        self.coupled = False
+        self._block_writes: Set[Any] = set()
         if self.has_block:
             _, writes_b, wmem_b, rmem_b = section_var_usage(program, "block")
             reads_b = section_genuine_reads(program, "block")
@@ -1166,22 +1178,31 @@ class SpecializedSampleKernel:
                         "@slider (re-run from @block) writes mem[]")
             spl_keys = {("spl", c) for c in range(64)}
             hot = reads_b & (sample_writes | spl_keys)
-            if hot:
-                raise SpecializeError(
-                    f"@block reads audio-rate state {sorted(hot, key=repr)[:4]}")
             # feedback only matters for vars @sample genuinely consumes
             # across samples; scratch vars written-first in both
             # sections are dead at the block boundary
             sample_greads = section_genuine_reads(program, "sample")
             fb = (writes_b | writes_sl) & sample_writes & sample_greads
-            if fb:
-                raise SpecializeError(
-                    f"@block rewrites audio-rate vars {sorted(fb, key=repr)[:4]}")
+            if hot or fb:
+                if retriggers:
+                    raise SpecializeError(
+                        "audio-coupled @block retriggers @slider — not "
+                        "device-executable yet")
+                self._require_devblock()
+            self._block_writes = writes_b | writes_sl
             self.control_vars = (writes_b | writes_sl) - sample_writes
 
-        sym = self._stable_symexec()
+        while True:
+            try:
+                sym = self._stable_symexec()
+                break
+            except _CoupledUpgrade:
+                self._require_devblock()
         self._plan(sym)
         self.ctrl_order = sorted(sym.ctrl_nodes.keys(), key=repr)
+        self._devblock = None
+        if self.coupled:
+            self._build_devblock()
         self.n_rand = sym.rand_slots
         if self.n_rand and self.has_block:
             for stmt in program.sections.get("block", []):
@@ -1195,6 +1216,142 @@ class SpecializedSampleKernel:
         self.last_control_state = None
         self._jax = jax
         self._seg_fns: Dict[Any, Callable] = {}
+
+    def _require_devblock(self) -> None:
+        """Switch to the coupled regime: @block must compile to device code
+        (raises SpecializeError with the devgen reason if it cannot)."""
+        if self.coupled:
+            return
+        from .devgen import DeviceSection, DevgenError, section_dynamic_keys
+
+        try:
+            DeviceSection(self.P, self.snap, "block",
+                          section_dynamic_keys(self.P, ("block", "sample")),
+                          1 << 10, consts={"samplesblock": float(self.B)})
+        except DevgenError as exc:
+            raise SpecializeError(f"audio-coupled @block: {exc}") from None
+        if self.P.sections.get("slider"):
+            # @slider re-runs on host slider pushes only; that path is
+            # unaffected, nothing to do here
+            pass
+        self.coupled = True
+
+    def _build_devblock(self) -> None:
+        """Size the device heap and compile @block for the fused pipeline."""
+        from .devgen import DeviceSection, DevgenError, section_dynamic_keys
+
+        top = len(self.snap.mem)
+        top = max(top, int(self.P.memtop or 0))
+        for origin, mod in self.carry_regions:
+            top = max(top, origin + mod)
+        for key in self.carried_vars:
+            if key[0] == "mem":
+                top = max(top, key[1] + 1)
+        for key in self.ctrl_order:
+            if key[0] == "mem":
+                top = max(top, key[1] + 1)
+        blocked = self._probe_block_mem_writes()
+        if blocked:
+            top = max(top, max(blocked) + 1)
+        size = 1 << max(12, int(top - 1).bit_length() if top > 1 else 12)
+        self._dev_dyn = section_dynamic_keys(self.P, ("block", "sample"))
+        try:
+            self._devblock = DeviceSection(
+                self.P, self.snap, "block", self._dev_dyn, size,
+                consts={"samplesblock": float(self.B)})
+        except DevgenError as exc:
+            raise SpecializeError(f"audio-coupled @block: {exc}") from None
+        for i, key in enumerate(self.ctrl_order):
+            if key[0] == "mem" or key in self._devblock.slots:
+                continue
+            raise SpecializeError(
+                f"coupled control key {key!r} has no device source")
+
+    def _coupled_run(self, T: int):
+        """Unjitted fused block/sample pipeline: lax.scan over blocks; each
+        step runs the device-compiled @block, gathers the control row from
+        device state, then the vectorized B-sample segment — the whole
+        render is ONE XLA program (the reference interleaves host @block
+        interpretation with the sample loop per block)."""
+        import jax
+        import jax.numpy as jnp
+
+        from .devgen import DeviceSection
+
+        B = self.B
+        nfull = T // B
+        rem = T - nfull * B
+        seg = self._make_seg_fn(B) if nfull else None
+        seg_rem = self._make_seg_fn(rem) if rem else None
+        dev = self._devblock
+        dev_rem = DeviceSection(
+            self.P, self.snap, "block", self._dev_dyn, dev.mem_size,
+            consts={"samplesblock": float(rem)}) if rem else None
+        nch = self.nch
+        n_rand = self.n_rand
+        n_ctrl = len(self.ctrl_order)
+
+        inter = [k for k in self.carried_vars if k in dev.slots]
+        svec_sl = np.asarray([self.scalar_index[k] for k in inter], np.int64)
+        bv_sl = np.asarray([dev.slots[k] for k in inter], np.int64)
+        cells = [k for k in self.carried_vars if k[0] == "mem"]
+        cell_sv = np.asarray([self.scalar_index[k] for k in cells], np.int64)
+        cell_ad = np.asarray([k[1] for k in cells], np.int64)
+        regions = list(self.carry_regions)
+        ctrl_var = [(i, dev.slots[k])
+                    for i, k in enumerate(self.ctrl_order) if k in dev.slots]
+        ctrl_mem = [(i, k[1]) for i, k in enumerate(self.ctrl_order)
+                    if k[0] == "mem" and k not in dev.slots]
+
+        def make_step(devsec, segf):
+            def step(carry, xs):
+                (svec, rings), bvars, bmem = carry
+                xblk, randblk = xs
+                # sample state -> device view (@block sees the state as of
+                # the end of the previous block, reference ordering)
+                if len(inter):
+                    bvars = bvars.at[bv_sl].set(svec[svec_sl])
+                for origin, mod in regions:
+                    bmem = jax.lax.dynamic_update_slice(
+                        bmem, rings[(origin, mod)], (origin,))
+                if len(cells):
+                    bmem = bmem.at[cell_ad].set(svec[cell_sv])
+                bvars, bmem = devsec.step(bvars, bmem)
+                # device view -> sample state
+                if len(inter):
+                    svec = svec.at[svec_sl].set(bvars[bv_sl])
+                rings = {r: jax.lax.dynamic_slice(bmem, (r[0],), (r[1],))
+                         for r in regions}
+                if len(cells):
+                    svec = svec.at[cell_sv].set(bmem[cell_ad])
+                row = jnp.zeros((n_ctrl,), dtype=jnp.float64)
+                for i, sl in ctrl_var:
+                    row = row.at[i].set(bvars[sl])
+                for i, a in ctrl_mem:
+                    row = row.at[i].set(bmem[a])
+                (svec, rings), y = segf((svec, rings),
+                                        (xblk, row[None, :], randblk))
+                return ((svec, rings), bvars, bmem), y
+            return step
+
+        def run(carry, x32, ctrl, rand):  # ctrl rows unused (device-sourced)
+            x64 = x32.astype(jnp.float64)
+            ys = []
+            if nfull:
+                xin = x64[:, :nfull * B].reshape(nch, nfull, B).transpose(
+                    1, 0, 2)
+                rin = rand[:nfull * B].reshape(nfull, B, n_rand)
+                carry, yb = jax.lax.scan(make_step(dev, seg), carry,
+                                         (xin, rin))
+                ys.append(yb.transpose(1, 0, 2).reshape(nch, nfull * B))
+            if rem:
+                carry, y_r = make_step(dev_rem, seg_rem)(
+                    carry, (x64[:, nfull * B:], rand[nfull * B:]))
+                ys.append(y_r)
+            y = jnp.concatenate(ys, axis=1) if len(ys) > 1 else ys[0]
+            return y.astype(jnp.float32), carry
+
+        return run
 
     # -- discovery loop ------------------------------------------------------
 
@@ -1270,26 +1427,25 @@ class SpecializedSampleKernel:
                         raise SpecializeError(
                             "mem read region overlaps a written ring at a "
                             "different origin/stride — cannot vectorize")
-        if self.block_reads_mem and (sym.written_cells or sym.ring_writes):
-            raise SpecializeError(
-                "@block reads mem[] while @sample writes mem[] — block work "
-                "may consume audio-rate state")
-        if self.block_writes_mem and (sym.ring_writes or has_ringstatic
-                                      or sym.written_cells):
-            blocked = self._probe_block_mem_writes()
-            conflict = blocked & sym.written_cells
-            spans = [(w.origin, w.mod) for w in sym.ring_writes.values()]
-            for node_check in self._all_nodes(sym):
-                if node_check.kind in ("ringref", "dynringref") \
-                        and node_check.meta["region"] not in sym.ring_writes:
-                    spans.append(node_check.meta["region"])
-            for origin, mod in spans:
-                if any(origin <= a < origin + mod for a in blocked):
-                    conflict.add(origin)
-            if conflict:
-                raise SpecializeError(
-                    f"@block mem writes alias @sample state cells "
-                    f"{sorted(conflict)[:6]}")
+        if not self.coupled:
+            if self.block_reads_mem and (sym.written_cells or sym.ring_writes):
+                # block work consumes audio-rate mem state: needs the
+                # device-executed @block regime
+                raise _CoupledUpgrade
+            if self.block_writes_mem and (sym.ring_writes or has_ringstatic
+                                          or sym.written_cells):
+                blocked = self._probe_block_mem_writes()
+                conflict = blocked & sym.written_cells
+                spans = [(w.origin, w.mod) for w in sym.ring_writes.values()]
+                for node_check in self._all_nodes(sym):
+                    if node_check.kind in ("ringref", "dynringref") \
+                            and node_check.meta["region"] not in sym.ring_writes:
+                        spans.append(node_check.meta["region"])
+                for origin, mod in spans:
+                    if any(origin <= a < origin + mod for a in blocked):
+                        conflict.add(origin)
+                if conflict:
+                    raise _CoupledUpgrade
         return sym
 
     def _probe_block_mem_writes(self) -> Set[int]:
@@ -1512,6 +1668,15 @@ class SpecializedSampleKernel:
         self.scalar_index = {key: i for i, key in enumerate(self.carried_vars)}
         self.ring_regions = sorted(
             {**{w: None for w in sym.ring_writes}}.keys())
+        # regions @sample reads but never writes: baked static normally; in
+        # the coupled regime @block may rewrite them per block, so they ride
+        # in the carry and sync with the device heap
+        static = {n.meta["region"] for n in self._all_nodes(sym)
+                  if n.kind in ("ringref", "dynringref")
+                  and n.meta["region"] not in sym.ring_writes}
+        self.static_ring_regions = sorted(static)
+        self.carry_regions = self.ring_regions + (
+            self.static_ring_regions if self.coupled else [])
 
     # -- emission ------------------------------------------------------------
 
@@ -1525,17 +1690,20 @@ class SpecializedSampleKernel:
         sym = self.sym
         nch = self.nch
         carried_vars = self.carried_vars
-        ring_regions = self.ring_regions
+        carry_regions = self.carry_regions
         snap = self.snap
 
         static_regions: Dict[Tuple[int, int], np.ndarray] = {}
-        for node in self._all_nodes(sym):
-            if node.kind in ("ringref", "dynringref") \
-                    and node.meta["region"] not in sym.ring_writes:
-                origin, mod = node.meta["region"]
-                snap.mem_ensure(origin + mod)
-                static_regions[(origin, mod)] = np.asarray(
-                    snap.mem[origin:origin + mod], dtype=np.float64)
+        if not self.coupled:
+            # bake read-only regions as constants; in the coupled regime
+            # they ride in the carry instead (@block may rewrite them)
+            for node in self._all_nodes(sym):
+                if node.kind in ("ringref", "dynringref") \
+                        and node.meta["region"] not in sym.ring_writes:
+                    origin, mod = node.meta["region"]
+                    snap.mem_ensure(origin + mod)
+                    static_regions[(origin, mod)] = np.asarray(
+                        snap.mem[origin:origin + mod], dtype=np.float64)
 
         scalar_index = self.scalar_index
         scan_groups = self.scan_groups
@@ -1598,10 +1766,12 @@ class SpecializedSampleKernel:
                     w = sym.ring_writes.get(region)
                     if w is None:
                         origin, mod = region
-                        const = jnp.asarray(static_regions[region])
+                        src_arr = (rings[region] if region not in
+                                   static_regions else
+                                   jnp.asarray(static_regions[region]))
                         idx = cursor_idx(x.meta["var"], x.meta["offset"],
                                          mod, 0, L)
-                        val = const[idx]
+                        val = src_arr[idx]
                     else:
                         if w.var != x.meta["var"]:
                             raise SpecializeError(
@@ -1662,8 +1832,9 @@ class SpecializedSampleKernel:
                 sigma = EM.to_i64(_arr(emit(x.args[0])))  # slot in [0,mod)
                 w = sym.ring_writes.get(region)
                 if w is None:
-                    const = jnp.asarray(static_regions[region])
-                    return const[sigma]
+                    src_arr = (rings[region] if region not in static_regions
+                               else jnp.asarray(static_regions[region]))
+                    return src_arr[sigma]
                 src = ring_source(region)
                 prefix_idx = cursor_idx(w.var, w.offset, mod, 0, mod)
                 full = jnp.concatenate([rings[region][prefix_idx], src])
@@ -1853,8 +2024,11 @@ class SpecializedSampleKernel:
             new_svec = jnp.stack(new_vals) if new_vals \
                 else jnp.zeros((0,), dtype=jnp.float64)
             new_rings = {}
-            for region in ring_regions:
-                w = sym.ring_writes[region]
+            for region in carry_regions:
+                w = sym.ring_writes.get(region)
+                if w is None:  # carried read-only region: pass through
+                    new_rings[region] = rings[region]
+                    continue
                 src = ring_source(region)
                 k = min(L, w.mod)
                 idx = cursor_idx(w.var, w.offset, w.mod, L - k, L)
@@ -1916,12 +2090,15 @@ class SpecializedSampleKernel:
         svec = np.array([sym._state_value(key) for key in self.carried_vars],
                         dtype=np.float64)
         rings = {}
-        for region in self.ring_regions:
+        for region in self.carry_regions:
             origin, mod = region
             self.snap.mem_ensure(origin + mod)
             rings[region] = np.asarray(self.snap.mem[origin:origin + mod],
                                        dtype=np.float64).copy()
-        return (svec, rings)
+        if not self.coupled:
+            return (svec, rings)
+        dev = self._devblock
+        return ((svec, rings), dev.initial_vars(), dev.initial_mem())
 
     def _seg_fn(self, L: int):
         fn = self._seg_fns.get(L)
@@ -1942,6 +2119,11 @@ class SpecializedSampleKernel:
             return fn
         import jax
         import jax.numpy as jnp
+
+        if self.coupled:
+            fn = jax.jit(self._coupled_run(T), donate_argnums=(0,))
+            self._seg_fns[key] = fn
+            return fn
 
         nch = self.nch
         nfull = T // L
@@ -1995,7 +2177,7 @@ class SpecializedSampleKernel:
         L = min(self.L, max(self.B, (T // self.B) * self.B)) if T else self.L
         n_full_blocks = T // self.B
         rem_block = T - n_full_blocks * self.B
-        if self.has_block:
+        if self.has_block and not self.coupled:
             ctrl = self.control_trajectory(n_full_blocks, rem_block)
         else:
             rows = n_full_blocks + (1 if rem_block else 0)
@@ -2035,7 +2217,24 @@ class SpecializedSampleKernel:
             state.srate = ts.srate
             state.samplesblock = ts.samplesblock
             state.rng.restore(ts.rng.snapshot())
-        svec, rings = carry
+        if self.coupled:
+            (svec, rings), bvars, bmem = carry
+            bm = np.asarray(bmem)
+            state.mem_ensure(len(bm))
+            state.mem[:len(bm)] = bm
+            bv = np.asarray(bvars)
+            for key, slot in self._devblock.slots.items():
+                if key in self.scalar_index or key[0] == "param":
+                    continue  # sample-carried values below are newer
+                v = float(bv[slot])
+                if key[0] == "var":
+                    state.V[key[1]] = v
+                elif key[0] == "spl":
+                    state.spl[key[1]] = v
+                elif key[0] == "slider":
+                    state.sliders[key[1]] = v
+        else:
+            svec, rings = carry
         svec_np = np.asarray(svec)
         for key in self.carried_vars:
             v = float(svec_np[self.scalar_index[key]])

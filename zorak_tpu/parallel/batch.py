@@ -89,7 +89,7 @@ class BatchRenderer:
 
         n_full_blocks = T // kern.B
         rem_block = T - n_full_blocks * kern.B
-        if kern.has_block:
+        if kern.has_block and not kern.coupled:
             ctrl = kern.control_trajectory(n_full_blocks, rem_block)
         else:
             rows = n_full_blocks + (1 if rem_block else 0)
@@ -105,6 +105,9 @@ def _raw_render(kern, T: int, L: int):
     """Unjitted whole-render pipeline (vmap-able)."""
     import jax
     import jax.numpy as jnp
+
+    if kern.coupled:
+        return kern._coupled_run(T)
 
     nch = kern.nch
     nfull = T // L
