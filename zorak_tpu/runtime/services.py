@@ -70,6 +70,10 @@ class FileSlotService:
     def __init__(self) -> None:
         self.slots: Dict[int, List[LoadedAudio]] = {}
         self.open_handles: Dict[int, _OpenFile] = {}
+        # handles are 1-based and reused LIFO (0 is reserved for
+        # @serialize in REAPER JSFX; ref: JSFXJuceProcessor.cpp:4971-4989)
+        self._next_handle = 1
+        self._free_handles: List[int] = []
 
     def load_slot(self, index: int, source, srate: Optional[float] = None,
                   name: str = "") -> None:
@@ -91,14 +95,19 @@ class FileSlotService:
 
     def open(self, slot: float) -> float:
         try:
-            s = int(slot)
+            s = int(slot + 1.0e-5)
         except (ValueError, OverflowError):
             return -1.0
         files = self.slots.get(s)
         if not files:
             return -1.0
-        self.open_handles[s] = _OpenFile(s, files)
-        return float(s)
+        if self._free_handles:
+            h = self._free_handles.pop()
+        else:
+            h = self._next_handle
+            self._next_handle += 1
+        self.open_handles[h] = _OpenFile(s, files)
+        return float(h)
 
     def _h(self, handle: float) -> Optional[_OpenFile]:
         try:
@@ -108,9 +117,11 @@ class FileSlotService:
 
     def close(self, handle: float) -> float:
         try:
-            self.open_handles.pop(int(handle), None)
+            h = int(handle)
         except (ValueError, OverflowError):
-            pass
+            return 0.0
+        if self.open_handles.pop(h, None) is not None:
+            self._free_handles.append(h)
         return 0.0
 
     def avail(self, handle: float) -> float:
