@@ -100,6 +100,63 @@ spl0 = spl0 * 0.5 + mag0 * 0.001;
     assert rep.passed, rep.summary()
 
 
+def test_file_load_folds_into_coupled_block():
+    # file-slot data is static per specialization: a reload-gated
+    # open/riff/file_mem/close in @block folds at trace time, merged by
+    # the runtime condition (the PsychoConvolver load_raw_ir shape)
+    from zorak_tpu.runtime.services import EngineHost
+    from zorak_tpu.shadow import compile_shadow
+    from zorak_tpu.verify.nulltest import apply_slider_state
+
+    src = """
+@init
+TAB = 5000;
+@block
+g = acc / max(samplesblock, 1); acc = 0;
+need ? (
+  h = file_open(0);
+  h > 0 ? (
+    nch = 0; sr = 0;
+    file_riff(h, nch, sr);
+    n = min(file_avail(h), 64);
+    file_mem(h, TAB, n);
+    loaded = n;
+    file_close(h);
+  );
+  need = 0;
+);
+@sample
+acc += abs(spl0);
+spl0 = spl0 * (1/(1+g)) + 0.1 * TAB[0] + 0.01 * TAB[37];
+"""
+    audio = np.sin(np.arange(200) * 0.21)[None, :] * 0.7
+    prog = compile_plugin_source(src)
+    host1, host2 = EngineHost(), EngineHost()
+    for h in (host1, host2):
+        h.files.load_slot(0, audio, srate=48000.0)
+    shadow_v = make_initialized_shadow(prog, 48000.0, host=host1)
+    shadow_v.state.V["need"] = 1.0
+    kern = specialize_sample_kernel(prog, shadow_v.state, 1,
+                                    segment_len=2048)
+    assert kern.coupled
+    x = noise(1, 5000, seed=7, scale=0.3)
+    y, _carry = kern.render(x)
+
+    plug = compile_shadow(prog, host=host2)
+    plug.state.srate = 48000.0
+    apply_slider_state(plug.state, prog, None, None)
+    plug.run_init()
+    plug.run_slider()
+    plug.state.V["need"] = 1.0
+    yg = np.zeros_like(x, dtype=np.float64)
+    for i in range(0, 5000, 512):
+        n = min(512, 5000 - i)
+        out = np.zeros((1, n), dtype=np.float64)
+        plug.process_block(x[:, i:i + n].astype(np.float64), out, 1)
+        yg[:, i:i + n] = out
+    assert np.abs(y.astype(np.float64) - yg).max() <= 1e-6
+
+
 def test_uncoupled_stays_on_host_trajectory():
     # audio-independent @block must keep the cheap host-trajectory path
     src = """

@@ -143,8 +143,7 @@ class DeviceSection:
         "gmem_fill", "gmem_zero", "msg_send", "msg_recv", "msg_peek",
         "msg_advertise", "msg_subscribe", "msg_peer_count", "msg_peer_id",
         "comm_join", "instance_id", "instance_set_name",
-        "file_open", "file_close", "file_avail", "file_riff", "file_mem",
-        "file_rewind", "file_var", "file_string", "file_read", "file_write",
+        "file_string", "file_read", "file_write",
         "sample_read", "sample_read2", "sample_get", "sample_len",
         "sample_channels", "sample_srate", "sample_peak", "sample_rms",
         "strcpy", "strcat", "strcmp", "strlen", "sprintf", "printf",
@@ -189,9 +188,33 @@ class DeviceSection:
         self._jnp = jnp
         self.vars = vars_vec
         self.mem = mem
+        # trace-time constant overlay: slots assigned a static value read
+        # back static until a traced write / branch divergence / loop body
+        # invalidates them (lets file handles, reload flags and local
+        # derivations stay foldable through dynamic slots)
+        self._known: Dict[int, float] = {}
+        # file-slot contents are static per specialization; each trace
+        # starts from a pristine cursor state (loads are self-contained
+        # within one @block invocation — open/read/close)
+        self._files = self._fresh_file_service()
         for stmt in self.P.sections.get(self.section, []):
             self.ex(stmt)
         return self.vars, self.mem
+
+    def _fresh_file_service(self):
+        from ..runtime.services import FileSlotService
+
+        svc = FileSlotService()
+        host = getattr(self.snap, "host", None)
+        src = getattr(host, "files", None)
+        if src is not None:
+            svc.slots = src.slots  # shared static decoded audio
+        return svc
+
+    def _file_fingerprint(self):
+        return tuple(sorted(
+            (k, h.cursor, h.selected)
+            for k, h in self._files.open_handles.items()))
 
     def initial_vars(self) -> np.ndarray:
         out = np.zeros(self.n_vars, dtype=np.float64)
@@ -230,13 +253,22 @@ class DeviceSection:
         return EM.truthy_mask(v)
 
     def _read_slot(self, key):
-        return self.vars[self.slots[key]]
+        slot = self.slots[key]
+        got = self._known.get(slot)
+        if got is not None:
+            return got
+        return self.vars[slot]
 
     def _write_slot(self, key, val):
         if key not in self.slots:
             raise DevgenError(f"write to unclassified state {key!r}")
+        slot = self.slots[key]
+        if isinstance(val, float):
+            self._known[slot] = val
+        else:
+            self._known.pop(slot, None)
         v = self._jnp.float64(val) if isinstance(val, float) else val
-        self.vars = self.vars.at[self.slots[key]].set(v)
+        self.vars = self.vars.at[slot].set(v)
 
     def _read_name(self, ident: str, scope: Dict[str, Any]):
         if ident in scope:
@@ -284,15 +316,44 @@ class DeviceSection:
 
     # -- structured control flow ----------------------------------------------
 
+    def _clone_files(self):
+        import copy
+
+        svc = self._fresh_file_service()
+        svc.open_handles = {k: copy.copy(h)
+                            for k, h in self._files.open_handles.items()}
+        svc._next_handle = self._files._next_handle
+        svc._free_handles = list(self._files._free_handles)
+        return svc
+
     def _merged(self, cond, then_fn, else_fn):
         """Run both arms on state copies; where-merge state + value."""
         jnp = self._jnp
         saved = (self.vars, self.mem)
+        files0 = self._clone_files()
+        fp0 = self._file_fingerprint()
+        known0 = dict(self._known)
         tval = then_fn() if then_fn is not None else 0.0
         t_state = (self.vars, self.mem)
+        fp_t = self._file_fingerprint()
+        t_known = self._known
         self.vars, self.mem = saved
+        self._files, files_t = files0, self._files
+        self._known = dict(known0)
         eval_ = else_fn() if else_fn is not None else 0.0
         e_state = (self.vars, self.mem)
+        fp_e = self._file_fingerprint()
+        # a slot stays statically known only if both arms agree on it
+        self._known = {s: v for s, v in t_known.items()
+                       if s in self._known and self._known[s] == v}
+        # trace-time file-cursor state cannot be select-merged; arms must
+        # leave it equal (self-contained open/read/close both sides, or
+        # untouched) — otherwise later folds would be wrong
+        if fp_t != fp_e:
+            raise DevgenError(
+                "file cursor state diverges across a data-dependent branch")
+        if fp_t != fp0:
+            self._files = files_t
         m = EM.truthy_mask(cond)
         self.vars = (t_state[0] if t_state[0] is e_state[0]
                      else jnp.where(m, t_state[0], e_state[0]))
@@ -305,6 +366,29 @@ class DeviceSection:
         ev = jnp.float64(eval_) if isinstance(eval_, float) else eval_
         return jnp.where(m, tv, ev)
 
+    _FILE_FNS = frozenset({
+        "file_open", "file_open_multi", "file_close", "file_avail",
+        "file_rewind", "file_seek", "file_mem", "file_riff", "file_var",
+        "file_multi_count", "file_multi_select"})
+
+    def _has_file_ops(self, root: Node) -> bool:
+        from ..frontend.astnodes import walk
+
+        seen: Set[str] = set()
+
+        def scan(node) -> bool:
+            for x in walk(node):
+                if isinstance(x, CallExpr):
+                    if x.func in self._FILE_FNS:
+                        return True
+                    if x.func in self.P.fn_defs and x.func not in seen:
+                        seen.add(x.func)
+                        if scan(self.P.fn_defs[x.func].body):
+                            return True
+            return False
+
+        return scan(root)
+
     def _loop(self, n: LoopExpr, scope):
         import jax
 
@@ -312,6 +396,14 @@ class DeviceSection:
         cnt = self.ex(n.count, scope)
         if isinstance(cnt, float):
             trip = max(SC.trunc_i64(cnt), 0)
+            if trip > 8 and self._has_file_ops(n.body):
+                # trace-time file folds must run once per iteration
+                if trip > (1 << 16):
+                    raise DevgenError("file-reading loop too long to unroll")
+                last: Any = 0.0
+                for _ in range(trip):
+                    last = self.ex(n.body, scope)
+                return last
             if trip <= 8:
                 last: Any = 0.0
                 for _ in range(trip):
@@ -319,10 +411,13 @@ class DeviceSection:
                 return last
             trip_val: Any = trip
         else:
+            if self._has_file_ops(n.body):
+                raise DevgenError("file ops inside a dynamic-count loop")
             trip_val = jnp.maximum(EM.to_i64(cnt), 0)
 
         def body(_i, carry):
             self.vars, self.mem, _last = carry
+            self._known = {}  # loop-carried slots are not static
             v = self.ex(n.body, scope)
             v = jnp.float64(v) if isinstance(v, float) else v
             return (self.vars, self.mem, v)
@@ -330,6 +425,7 @@ class DeviceSection:
         carry0 = (self.vars, self.mem, jnp.float64(0.0))
         self.vars, self.mem, last = jax.lax.fori_loop(
             0, trip_val, body, carry0)
+        self._known = {}
         return last
 
     def _while(self, n: WhileStmt, scope):
@@ -339,6 +435,21 @@ class DeviceSection:
         # predicate side effects run once before each test: evaluate the
         # predicate now, then (body; predicate) per iteration
         p0 = self.ex(n.pred, scope)
+        if isinstance(p0, float) and (self._has_file_ops(n.body)
+                                      or self._has_file_ops(n.pred)):
+            # file folds must run per iteration: unroll while the
+            # predicate stays static (chunked readers)
+            guard = 1 << 16
+            while isinstance(p0, float) and SC.truthy(p0):
+                guard -= 1
+                if guard < 0:
+                    raise DevgenError("file-reading while() too long")
+                self.ex(n.body, scope)
+                p0 = self.ex(n.pred, scope)
+            if isinstance(p0, float):
+                return 0.0
+            raise DevgenError(
+                "file-reading while() predicate became data-dependent")
         if isinstance(p0, float):
             # constant predicate: either never runs, or we must prove the
             # body can change it — re-evaluate after one traced iteration
@@ -352,12 +463,14 @@ class DeviceSection:
 
         def body(c):
             self.vars, self.mem, _p = c
+            self._known = {}  # loop-carried slots are not static
             self.ex(n.body, scope)
             p = self.ex(n.pred, scope)
             p = jnp.float64(p) if isinstance(p, float) else p
             return (self.vars, self.mem, p)
 
         self.vars, self.mem, _ = jax.lax.while_loop(cond, body, carry0)
+        self._known = {}
         return 0.0
 
     # -- expression evaluation --------------------------------------------------
@@ -527,6 +640,11 @@ class DeviceSection:
         if f in ("fft", "ifft", "fft_real", "ifft_real", "fft_permute",
                  "fft_ipermute", "convolve_c"):
             return self._fft_call(f, n.args, scope)
+        if f in ("file_open", "file_open_multi", "file_close", "file_avail",
+                 "file_rewind", "file_seek", "file_text", "file_mem",
+                 "file_riff", "file_var", "file_multi_count",
+                 "file_multi_select"):
+            return self._file_call(f, n.args, scope)
         if f in ("slider", "spl") and len(n.args) == 1:
             raise DevgenError(f"dynamic {f}() read")
         raise DevgenError(f"@{self.section} builtin {f}() not "
@@ -544,6 +662,91 @@ class DeviceSection:
             self._write_slot(key, v)
             inner[p] = key
         return self.ex(fdef.body, inner)
+
+    def _store_lvalue(self, node: Node, value, scope) -> None:
+        """Out-parameter store (file_riff/file_var style)."""
+        if isinstance(node, Name):
+            key = scope.get(node.ident) or _env_key(node.ident)
+            if key[0] == "builtin":
+                raise DevgenError(f"out-param writes builtin {key[1]}")
+            self._write_slot(key, value)
+            return
+        if isinstance(node, Mem):
+            b = self.ex(node.base, scope)
+            i = self.ex(node.index, scope)
+            self._mem_set(self._mem_addr(b, i), value)
+            return
+        raise DevgenError("unsupported out-parameter lvalue")
+
+    def _file_call(self, f: str, args: Sequence[Node], scope):
+        """Legacy file API, folded at TRACE time: slot contents are static
+        per specialization and every load is self-contained within one
+        @block invocation (ref pattern: PsychoConvolver.jsfx:130-199
+        open -> riff -> avail -> file_mem -> close, gated on a reload
+        flag).  Cursor state lives only inside the trace; the audio data
+        folds into the traced heap as constants under the ambient branch
+        merge.  Semantics mirror runtime/services.py file_call exactly."""
+        svc = self._files
+        if f == "file_riff" and len(args) == 3:
+            h = self.ex(args[0], scope)
+            if not isinstance(h, float):
+                raise DevgenError("file_riff with non-static handle")
+            r = svc.riff(h)
+            if r is None:
+                return 0.0
+            self._store_lvalue(args[1], float(r[0]), scope)
+            self._store_lvalue(args[2], float(r[1]), scope)
+            return 1.0
+        if f == "file_var" and len(args) == 2:
+            h = self.ex(args[0], scope)
+            if not isinstance(h, float):
+                raise DevgenError("file_var with non-static handle")
+            r = svc.var_read(h)
+            if r is None:
+                return 0.0
+            self._store_lvalue(args[1], float(r[1]), scope)
+            return float(r[0])
+        vals = [self.ex(a, scope) for a in args]
+        if not all(isinstance(v, float) for v in vals):
+            raise DevgenError(f"{f} with non-static arguments")
+        if f in ("file_open", "file_open_multi"):
+            return float(svc.open(vals[0] if vals else -1.0))
+        if f == "file_close":
+            return float(svc.close(vals[0]))
+        if f == "file_avail":
+            return float(svc.avail(vals[0]))
+        if f == "file_rewind":
+            return float(svc.rewind(vals[0]))
+        if f == "file_seek":
+            return float(svc.seek(vals[0], vals[1]))
+        if f == "file_text":
+            return 0.0
+        if f == "file_multi_count":
+            return float(svc.multi_count(vals[0]))
+        if f == "file_multi_select":
+            return float(svc.multi_select(vals[0], vals[1]))
+        if f == "file_mem":
+            # mirror FileSlotService.mem_read against the traced heap
+            h = svc._h(vals[0])
+            if h is None or h.current is None:
+                return 0.0
+            try:
+                dst = max(0, int(vals[1] + 1e-5))
+                want = max(0, int(vals[2]))
+            except (ValueError, OverflowError):
+                return 0.0
+            inter = h.current.audio.T.reshape(-1)
+            n_items = min(want, max(0, len(inter) - h.cursor))
+            if n_items:
+                if dst + n_items > self.mem_size:
+                    raise DevgenError("file_mem beyond device heap")
+                chunk = np.asarray(inter[h.cursor:h.cursor + n_items],
+                                   dtype=np.float64)
+                self.mem = self.mem.at[dst:dst + n_items].set(
+                    self._jnp.asarray(chunk))
+                h.cursor += n_items
+            return float(n_items)
+        raise DevgenError(f"file builtin {f} not supported")
 
     def _memset(self, args, scope):
         dest = self.ex(args[0], scope)
