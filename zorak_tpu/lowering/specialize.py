@@ -1044,9 +1044,20 @@ def _linearize(node: Union[GNode, float], key, cache: Dict[int, Set],
                 return 0.0
         return GNode("bin", op=op, args=(a, b))
 
+    memo: Dict[int, Any] = {}
+    _MISS = object()
+
     def rec(x):
         if not isinstance(x, GNode):
             return (0.0, x)
+        got = memo.get(id(x), _MISS)
+        if got is not _MISS:
+            return got
+        out = _rec(x)
+        memo[id(x)] = out
+        return out
+
+    def _rec(x):
         if x.kind == "prev" and x.meta["key"] == key:
             return (1.0, 0.0)
         if free(x):
