@@ -199,6 +199,15 @@ def _convolve_c(S, dest, src, size):
     return fftops.convolve_c(S, dest, src, size)
 
 
+def _gfx_call(S, fn, args):
+    """gfx_* dispatch: no-op in the DSP shadow, recorded by the UI canvas
+    when one is attached to the host (gfx/interpreter.py)."""
+    canvas = getattr(S.host, "gfx", None)
+    if canvas is None:
+        return (0.0, 0.0) if fn == "gfx_measurestr" else 0.0
+    return canvas.call(S, fn, args)
+
+
 def _midirecv4(S):
     if S.midi_in_pos < len(S.midi_in):
         ev = S.midi_in[S.midi_in_pos]
@@ -783,7 +792,23 @@ class _Gen:
             self.put(f"{t} = float(S.host.file_call(S, {fn!r}, [{', '.join(args)}]))")
             return t
 
-        if fn.startswith("gfx_") or fn in _INERT_FUNCS:
+        if fn == "gfx_measurestr" and len(n.args) == 3:
+            # out-params (w, h); dispatched to the UI canvas when attached
+            h = self.ex(n.args[0])
+            s_w = self._lv_prepare(n.args[1], "gfx_measurestr")
+            s_h = self._lv_prepare(n.args[2], "gfx_measurestr")
+            r = self.tmp()
+            self.put(f"{r} = _gfx_call(S, 'gfx_measurestr', [{h}])")
+            s_w(f"float({r}[0])")
+            s_h(f"float({r}[1])")
+            return "0.0"
+        if fn.startswith("gfx_"):
+            # inert in DSP sections; recorded when a UI canvas is attached
+            args = [self.ex(a) for a in n.args]
+            t = self.tmp()
+            self.put(f"{t} = _gfx_call(S, {fn!r}, [{', '.join(args)}])")
+            return t
+        if fn in _INERT_FUNCS:
             for a in n.args:
                 self.ex(a)
             return "0.0"
@@ -932,6 +957,15 @@ class _Gen:
             self.put(f"{t} = _convolve_c(S, {a0}, {a1}, {a2})")
             return t
 
+        if fn in ("time", "time_precise"):
+            # deterministic virtual clock (host-advanced)
+            t = self.tmp()
+            self.put(f"{t} = S.host.now({fn == 'time_precise'})")
+            if n.args:
+                store = self._lv_prepare(n.args[0], fn)
+                store(t)
+            return t
+
         raise ValueError(f"Unknown function call {fn}")
 
 
@@ -966,6 +1000,7 @@ def _exec_namespace(program: PluginProgram) -> Dict[str, object]:
         "_memset": _memset, "_memcpy": _memcpy,
         "_fft_call": _fft_call, "_convolve_c": _convolve_c,
         "_midirecv4": _midirecv4, "_midisend": _midisend,
+        "_gfx_call": _gfx_call,
     }
     return ns
 

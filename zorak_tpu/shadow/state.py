@@ -40,6 +40,11 @@ class HostServices:
 
     def __init__(self) -> None:
         self.instance_id_value = 0.0
+        # deterministic virtual clock (seconds); the engine/UI advances it
+        self.time_seconds = 0.0
+
+    def now(self, precise: bool) -> float:
+        return float(self.time_seconds)
 
     # --- comm / message bus -------------------------------------------------
     def comm_join(self, st, domain) -> float: return 0.0
