@@ -24,6 +24,7 @@ outside this subset raise SpecializeError and fall back to other engines.
 from __future__ import annotations
 
 import math
+import sys
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional, Sequence, Set, Tuple, Union
 
@@ -314,9 +315,13 @@ class _SymExec:
                  known_mem_cells: Set[int],
                  segment_len_hint: int,
                  control_vars: Optional[Set[Any]] = None,
-                 mod_inductions: Optional[Dict[Any, int]] = None):
+                 mod_inductions: Optional[Dict[Any, int]] = None,
+                 const_overrides: Optional[Dict[Any, float]] = None):
         self.P = program
         self.snap = snapshot              # ShadowState after init/slider
+        # block-invariant constants (post-@block values; the block runs
+        # before its samples, so these override the snapshot)
+        self.const_overrides = const_overrides or {}
         self.nch = nch
         self.inductions = induction_vars  # env key -> step (always 1 for ring use)
         # wrapped counters: v = (v + 1) mod M each sample (either via
@@ -344,6 +349,9 @@ class _SymExec:
     # -- environment ---------------------------------------------------------
 
     def _state_value(self, key) -> float:
+        got = self.const_overrides.get(key)
+        if got is not None:
+            return got
         kind = key[0]
         if kind == "spl":
             return float(self.snap.spl[key[1]])
@@ -1018,6 +1026,140 @@ def _match_mod_induction(node, key) -> Optional[int]:
     return None
 
 
+def _block_var_dataflow(program: PluginProgram, sample_writes: Set[Any]
+                        ) -> Tuple[Set[str], Dict[str, Set[str]]]:
+    """Audio-taint + var-dependency analysis over @block (control
+    dependences included).
+
+    Returns (tainted, deps): a var is TAINTED if any path to its value
+    reads audio-rate state (@sample-written vars, spl registers, mem,
+    midi/comm/rand), or it is assigned under such a condition; deps[v] is
+    the set of @block/global vars (transitively via locals and calls)
+    feeding v's value or its guarding conditions — untainted vars depend
+    only on their deps plus frozen constants, so a host probe whose clean
+    dependency closure repeats across two blocks repeats forever."""
+    tainted: Set[str] = {k[1] for k in sample_writes if k[0] == "var"}
+    # samplesblock differs in the remainder block; values derived from it
+    # are not block-invariant
+    tainted.add("samplesblock")
+    deps: Dict[str, Set[str]] = {}
+    TAINT_CALLS = frozenset({
+        "midirecv", "midirecv_buf", "msg_recv", "msg_recv_buf", "msg_avail",
+        "msg_kind", "msg_length", "msg_dropped", "msg_peer_count",
+        "gmem_get", "rand", "gfx_getchar", "sample_read", "sample_read2",
+        "sample_get", "slider_next_chg",
+    })
+    # (taint, reads) pair per expression; `scope` maps fn params to pairs
+    Pair = Tuple[bool, Set[str]]
+
+    def read_name(ident: str, scope) -> Pair:
+        got = scope.get(ident)
+        if got is not None:
+            return got
+        if dollar_const(ident) is not None:
+            return (False, set())
+        if spl_index(ident) is not None:
+            return (True, set())
+        return (ident in tainted, {ident})
+
+    def walk_e(n: Node, scope, cond: Pair) -> Pair:
+        if isinstance(n, (Const, Str)):
+            return (False, set())
+        if isinstance(n, Name):
+            return read_name(n.ident, scope)
+        if isinstance(n, Mem):
+            walk_e(n.base, scope, cond)
+            walk_e(n.index, scope, cond)
+            return (True, set())  # mem: conservative audio-shared blob
+        if isinstance(n, Un):
+            return walk_e(n.operand, scope, cond)
+        if isinstance(n, Bin):
+            a = walk_e(n.lhs, scope, cond)
+            if n.op in ("&&", "||"):
+                b = walk_e(n.rhs, scope,
+                           (cond[0] or a[0], cond[1] | a[1]))
+            else:
+                b = walk_e(n.rhs, scope, cond)
+            return (a[0] or b[0], a[1] | b[1])
+        if isinstance(n, Asn):
+            val = walk_e(n.value, scope, cond)
+            t = n.target
+            if isinstance(t, Name):
+                out_t = val[0] or cond[0]
+                out_r = val[1] | cond[1]
+                if n.op != "=":
+                    cur = read_name(t.ident, scope)
+                    out_t = out_t or cur[0]
+                    out_r = out_r | cur[1]
+                if t.ident in scope:
+                    prev = scope[t.ident]
+                    scope[t.ident] = (prev[0] or out_t, prev[1] | out_r)
+                else:
+                    if out_t:
+                        tainted.add(t.ident)
+                    deps.setdefault(t.ident, set()).update(out_r)
+                return (out_t, out_r)
+            if isinstance(t, Mem):
+                walk_e(t.base, scope, cond)
+                walk_e(t.index, scope, cond)
+                return (True, val[1])
+            if isinstance(t, CallExpr):
+                for a in t.args:
+                    walk_e(a, scope, cond)
+            return val
+        if isinstance(n, Cond):
+            c = walk_e(n.pred, scope, cond)
+            inner = (cond[0] or c[0], cond[1] | c[1])
+            a = walk_e(n.then, scope, inner)
+            b = walk_e(n.other, scope, inner)
+            return (c[0] or a[0] or b[0], c[1] | a[1] | b[1])
+        if isinstance(n, IfStmt):
+            c = walk_e(n.pred, scope, cond)
+            inner = (cond[0] or c[0], cond[1] | c[1])
+            walk_e(n.then, scope, inner)
+            if n.other is not None:
+                walk_e(n.other, scope, inner)
+            return (False, set())
+        if isinstance(n, (LoopExpr, WhileStmt)):
+            cnt = n.count if isinstance(n, LoopExpr) else n.pred
+            c = walk_e(cnt, scope, cond)
+            inner = (cond[0] or c[0], cond[1] | c[1])
+            b = walk_e(n.body, scope, inner)
+            return (c[0] or b[0], c[1] | b[1])
+        if isinstance(n, Block):
+            out: Pair = (False, set())
+            for item in n.items:
+                out = walk_e(item, scope, cond)
+            return out
+        if isinstance(n, CallExpr):
+            arg_ps = [walk_e(a, scope, cond) for a in n.args]
+            f = n.func
+            if f in program.fn_defs:
+                proto = program.fn_defs[f]
+                inner_scope: Dict[str, Pair] = {}
+                for i, p in enumerate(proto.params):
+                    inner_scope[p] = (arg_ps[i] if i < len(arg_ps)
+                                      else (False, set()))
+                return walk_e(proto.body, inner_scope, cond)
+            if f in TAINT_CALLS or f == "spl":
+                return (True, set())
+            t = any(p[0] for p in arg_ps)
+            r: Set[str] = set()
+            for p in arg_ps:
+                r |= p[1]
+            return (t, r)
+        return (True, set())  # unknown node: conservative
+
+    stmts = program.sections.get("block", [])
+    for _ in range(6):  # taint only grows; small fixpoint
+        before = (len(tainted), sum(len(v) for v in deps.values()))
+        for stmt in stmts:
+            walk_e(stmt, {}, (False, set()))
+        if (len(tainted), sum(len(v) for v in deps.values())) == before:
+            break
+    return tainted, deps
+
+
 def _linearize(node: Union[GNode, float], key, cache: Dict[int, Set],
                ring_writes: Optional[Dict] = None):
     """Match node == A * prev(key) + B with A, B free of prev(key).
@@ -1147,6 +1289,10 @@ class SpecializedSampleKernel:
         self.nch = nch
         self.B = int(block_size)
         self.L = max(self.B, (int(segment_len) // self.B) * self.B)
+        # unrolled FIR banks / deep branch merges build node graphs past
+        # CPython's default recursion ceiling
+        if sys.getrecursionlimit() < 100_000:
+            sys.setrecursionlimit(100_000)
 
         if not program.sections.get("sample"):
             raise SpecializeError("no @sample section")
@@ -1165,6 +1311,7 @@ class SpecializedSampleKernel:
         self.block_reads_mem = False
         self.coupled = False
         self._block_writes: Set[Any] = set()
+        self._block_consts: Dict[Any, float] = {}
         if self.has_block:
             _, writes_b, wmem_b, rmem_b = section_var_usage(program, "block")
             reads_b = section_genuine_reads(program, "block")
@@ -1194,14 +1341,14 @@ class SpecializedSampleKernel:
             # sections are dead at the block boundary
             sample_greads = section_genuine_reads(program, "sample")
             fb = (writes_b | writes_sl) & sample_writes & sample_greads
+            self._block_writes = writes_b | writes_sl
+            self.control_vars = (writes_b | writes_sl) - sample_writes
             if hot or fb:
                 if retriggers:
                     raise SpecializeError(
                         "audio-coupled @block retriggers @slider — not "
                         "device-executable yet")
                 self._require_devblock()
-            self._block_writes = writes_b | writes_sl
-            self.control_vars = (writes_b | writes_sl) - sample_writes
 
         while True:
             try:
@@ -1230,21 +1377,80 @@ class SpecializedSampleKernel:
 
     def _require_devblock(self) -> None:
         """Switch to the coupled regime: @block must compile to device code
-        (raises SpecializeError with the devgen reason if it cannot)."""
+        (raises SpecializeError with the devgen reason if it cannot).  Also
+        discovers block-invariant constants: @block vars unconditionally
+        re-derived from frozen slider/init state each block (filter lengths,
+        coefficients) fold as CVs in @sample instead of control streams —
+        which is what lets data-dependent-looking loop bounds unroll."""
         if self.coupled:
             return
         from .devgen import DeviceSection, DevgenError, section_dynamic_keys
 
         try:
-            DeviceSection(self.P, self.snap, "block",
-                          section_dynamic_keys(self.P, ("block", "sample")),
-                          1 << 10, consts={"samplesblock": float(self.B)})
+            DeviceSection(
+                self.P, self.snap, "block",
+                section_dynamic_keys(self.P, ("block", "sample")),
+                1 << 22, consts={"samplesblock": float(self.B)})
         except DevgenError as exc:
             raise SpecializeError(f"audio-coupled @block: {exc}") from None
-        if self.P.sections.get("slider"):
-            # @slider re-runs on host slider pushes only; that path is
-            # unaffected, nothing to do here
-            pass
+
+        # block-invariant constant discovery: audio-UNTAINTED @block vars
+        # evolve independently of the device, so the host can probe them.
+        # If the untainted state reaches a fixpoint after the FIRST block
+        # (state after block 1 == after block 2), those values hold during
+        # every block's samples and fold as CVs in @sample — e.g. filter
+        # lengths/coefficients rebuilt once behind a need_rebuild flag
+        # (ref shape: TSEQ.jsfx @block rebuild_all/update_consts gate).
+        self._block_consts = {}
+        try:
+            sample_writes = assigned_vars_of_sample(self.P)
+            tainted, deps = _block_var_dataflow(self.P, sample_writes)
+            clean = {k[1] for k in self.control_vars
+                     if k[0] == "var" and k[1] not in tainted}
+            if clean:
+                from ..shadow import compile_shadow
+
+                plug = compile_shadow(self.P)
+                plug.state = self.snap.clone()
+                plug.state.samplesblock = float(self.B)
+                plug.run_block()
+                v1 = dict(plug.state.V)
+                plug.run_block()
+                v2 = dict(plug.state.V)
+
+                def stable(name: str) -> bool:
+                    a = float(v1.get(name, 0.0))
+                    b = float(v2.get(name, 0.0))
+                    return a == b or (math.isnan(a) and math.isnan(b))
+
+                # a clean var folds only if its whole clean dependency
+                # closure repeats between block 1 and 2 (then by induction
+                # it repeats forever — clean vars read no audio state)
+                closure_ok: Dict[str, bool] = {}
+
+                def ok(name: str, stack: Set[str]) -> bool:
+                    got = closure_ok.get(name)
+                    if got is not None:
+                        return got
+                    if name in stack:
+                        return stable(name)
+                    if name in tainted or not stable(name):
+                        closure_ok[name] = False
+                        return False
+                    stack.add(name)
+                    out = all(ok(d, stack) for d in deps.get(name, ())
+                              if dollar_const(d) is None)
+                    stack.discard(name)
+                    closure_ok[name] = out
+                    return out
+
+                for name in clean:
+                    if ok(name, set()):
+                        self._block_consts[("var", name)] = float(
+                            v1.get(name, 0.0))
+        except Exception:
+            self._block_consts = {}
+        self.control_vars -= set(self._block_consts)
         self.coupled = True
 
     def _build_devblock(self) -> None:
@@ -1374,7 +1580,8 @@ class SpecializedSampleKernel:
         for _ in range(8):
             sym = _SymExec(self.P, self.snap, self.nch, inductions, cells,
                            self.B, control_vars=self.control_vars,
-                           mod_inductions=mod_inductions)
+                           mod_inductions=mod_inductions,
+                           const_overrides=self._block_consts)
             sym.run(self.P.sections["sample"])
             new_ind = dict(inductions)
             new_modind = dict(mod_inductions)
