@@ -14,6 +14,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: the coupled-pipeline plugins (TSEQ, ERBTilt)
+# have multi-minute first compiles; cache them across test runs
+_cache_dir = os.path.expanduser("~/.cache/zorak_tpu/jaxcache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
 import pathlib
 
 import pytest

@@ -244,6 +244,46 @@ class TestModRing:
         assert rep.audio_passed, rep.summary()
 
 
+class TestGatedDynWrite:
+    """Write-only metering histories: `cond ? (hist[wpos] = v; wpos += 1;
+    wpos >= M ? wpos = 0)` — gated dynamic scatters with last-writer
+    resolution (the SOMA.jsfx:713-721 shape)."""
+
+    def test_decimated_history_write(self):
+        src = ("@init\nHIST = 900;\n"
+               "@sample\npeak = max(peak, abs(spl0));\ncnt += 1;\n"
+               "cnt >= 37 ? (\n"
+               "  HIST[wpos] = peak;\n"
+               "  wpos += 1; wpos >= 50 ? wpos = 0;\n"
+               "  cnt = 0; peak = 0;\n"
+               ");\nspl0 = spl0 * 0.5;\n")
+        rep = null_test_plugin(compile_plugin_source(src), noise(1, 6000),
+                               segment_len=2048, compare_state=True)
+        assert rep.passed, rep.summary()
+
+    def test_every_sample_dynamic_write(self):
+        # ungated dynamic write through a wrapped var cursor (no mask op
+        # at the write site)
+        src = ("@init\nTAB = 400;\n"
+               "@sample\nTAB[p] = spl0;\n"
+               "p += 1; p >= 100 ? p = 0;\n"
+               "spl0 = 0.25 * spl0;\n")
+        rep = null_test_plugin(compile_plugin_source(src), noise(1, 4000),
+                               segment_len=1024, compare_state=True)
+        assert rep.passed, rep.summary()
+
+    def test_read_of_dyn_region_rejected(self):
+        # gated writes have no read resolution: reading the region falls out
+        src = ("@init\nTAB = 400;\n"
+               "@sample\ncnt += 1;\n"
+               "cnt >= 7 ? (TAB[w] = spl0; w += 1; w >= 16 ? w = 0; cnt = 0;);\n"
+               "spl0 = TAB[3];\n")
+        prog = compile_plugin_source(src)
+        shadow = make_initialized_shadow(prog)
+        with pytest.raises(SpecializeError):
+            specialize_sample_kernel(prog, shadow.state, 1)
+
+
 class TestScanGroup:
     def test_nonlinear_self_recurrence(self):
         src = "@sample\nz = z*0.9 + z*z*0.01 + spl0*0.1;\nspl0 = z;\n"

@@ -309,6 +309,23 @@ class _RingWrite:
         self.order = order
 
 
+class _DynWrite:
+    """Conditionally-gated mem write at a time-varying address (metering
+    histories: `cond ? ( hist[wpos] = v; wpos += 1; wpos >= M ? wpos = 0 )`).
+    origin is the concrete base; idx the per-sample index node; gate the
+    condition node (None = unconditional); mod resolved at plan time from
+    the index var's wrap bound."""
+    __slots__ = ("origin", "idx", "value", "gate", "order", "mod")
+
+    def __init__(self, origin, idx, value, gate, order):
+        self.origin = origin
+        self.idx = idx
+        self.value = value
+        self.gate = gate
+        self.order = order
+        self.mod = 0
+
+
 class _SymExec:
     def __init__(self, program: PluginProgram, snapshot, nch: int,
                  induction_vars: Dict[Any, int],
@@ -335,6 +352,8 @@ class _SymExec:
         self.prev_nodes: Dict[Any, GNode] = {}
         self.writes: Set[Any] = set()
         self.ring_writes: Dict[Tuple[int, int], _RingWrite] = {}
+        self.dyn_writes: List[_DynWrite] = []
+        self._gate: Optional[GNode] = None  # ambient branch condition
         self.written_cells: Set[int] = set()
         self.read_cells: Set[int] = set()
         self.order = 0
@@ -570,6 +589,29 @@ class _SymExec:
             return
         if isinstance(addr, IndAff):
             raise SpecializeError("unbounded cursor mem write (no mask)")
+        if isinstance(addr, TS):
+            # gated dynamic write (metering-history shape): peel constant
+            # adds to a concrete base; the index bound resolves at plan
+            # time from the cursor var's wrap pattern
+            origin = 0
+            node = addr.node
+            while isinstance(node, GNode) and node.kind == "bin" \
+                    and node.op == "+":
+                a, b = node.args
+                if isinstance(a, float) and _is_int(a):
+                    origin += int(a)
+                    node = b
+                elif isinstance(b, float) and _is_int(b):
+                    origin += int(b)
+                    node = a
+                else:
+                    node = None
+                    break
+            if node is not None and origin >= 0 and isinstance(node, GNode):
+                self.order += 1
+                self.dyn_writes.append(_DynWrite(
+                    origin, node, self._node(val), self._gate, self.order))
+                return
         # dynamic address write: mark; final pass raises
         self.written_cells.add(-1)
 
@@ -616,9 +658,19 @@ class _SymExec:
         base_rings = dict(self.ring_writes)
 
         # run each branch with its OWN write-set so the merge below only
-        # touches variables the branch actually assigned
+        # touches variables the branch actually assigned; dynamic mem
+        # writes carry the arm's condition as their gate
+        base_gate = self._gate
+        cnode0 = self._node(cond)
+
+        def _and(old, cn):
+            if old is None:
+                return cn
+            return GNode("select", args=(old, cn, 0.0))
+
         self._branch_depth += 1
         self.writes = set()
+        self._gate = _and(base_gate, cnode0)
         tval = then_fn() if then_fn else CV(0.0)
         then_env, then_writes = self.env, self.writes
         if self.ring_writes != base_rings:
@@ -626,11 +678,14 @@ class _SymExec:
 
         self.env = dict(base_env)
         self.writes = set()
+        self._gate = _and(base_gate,
+                          GNode("call", op="not", args=(cnode0,)))
         eval_ = else_fn() if else_fn else CV(0.0)
         else_env, else_writes = self.env, self.writes
         if self.ring_writes != base_rings:
             raise SpecializeError("ring write inside data-dependent branch")
 
+        self._gate = base_gate
         self._branch_depth -= 1
         merged = dict(base_env)
         cnode = self._node(cond)
@@ -1158,6 +1213,60 @@ def _block_var_dataflow(program: PluginProgram, sample_writes: Set[Any]
         if (len(tainted), sum(len(v) for v in deps.values())) == before:
             break
     return tainted, deps
+
+
+def _iter_nodes(root):
+    seen: Set[int] = set()
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        if not isinstance(n, GNode) or id(n) in seen:
+            continue
+        seen.add(id(n))
+        yield n
+        stack.extend(a for a in n.args if isinstance(a, GNode))
+
+
+def _dyn_write_bound(sym, idx_node) -> Optional[int]:
+    """Prove an upper bound for a dynamic write index.
+
+    Direct mask/wrap forms carry their own modulus; a bare prev(cursor)
+    read takes its bound from the cursor's own wrap-reset pattern
+    (select(prev-chain >= M, 0, ...)) plus an in-range start value."""
+    if not isinstance(idx_node, GNode):
+        return None
+    if idx_node.kind == "maskidx":
+        return int(idx_node.meta["mod"])
+    if idx_node.kind != "prev":
+        return None
+    key = idx_node.meta["key"]
+    out = sym.env.get(key)
+    node = out.node if isinstance(out, TS) else None
+    if node is None:
+        return None
+
+    def contains_prev(x) -> bool:
+        return any(n.kind == "prev" and n.meta["key"] == key
+                   for n in _iter_nodes(x)) if isinstance(x, GNode) else False
+
+    best: Optional[int] = None
+    for x in _iter_nodes(node):
+        if x.kind != "select":
+            continue
+        cond, tv, _ev = x.args
+        if not (isinstance(cond, GNode) and cond.kind == "bin"
+                and cond.op in (">=", ">") and tv == 0.0):
+            continue
+        lhs, lim = cond.args
+        if isinstance(lim, float) and _is_int(lim) and contains_prev(lhs):
+            m = int(lim) + (1 if cond.op == ">" else 0)
+            best = m if best is None else max(best, m)
+    if best is None or best < 1:
+        return None
+    start = sym._state_value(key)
+    if not (_is_int(start) and 0 <= start < best):
+        return None
+    return best
 
 
 def _linearize(node: Union[GNode, float], key, cache: Dict[int, Set],
@@ -1703,6 +1812,10 @@ class SpecializedSampleKernel:
                 push(sv.node)
         for w in sym.ring_writes.values():
             push(w.value) if isinstance(w.value, GNode) else None
+        for dw in sym.dyn_writes:
+            for x in (dw.idx, dw.value, dw.gate):
+                if isinstance(x, GNode):
+                    push(x)
         while stack:
             n = stack.pop()
             yield n
@@ -1893,7 +2006,36 @@ class SpecializedSampleKernel:
                   if n.kind in ("ringref", "dynringref")
                   and n.meta["region"] not in sym.ring_writes}
         self.static_ring_regions = sorted(static)
-        self.carry_regions = self.ring_regions + (
+
+        # gated dynamic writes (write-only metering histories): resolve
+        # index bounds and require full disjointness from everything the
+        # sample path reads or writes
+        self.dyn_write_map: Dict[Tuple[int, int], _DynWrite] = {}
+        for w in sym.dyn_writes:
+            mod = _dyn_write_bound(sym, w.idx)
+            if mod is None:
+                raise SpecializeError(
+                    "dynamic mem write with unprovable index bound")
+            w.mod = mod
+            region = (w.origin, mod)
+            if region in self.dyn_write_map:
+                raise SpecializeError(
+                    "multiple dynamic writes to one mem region per sample")
+            self.dyn_write_map[region] = w
+        if self.dyn_write_map:
+            read_spans = list(static) + \
+                [(w.origin, w.mod) for w in sym.ring_writes.values()] + \
+                [(a, 1) for a in sym.read_cells] + \
+                [(a, 1) for a in sym.written_cells if a >= 0]
+            for origin, mod in self.dyn_write_map:
+                for o2, m2 in read_spans:
+                    if origin < o2 + m2 and o2 < origin + mod:
+                        raise SpecializeError(
+                            "dynamic mem write region overlaps sample-read "
+                            "state — last-writer read resolution not "
+                            "supported for gated writes yet")
+        self.dyn_regions = sorted(self.dyn_write_map)
+        self.carry_regions = self.ring_regions + self.dyn_regions + (
             self.static_ring_regions if self.coupled else [])
 
     # -- emission ------------------------------------------------------------
@@ -1909,6 +2051,7 @@ class SpecializedSampleKernel:
         nch = self.nch
         carried_vars = self.carried_vars
         carry_regions = self.carry_regions
+        dyn_write_map = self.dyn_write_map
         snap = self.snap
 
         static_regions: Dict[Tuple[int, int], np.ndarray] = {}
@@ -2244,8 +2387,30 @@ class SpecializedSampleKernel:
             new_rings = {}
             for region in carry_regions:
                 w = sym.ring_writes.get(region)
-                if w is None:  # carried read-only region: pass through
-                    new_rings[region] = rings[region]
+                if w is None:
+                    dw = dyn_write_map.get(region)
+                    if dw is None:  # carried read-only region: pass through
+                        new_rings[region] = rings[region]
+                        continue
+                    # gated dynamic write: last-writer-wins scatter (sort
+                    # by slot then time; only each slot's final write
+                    # lands; gated-off and out-of-range samples drop)
+                    mod = region[1]
+                    idx = EM.to_i64(_arr(emit(dw.idx)))
+                    val = _full(emit(dw.value))
+                    live = (idx >= 0) & (idx < mod)
+                    if dw.gate is not None:
+                        live = live & EM.truthy_mask(_arr(emit(dw.gate)))
+                    pos = jnp.where(live, idx, mod)
+                    order = jnp.argsort(pos * (L + 1) + t64)
+                    pos_s = pos[order]
+                    val_s = val[order]
+                    last = jnp.concatenate(
+                        [pos_s[1:] != pos_s[:-1],
+                         jnp.ones((1,), dtype=bool)])
+                    target = jnp.where(last, pos_s, mod)
+                    new_rings[region] = rings[region].at[target].set(
+                        val_s, mode="drop")
                     continue
                 src = ring_source(region)
                 k = min(L, w.mod)
