@@ -359,6 +359,7 @@ class _SymExec:
         self.order = 0
         self.depth = 0
         self.rand_slots = 0
+        self.rand_sites: List[Tuple[int, Optional[GNode]]] = []
         self._branch_depth = 0
         self.L_hint = segment_len_hint
 
@@ -923,13 +924,17 @@ class _SymExec:
         if fn == "rand":
             if len(n.args) > 1:
                 raise SpecializeError("rand expects 0 or 1 args")
-            if self._branch_depth > 0:
-                raise SpecializeError(
-                    "rand() inside a data-dependent branch (draw count "
-                    "would diverge from the golden sequence)")
+            # a call site inside a data-dependent branch draws only when
+            # its gate holds; the vector engine compacts draw indices with
+            # a gate-count prefix sum so the MT19937 sequence matches the
+            # golden's conditional consumption exactly
             slot = self.rand_slots
             self.rand_slots += 1
-            u = TS(GNode("rand", meta={"slot": slot}))
+            self.order += 1
+            args = (self._gate,) if self._gate is not None else ()
+            self.rand_sites.append((slot, self._gate))
+            u = TS(GNode("rand", args=args,
+                         meta={"slot": slot, "order": self.order}))
             if n.args:
                 limit = self.eval(n.args[0], scope)
             else:
@@ -1991,10 +1996,16 @@ class SpecializedSampleKernel:
         # cannot happen (env is functional).  Nothing more to verify here.
         self.plans = plans
 
+        # gated rand sites: the consumed-draw counter rides in the carry
+        self.rand_sites = sorted(sym.rand_sites)
+        self.rand_gated = any(g is not None for _s, g in self.rand_sites)
+
         # dynamic carried state: every written var + every prev-read key
         # + input spl registers (their post-render value is the last input)
         carried = set(sym.writes) | set(sym.prev_nodes.keys()) | set(sym.inductions)
         carried |= {("spl", c) for c in range(self.nch)}
+        if self.rand_gated:
+            carried.add(("rand", "used"))
         self.carried_vars = sorted(carried, key=repr)
         self.scalar_index = {key: i for i, key in enumerate(self.carried_vars)}
         self.ring_regions = sorted(
