@@ -15,8 +15,31 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache: the coupled-pipeline plugins (TSEQ, ERBTilt)
-# have multi-minute first compiles; cache them across test runs
-_cache_dir = os.path.expanduser("~/.cache/zorak_tpu/jaxcache")
+# have multi-minute first compiles; cache them across test runs.  The dir
+# is keyed by a host fingerprint: XLA:CPU AOT results compiled for another
+# machine's feature set SIGILL/segfault when loaded (observed when this
+# container migrates hosts between rounds).
+
+
+def _host_fingerprint() -> str:
+    import hashlib
+    import platform
+
+    feat = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feat = line
+                    break
+    except OSError:
+        pass
+    raw = f"{platform.machine()}|{feat}"
+    return hashlib.sha1(raw.encode()).hexdigest()[:12]
+
+
+_cache_dir = os.path.expanduser(
+    f"~/.cache/zorak_tpu/jaxcache-{_host_fingerprint()}")
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)

@@ -133,3 +133,115 @@ def test_forbidden_builtins_raise():
     with pytest.raises(DevgenError):
         DeviceSection(prog, snap, "block",
                       section_dynamic_keys(prog, ("block",)), 1 << 12)
+
+
+class TestElementwiseVectorization:
+    """Unit-step elementwise loops (addbuf/overlap-add shape) vectorize to
+    slices; static-predicate whiles unroll at trace time and the static
+    overlay survives loops that never write a slot."""
+
+    def test_addbuf_shape_matches_golden(self):
+        src = """@init
+A = 0; B = 256; N = 128;
+i = 0;
+while (i < N) ( A[i] = i * 0.5; B[i] = 1 + i; i += 1; );
+@block
+i = 0;
+while (i < N) ( A[i] += B[i] * 0.25; i += 1; );
+k = i;
+@sample
+spl0 = spl0;
+"""
+        prog = compile_plugin_source(src)
+        sh = make_initialized_shadow(prog)
+        dyn = section_dynamic_keys(prog, ("block", "sample"))
+        dev = DeviceSection(prog, sh.state, "block", dyn, 1 << 12,
+                            consts={"samplesblock": 64.0})
+        import jax.numpy as jnp
+        v, m = dev.step(jnp.asarray(dev.initial_vars()),
+                        jnp.asarray(dev.initial_mem()))
+        m = np.asarray(m)
+        i = np.arange(128)
+        assert np.allclose(m[:128], i * 0.5 + (1 + i) * 0.25)
+        assert float(v[dev.slots[("var", "k")]]) == 128.0
+
+    def test_two_buffer_overlap_add(self):
+        # the hop epilogue shape: wet[i] = ov[i] + acc[i]*sc; ov[i] = acc[i+P]*sc
+        src = """@init
+ACC = 0; OV = 512; WET = 768; P = 200;
+i = 0;
+while (i < 2*P) ( ACC[i] = i + 1; i += 1; );
+i = 0;
+while (i < P) ( OV[i] = 1000 + i; i += 1; );
+@block
+sc = 0.5;
+i = 0;
+while (i < P) (
+  WET[i] = OV[i] + ACC[i] * sc;
+  OV[i] = ACC[i + P] * sc;
+  i += 1;
+);
+@sample
+spl0 = spl0;
+"""
+        prog = compile_plugin_source(src)
+        sh = make_initialized_shadow(prog)
+        dyn = section_dynamic_keys(prog, ("block", "sample"))
+        dev = DeviceSection(prog, sh.state, "block", dyn, 1 << 11,
+                            consts={"samplesblock": 64.0})
+        import jax.numpy as jnp
+        _, m = dev.step(jnp.asarray(dev.initial_vars()),
+                        jnp.asarray(dev.initial_mem()))
+        m = np.asarray(m)
+        i = np.arange(200)
+        assert np.allclose(m[768:968], (1000 + i) + (i + 1) * 0.5)
+        assert np.allclose(m[512:712], (i + 200 + 1) * 0.5)
+
+    def test_cross_iteration_recurrence_not_vectorized(self):
+        # y[i] = y[i-1] + x[i]: must still match the golden (falls back)
+        src = """@init
+X = 0; Y = 300; N = 64;
+i = 0;
+while (i < N) ( X[i] = i; i += 1; );
+Y[0] = 0;
+@block
+i = 1;
+while (i < N) ( Y[i] = Y[i - 1] + X[i]; i += 1; );
+@sample
+spl0 = spl0;
+"""
+        prog = compile_plugin_source(src)
+        sh = make_initialized_shadow(prog)
+        dyn = section_dynamic_keys(prog, ("block", "sample"))
+        dev = DeviceSection(prog, sh.state, "block", dyn, 1 << 10,
+                            consts={"samplesblock": 64.0})
+        import jax.numpy as jnp
+        _, m = dev.step(jnp.asarray(dev.initial_vars()),
+                        jnp.asarray(dev.initial_mem()))
+        m = np.asarray(m)
+        assert np.allclose(m[300:364], np.cumsum(np.arange(64)))
+
+    def test_static_while_unroll_keeps_handle_static(self):
+        # a slot consulted after a loop that never writes it stays static
+        # (the PsychoConvolver file_close(h)-after-resample shape)
+        src = """@init
+T = 0;
+@block
+h = 3;
+n = 100;
+i = 0;
+while (i < n) ( T[i] = spl_probe + i; i += 1; );
+hh = h * 2;
+@sample
+spl_probe = spl0;
+spl0 = spl0;
+"""
+        prog = compile_plugin_source(src)
+        sh = make_initialized_shadow(prog)
+        dyn = section_dynamic_keys(prog, ("block", "sample"))
+        dev = DeviceSection(prog, sh.state, "block", dyn, 1 << 10,
+                            consts={"samplesblock": 64.0})
+        import jax.numpy as jnp
+        v, _ = dev.step(jnp.asarray(dev.initial_vars()),
+                        jnp.asarray(dev.initial_mem()))
+        assert float(v[dev.slots[("var", "hh")]]) == 6.0

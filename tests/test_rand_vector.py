@@ -64,12 +64,42 @@ class TestRandInSample:
                                 ).astype(np.float32), segment_len=512)
         assert rep.passed, rep.summary()
 
-    def test_rand_in_branch_rejected(self):
-        src = "@sample\nspl0 > 0 ? ( spl0 = rand(1); );\n"
+    def test_rand_in_branch(self):
+        # draws consumed only when the gate holds: the vector engine
+        # compacts draw indices with a fire-count prefix sum
+        src = "@sample\nspl0 > 0 ? ( spl0 = rand(1) * 0.5; ) : ( spl0 *= 2; );\n"
+        rep = null_test_plugin(compile_plugin_source(src),
+                               (np.random.RandomState(5).randn(1, 1500) * 0.4
+                                ).astype(np.float32), segment_len=512)
+        assert rep.passed, rep.summary()
+
+    def test_rand_in_branch_streamed(self):
+        # generator state must rebase between resumed renders (only the
+        # consumed draws advance the stream)
+        from zorak_tpu.shadow import compile_native_shadow
+        from zorak_tpu.verify.nulltest import apply_slider_state
+
+        src = "@sample\nspl0 > 0 ? ( spl0 = rand(1) * 0.5; ) : ( spl0 *= 2; );\n"
         prog = compile_plugin_source(src)
+        x = (np.random.RandomState(6).randn(1, 1400) * 0.4).astype(np.float32)
+
+        gold = compile_native_shadow(prog)
+        gold.state.srate = 48000.0
+        apply_slider_state(gold.state, prog, None)
+        gold.run_init()
+        gold.run_slider()
+        y_ref = np.zeros_like(x)
+        for s in range(0, 1400, 512):
+            e = min(s + 512, 1400)
+            gold.process_block(x[:, s:e], y_ref[:, s:e])
+
         shadow = make_initialized_shadow(prog)
-        with pytest.raises(SpecializeError):
-            specialize_sample_kernel(prog, shadow.state, 1)
+        kern = specialize_sample_kernel(prog, shadow.state, 1,
+                                        segment_len=512)
+        y1, carry = kern.render(x[:, :700])
+        y2, carry = kern.render(x[:, 700:], carry)
+        y = np.concatenate([y1, y2], axis=1)
+        assert np.abs(y.astype(np.float64) - y_ref).max() <= 1e-5
 
     def test_rng_state_parity_after_render(self):
         src = "@sample\nspl0 = rand(1);\n"

@@ -117,8 +117,18 @@ class TestBasicKernels:
 
 
 class TestUnsupportedFallsOut:
-    def test_while_loop_rejected(self):
+    def test_countdown_while_vectorizes(self):
+        # unit-step range loops are the wrap-normalize shape: handled
         src = "@sample\ni = spl0*10;\nwhile (i > 0) ( i -= 1; );\nspl0 = i;\n"
+        rep = null_test_plugin(compile_plugin_source(src),
+                               noise(1, 1200, scale=0.4, seed=31),
+                               segment_len=512)
+        assert rep.passed, rep.summary()
+
+    def test_general_while_loop_rejected(self):
+        # multiplicative update: not a wrap-normalize; honest rejection
+        src = ("@sample\ni = spl0*10;\n"
+               "while (i > 1) ( i = i * 0.25; );\nspl0 = i;\n")
         prog = compile_plugin_source(src)
         shadow = make_initialized_shadow(prog)
         with pytest.raises(SpecializeError):
@@ -369,3 +379,109 @@ class TestDDTNull:
         assert rep.audio_passed, rep.summary()
         bad = [m for m in rep.var_mismatches if abs(m[1] - m[2]) > 1e-6]
         assert not bad, bad
+
+
+class TestSettledGuards:
+    """Optimistic settled constants: re-init guards whose condition folds
+    false against the snapshot must not force their branch's state (or
+    non-vectorizable constructs) into the carried set
+    (ref shape: Alias.jsfx @sample `srate != last_srate ? update_coeffs()`)."""
+
+    def test_dead_reinit_guard_folds(self):
+        src = """@init
+last = srate;
+g = 0.25;
+@sample
+srate != last ? (
+  last = srate;
+  while (spl0 > 0) ( spl0 = spl0 * 0.5 - 1; );  // rejected if live
+  g = 0.5;
+);
+spl0 = spl0 * g;
+"""
+        prog = compile_plugin_source(src)
+        x = noise(1, 3000, scale=0.4)
+        rep = null_test_plugin(prog, x, segment_len=1024)
+        assert rep.passed, rep.summary()
+
+    def test_live_guard_still_carries(self):
+        # the guard DOES fire (snapshot mismatch): honest rejection of the
+        # data-dependent while inside it
+        src = """@init
+last = 0;
+g = 0.25;
+@sample
+srate != last ? (
+  last = srate;
+  while (spl0 > 0) ( spl0 = spl0 * 0.5 - 1; );
+  g = 0.5;
+);
+spl0 = spl0 * g;
+"""
+        prog = compile_plugin_source(src)
+        shadow = make_initialized_shadow(prog)
+        with pytest.raises(SpecializeError):
+            specialize_sample_kernel(prog, shadow.state, 1)
+
+
+class TestMultiWriterRing:
+    """Several delay-line 'instances' sharing one buffer (never pointed at
+    distinct bases): every write lands on the same slot per sample; reads
+    resolve by program order (ref shape: Alias.jsfx intdelay, buf unset)."""
+
+    SRC = """@init
+function idel(x, ds) instance(buf, pos) local(rp, o) (
+  buf[pos] = x;
+  rp = pos - ds;
+  rp < 0 ? rp += 64;
+  o = buf[rp];
+  pos = (pos + 1) & 63;
+  o;
+);
+@sample
+a = d1.idel(spl0 * 0.9, 13);
+b = d2.idel(spl0 - 0.2, 29);
+spl0 = 0.5 * a + 0.25 * b;
+"""
+
+    def test_two_writers_null(self):
+        prog = compile_plugin_source(self.SRC)
+        x = noise(1, 2000, scale=0.4, seed=11)
+        rep = null_test_plugin(prog, x, segment_len=512)
+        assert rep.passed, rep.summary()
+
+    def test_zero_delay_reads_own_write(self):
+        src = self.SRC.replace("13)", "0)")
+        prog = compile_plugin_source(src)
+        x = noise(1, 1500, scale=0.4, seed=12)
+        rep = null_test_plugin(prog, x, segment_len=512)
+        assert rep.passed, rep.summary()
+
+
+class TestWrapNormalizeWhile:
+    """`while (a > 180) a -= 360;` lowers to one vector-wide masked
+    fixpoint loop, bit-exact to per-element repeated subtraction
+    (ref shape: 3DPanner.jsfx:137-138)."""
+
+    def test_angle_wrap_null(self):
+        src = """@sample
+a = spl0 * 1000;
+while (a > 180) ( a -= 360; );
+while (a < -180) ( a += 360; );
+spl0 = a / 360;
+"""
+        prog = compile_plugin_source(src)
+        x = noise(1, 3000, scale=0.9, seed=21)
+        rep = null_test_plugin(prog, x, segment_len=1024)
+        assert rep.passed, rep.summary()
+
+    def test_wrap_feeding_recurrence(self):
+        src = """@sample
+ph += 0.37 + spl0;
+while (ph > 1) ( ph -= 2; );
+spl0 = ph * 0.5;
+"""
+        prog = compile_plugin_source(src)
+        x = noise(1, 2500, scale=0.3, seed=22)
+        rep = null_test_plugin(prog, x, segment_len=1024)
+        assert rep.passed, rep.summary()

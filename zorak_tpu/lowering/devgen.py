@@ -115,13 +115,27 @@ class DeviceSection:
 
     def __init__(self, program: PluginProgram, snapshot, section: str,
                  dynamic_keys: Set[Any], mem_size: int,
-                 consts: Optional[Dict[str, float]] = None):
+                 consts: Optional[Dict[str, float]] = None,
+                 body: Optional[Sequence[Node]] = None):
         self.P = program
         self.snap = snapshot
         self.section = section
         self.mem_size = int(mem_size)
         self.consts = dict(consts or {})
-        self._validate(program.sections.get(section, []))
+        # explicit statement list (e.g. an extracted hop-call body) instead
+        # of a named section
+        self.body = list(body) if body is not None \
+            else list(program.sections.get(section, []))
+        self._validate(self.body)
+        self.uses_gmem = self._detect_gmem(self.body)
+        # gmem maps into the device heap right after plugin mem: all state
+        # plumbing (branch merges, loop carries, the coupled pipeline's
+        # heap sync) covers it for free; plugin mem addressing clamps at
+        # mem_size so the regions never alias
+        self.gmem_cells = int(len(getattr(snapshot, "gmem", ()))) \
+            if self.uses_gmem else 0
+        self.gmem_base = self.mem_size
+        self.total_mem = self.mem_size + self.gmem_cells
 
         # slot table: dynamic vars + every specialized-fn param (params are
         # assigned per call; functions are non-reentrant, so one slot each)
@@ -139,8 +153,7 @@ class DeviceSection:
     _FORBIDDEN = frozenset({
         "rand", "midirecv", "midisend", "midisend_buf", "midirecv_buf",
         "sliderchange", "slider_automate", "slider_show", "slider_next_chg",
-        "gmem_attach", "gmem_attach_size", "gmem_put", "gmem_get",
-        "gmem_fill", "gmem_zero", "msg_send", "msg_recv", "msg_peek",
+        "msg_send", "msg_recv", "msg_peek",
         "msg_advertise", "msg_subscribe", "msg_peer_count", "msg_peer_id",
         "comm_join", "instance_id", "instance_set_name",
         "file_string", "file_read", "file_write",
@@ -171,23 +184,47 @@ class DeviceSection:
                             raise DevgenError(
                                 f"@{self.section} uses {f}() — not "
                                 "device-executable")
+        scan(stmts)
+
+    _GMEM_FNS = frozenset({
+        "gmem_attach", "gmem_attach_size", "gmem_size", "gmem_get",
+        "gmem_put", "gmem_fill", "gmem_zero", "gmem_copy"})
+
+    def _detect_gmem(self, stmts: Sequence[Node]) -> bool:
+        from ..frontend.astnodes import walk
+
+        seen: Set[str] = set()
+
+        def scan(nodes) -> bool:
+            for root in nodes:
+                for n in walk(root):
                     if isinstance(n, Mem) and isinstance(n.base, Name) \
                             and n.base.ident == "gmem":
-                        raise DevgenError(
-                            f"@{self.section} uses gmem[] — not "
-                            "device-executable")
-        scan(stmts)
+                        return True
+                    if isinstance(n, CallExpr):
+                        if n.func in self._GMEM_FNS:
+                            return True
+                        if n.func in self.P.fn_defs and n.func not in seen:
+                            seen.add(n.func)
+                            if scan([self.P.fn_defs[n.func].body]):
+                                return True
+            return False
+
+        return scan(stmts)
 
     # -- trace-time state -----------------------------------------------------
 
     def step(self, vars_vec, mem):
         """Trace the section body once. vars_vec: f64[n_vars]; mem:
-        f64[mem_size].  Returns the updated pair."""
+        f64[total_mem] = [plugin heap | gmem segment view] (the gmem tail
+        is the block-synchronous HBM view of the shared array,
+        ref: src/DspJsfxGmem.h).  Returns the updated pair."""
         import jax.numpy as jnp
 
         self._jnp = jnp
         self.vars = vars_vec
         self.mem = mem
+        self._n_merges = 0
         # trace-time constant overlay: slots assigned a static value read
         # back static until a traced write / branch divergence / loop body
         # invalidates them (lets file handles, reload flags and local
@@ -197,7 +234,7 @@ class DeviceSection:
         # starts from a pristine cursor state (loads are self-contained
         # within one @block invocation — open/read/close)
         self._files = self._fresh_file_service()
-        for stmt in self.P.sections.get(self.section, []):
+        for stmt in self.body:
             self.ex(stmt)
         return self.vars, self.mem
 
@@ -224,9 +261,12 @@ class DeviceSection:
 
     def initial_mem(self) -> np.ndarray:
         self.snap.mem_ensure(1)
-        out = np.zeros(self.mem_size, dtype=np.float64)
+        out = np.zeros(self.total_mem, dtype=np.float64)
         n = min(len(self.snap.mem), self.mem_size)
         out[:n] = self.snap.mem[:n]
+        if self.gmem_cells:
+            gm = np.asarray(self.snap.gmem, dtype=np.float64)
+            out[self.gmem_base:self.gmem_base + len(gm)] = gm
         return out
 
     def _snap_value(self, key) -> float:
@@ -314,6 +354,46 @@ class DeviceSection:
         vv = jnp.float64(v) if isinstance(v, float) else v
         self.mem = self.mem.at[a].set(vv)
 
+    # -- gmem (attached shared segment, block-synchronous HBM view) ----------
+
+    def _gmem_index(self, x):
+        """max(0, trunc(x + 1e-5)) per shadow/state.py:_gmem_index."""
+        if isinstance(x, float):
+            try:
+                return max(0, int(x + 1.0e-5))
+            except (ValueError, OverflowError):
+                return 0
+        return self._jnp.maximum(EM.to_i64(x + 1.0e-5), 0)
+
+    def _gmem_get(self, idx):
+        if not self.gmem_cells:
+            return 0.0
+        jnp = self._jnp
+        base = self.gmem_base
+        i = self._gmem_index(idx)
+        if isinstance(i, int):
+            if i >= self.gmem_cells:
+                return 0.0
+            return self.mem[base + i]
+        return jnp.where(
+            i < self.gmem_cells,
+            self.mem[base + jnp.clip(i, 0, self.gmem_cells - 1)],
+            jnp.float64(0.0))
+
+    def _gmem_set(self, idx, val):
+        if not self.gmem_cells:
+            return
+        jnp = self._jnp
+        base = self.gmem_base
+        i = self._gmem_index(idx)
+        vv = jnp.float64(val) if isinstance(val, float) else val
+        if isinstance(i, int):
+            if i < self.gmem_cells:
+                self.mem = self.mem.at[base + i].set(vv)
+            return
+        ii = jnp.where(i < self.gmem_cells, base + i, self.total_mem)
+        self.mem = self.mem.at[ii].set(vv, mode="drop")
+
     # -- structured control flow ----------------------------------------------
 
     def _clone_files(self):
@@ -326,9 +406,20 @@ class DeviceSection:
         svc._free_handles = list(self._files._free_handles)
         return svc
 
+    # branch-merge budget: every traced branch where-merges the whole
+    # heap; past this count the XLA CPU compile blows up (observed: CMD's
+    # 6922 merges OOM at 127 GB, ERBTilt's 562 compile fine) — reject at
+    # trace time so the build falls back honestly
+    _MERGE_BUDGET = 2048
+
     def _merged(self, cond, then_fn, else_fn):
         """Run both arms on state copies; where-merge state + value."""
         jnp = self._jnp
+        self._n_merges += 1
+        if self._n_merges > self._MERGE_BUDGET:
+            raise DevgenError(
+                "traced-branch merge volume exceeds the fused-program "
+                "compile budget")
         saved = (self.vars, self.mem)
         files0 = self._clone_files()
         fp0 = self._file_fingerprint()
@@ -389,6 +480,315 @@ class DeviceSection:
 
         return scan(root)
 
+    # -- elementwise loop vectorization -----------------------------------------
+
+    def _try_vec_elementwise(self, iv_ident: str, start: float, trip: int,
+                             stmts: Sequence[Node], scope) -> bool:
+        """Vectorize a unit-step elementwise loop (`while (i < n) (
+        dest[i] = f(src[i], ...); i += 1 )`, the addbuf/overlap-add shape,
+        ref: PsychoConvolver.jsfx:44-52,405-413) into sliced gathers and
+        scatters — a traced per-element loop would be sequential scalar
+        work on the device and a full unroll would explode the graph.
+
+        Sound only when every mem address is concrete (statics + the
+        induction), write addresses are strictly increasing, and read/write
+        index sets are either identical or disjoint (no cross-iteration
+        flow).  Returns True when handled; False restores state untouched."""
+        jnp = self._jnp
+        if trip <= 1:
+            return False
+        ivec = float(start) + np.arange(trip, dtype=np.float64)
+        env: Dict[Any, Any] = {}
+        reads: List[np.ndarray] = []
+        writes: List[np.ndarray] = []
+        # names assigned anywhere in the body: reading one before this
+        # iteration assigned it would be cross-iteration flow
+        assigned_names: Set[str] = set()
+        for st in stmts:
+            if isinstance(st, Asn) and isinstance(st.target, Name):
+                assigned_names.add(st.target.ident)
+
+        class _Reject(Exception):
+            pass
+
+        def concrete(v):
+            if isinstance(v, float):
+                return np.full(trip, v)
+            if isinstance(v, np.ndarray):
+                return v
+            raise _Reject
+
+        def addr_of(base, idx):
+            a = concrete(base) + concrete(idx) + 1.0e-5
+            a = np.trunc(a).astype(np.int64)
+            a = np.maximum(a, 0)
+            if int(a.max()) >= self.mem_size:
+                raise _Reject
+            return a
+
+        _NP_BIN = {
+            "+": np.add, "-": np.subtract, "*": np.multiply,
+            "<": lambda a, b: (a < b).astype(np.float64),
+            "<=": lambda a, b: (a <= b).astype(np.float64),
+            ">": lambda a, b: (a > b).astype(np.float64),
+            ">=": lambda a, b: (a >= b).astype(np.float64),
+            "==": lambda a, b: (a == b).astype(np.float64),
+            "!=": lambda a, b: (a != b).astype(np.float64),
+        }
+        _NP_UN = {"floor": np.floor, "ceil": np.ceil, "abs": np.abs,
+                  "sqrt": np.sqrt}
+
+        def vex(node, reading_addr=False):
+            if isinstance(node, Const):
+                return float(node.value)
+            if isinstance(node, Str):
+                return float(self.P.string_handle(node.text))
+            if isinstance(node, Name):
+                ident = node.ident
+                if ident == iv_ident:
+                    return ivec
+                got = env.get(ident)
+                if got is not None:
+                    return got
+                if ident in assigned_names:
+                    raise _Reject  # read-before-write: cross-iteration
+                if ident == "mem":
+                    return 0.0
+                c = dollar_const(ident)
+                if c is not None:
+                    return float(c)
+                return self._read_name(ident, scope)
+            if isinstance(node, Mem):
+                if isinstance(node.base, Name) and node.base.ident == "gmem":
+                    raise _Reject
+                a = addr_of(vex(node.base), vex(node.index))
+                reads.append(a)
+                return self.mem[a]
+            if isinstance(node, Un):
+                v = vex(node.operand)
+                if node.op == "+":
+                    return v
+                if node.op == "-":
+                    return -v if isinstance(v, (float, np.ndarray)) \
+                        else 0.0 - v
+                if node.op == "!":
+                    if isinstance(v, float):
+                        return SC.eel_not(v)
+                    if isinstance(v, np.ndarray):
+                        return (np.abs(v) < 0.5).astype(np.float64)
+                    return EM.eel_not(v)
+                raise _Reject
+            if isinstance(node, Bin):
+                if node.op in ("&&", "||"):
+                    raise _Reject
+                a = vex(node.lhs)
+                b = vex(node.rhs)
+                if isinstance(a, float) and isinstance(b, float):
+                    return _SC_BINARY[node.op](a, b)
+                if isinstance(a, (float, np.ndarray)) \
+                        and isinstance(b, (float, np.ndarray)) \
+                        and node.op in _NP_BIN:
+                    return _NP_BIN[node.op](a, b)
+                return EM.BINARY[node.op](self._varr(a), self._varr(b))
+            if isinstance(node, Cond):
+                c = vex(node.pred)
+                if isinstance(c, float):
+                    return vex(node.then if SC.truthy(c) else node.other)
+                t = vex(node.then)
+                e = vex(node.other)
+                if isinstance(c, np.ndarray) \
+                        and isinstance(t, (float, np.ndarray)) \
+                        and isinstance(e, (float, np.ndarray)):
+                    return np.where(np.abs(c) >= 0.5, t, e) + 0.0
+                return jnp.where(EM.truthy_mask(self._varr(c)),
+                                 self._varr(t), self._varr(e))
+            if isinstance(node, CallExpr):
+                f = node.func
+                if f in ("min", "max") and len(node.args) == 2:
+                    a, b = vex(node.args[0]), vex(node.args[1])
+                    if isinstance(a, float) and isinstance(b, float):
+                        return _SC_BINARY[f](a, b)
+                    if isinstance(a, (float, np.ndarray)) \
+                            and isinstance(b, (float, np.ndarray)):
+                        return (np.minimum if f == "min"
+                                else np.maximum)(a, b)
+                    return EM.BINARY[f](self._varr(a), self._varr(b))
+                if f in _SC_UNARY and len(node.args) == 1:
+                    a = vex(node.args[0])
+                    if isinstance(a, float):
+                        return _SC_UNARY[f](a)
+                    if isinstance(a, np.ndarray) and f in _NP_UN:
+                        return _NP_UN[f](a)
+                    fn = EM.UNARY.get(f) or _EM_UNARY_EXTRA.get(f)
+                    if fn is None:
+                        raise _Reject
+                    return fn(self._varr(a))
+                if f in ("pow", "atan2") and len(node.args) == 2:
+                    a, b = vex(node.args[0]), vex(node.args[1])
+                    if isinstance(a, float) and isinstance(b, float):
+                        return _SC_BINARY[f](a, b)
+                    return EM.BINARY[f](self._varr(a), self._varr(b))
+                raise _Reject
+            raise _Reject
+
+        mem0, vars0, known0 = self.mem, self.vars, dict(self._known)
+        try:
+            for st in stmts:
+                if not isinstance(st, Asn):
+                    raise _Reject
+                tgt = st.target
+                if isinstance(tgt, Name):
+                    if tgt.ident == iv_ident:
+                        raise _Reject  # only the recognized increment may
+                    rhs = vex(st.value)
+                    if st.op != "=":
+                        cur = vex(tgt)
+                        op = _COMPOUND_OPS[st.op]
+                        if isinstance(cur, float) and isinstance(rhs, float):
+                            rhs = _SC_BINARY[op](cur, rhs)
+                        elif isinstance(cur, (float, np.ndarray)) \
+                                and isinstance(rhs, (float, np.ndarray)) \
+                                and op in _NP_BIN:
+                            rhs = _NP_BIN[op](cur, rhs)
+                        else:
+                            rhs = EM.BINARY[op](self._varr(cur),
+                                                self._varr(rhs))
+                    env[tgt.ident] = rhs
+                elif isinstance(tgt, Mem):
+                    if isinstance(tgt.base, Name) and tgt.base.ident == "gmem":
+                        raise _Reject
+                    a = addr_of(vex(tgt.base), vex(tgt.index))
+                    if not bool(np.all(np.diff(a) > 0)):
+                        raise _Reject  # duplicate/unordered write slots
+                    rhs = vex(st.value)
+                    if st.op != "=":
+                        reads.append(a)
+                        cur = self.mem[a]
+                        rhs = EM.BINARY[_COMPOUND_OPS[st.op]](
+                            cur, self._varr(rhs))
+                    writes.append(a)
+                    vals = self._varr(rhs)
+                    if getattr(vals, "ndim", 0) == 0:
+                        vals = jnp.full((trip,), vals, dtype=jnp.float64)
+                    self.mem = self.mem.at[a].set(vals)
+                else:
+                    raise _Reject
+            # cross-iteration hazard check: every (read, write) index pair
+            # must be identical (same-cell-same-iteration) or disjoint
+            for w in writes:
+                for r in reads:
+                    if r.shape == w.shape and np.array_equal(r, w):
+                        continue
+                    if np.intersect1d(r, w).size:
+                        raise _Reject
+        except _Reject:
+            self.mem, self.vars, self._known = mem0, vars0, known0
+            return False
+        # commit final values of iteration temps and the induction
+        ivk = scope.get(iv_ident) or _env_key(iv_ident)
+        keys = {ident: (scope.get(ident) or _env_key(ident))
+                for ident in env}
+        if ivk not in self.slots or ivk[0] == "builtin" or any(
+                k not in self.slots or k[0] == "builtin"
+                for k in keys.values()):
+            self.mem, self.vars, self._known = mem0, vars0, known0
+            return False
+        for ident, v in env.items():
+            key = keys[ident]
+            if isinstance(v, np.ndarray):
+                self._write_slot(key, float(v[-1]))
+            elif isinstance(v, float):
+                self._write_slot(key, v)
+            else:
+                last = v[-1] if getattr(v, "ndim", 0) else v
+                self._write_slot(key, last)
+        self._write_slot(ivk, float(start + trip))
+        return True
+
+    def _varr(self, v):
+        """Promote float/np/traced to a traced value."""
+        if isinstance(v, float):
+            return self._jnp.float64(v)
+        if isinstance(v, np.ndarray):
+            return self._jnp.asarray(v)
+        return v
+
+    @staticmethod
+    def _match_unit_increment(st: Node, scope) -> Optional[str]:
+        """`i += 1` / `i = i + 1` -> 'i'."""
+        if not (isinstance(st, Asn) and isinstance(st.target, Name)):
+            return None
+        iv = st.target.ident
+        if st.op == "+=" and isinstance(st.value, Const) \
+                and st.value.value == 1.0:
+            return iv
+        if st.op == "=" and isinstance(st.value, Bin) and st.value.op == "+":
+            a, b = st.value.lhs, st.value.rhs
+            if isinstance(a, Name) and a.ident == iv \
+                    and isinstance(b, Const) and b.value == 1.0:
+                return iv
+            if isinstance(b, Name) and b.ident == iv \
+                    and isinstance(a, Const) and a.value == 1.0:
+                return iv
+        return None
+
+    def _vec_while(self, n: WhileStmt, scope) -> bool:
+        """Try elementwise vectorization of `while (i < bound) (...; i+=1)`."""
+        p = n.pred
+        if not (isinstance(p, Bin) and p.op == "<" and isinstance(p.lhs, Name)):
+            return False
+        iv = p.lhs.ident
+        body = n.body.items if isinstance(n.body, Block) else [n.body]
+        if not body or self._match_unit_increment(body[-1], scope) != iv:
+            return False
+        try:
+            bound = self.ex(p.rhs, dict(scope))
+            start = self._read_name(iv, scope)
+        except DevgenError:
+            return False
+        if not (isinstance(bound, float) and isinstance(start, float)):
+            return False
+        trip = int(SC.eel_ceil(bound - start))
+        if trip <= 1 or trip > (1 << 22):
+            return False
+        return self._try_vec_elementwise(iv, start, trip, body[:-1], scope)
+
+    def _loop_kept_known(self, nodes: Sequence[Node], scope) -> Dict[int, float]:
+        """Static overlay surviving a traced loop: slots whose env key the
+        loop body can never assign keep their known values (e.g. a file
+        handle consulted after a long resample loop)."""
+        from ..frontend.astnodes import walk as _walk
+
+        written: Set[Any] = set()
+        seen_fns: Set[str] = set()
+
+        def lval(node, sc):
+            if isinstance(node, Name):
+                written.add(sc.get(node.ident) or _env_key(node.ident))
+
+        def scan(roots, sc):
+            for root in roots:
+                for x in _walk(root):
+                    if isinstance(x, Asn):
+                        lval(x.target, sc)
+                    elif isinstance(x, CallExpr):
+                        f = x.func
+                        if f in self.P.fn_defs and f not in seen_fns:
+                            seen_fns.add(f)
+                            fdef = self.P.fn_defs[f]
+                            inner = {p: ("param", f, p) for p in fdef.params}
+                            written.update(inner.values())
+                            scan([fdef.body], inner)
+                        elif f == "file_riff" and len(x.args) == 3:
+                            lval(x.args[1], sc)
+                            lval(x.args[2], sc)
+                        elif f == "file_var" and len(x.args) == 2:
+                            lval(x.args[1], sc)
+
+        scan(nodes, scope)
+        wslots = {self.slots[k] for k in written if k in self.slots}
+        return {s: v for s, v in self._known.items() if s not in wslots}
+
     def _loop(self, n: LoopExpr, scope):
         import jax
 
@@ -409,15 +809,26 @@ class DeviceSection:
                 for _ in range(trip):
                     last = self.ex(n.body, scope)
                 return last
+            body_items = n.body.items if isinstance(n.body, Block) \
+                else [n.body]
+            if body_items and trip <= (1 << 22):
+                iv = self._match_unit_increment(body_items[-1], scope)
+                if iv is not None:
+                    start = self._read_name(iv, scope)
+                    if isinstance(start, float) and self._try_vec_elementwise(
+                            iv, start, trip, body_items[:-1], scope):
+                        return 0.0
             trip_val: Any = trip
         else:
             if self._has_file_ops(n.body):
                 raise DevgenError("file ops inside a dynamic-count loop")
             trip_val = jnp.maximum(EM.to_i64(cnt), 0)
 
+        kept = self._loop_kept_known([n.body], scope)
+
         def body(_i, carry):
             self.vars, self.mem, _last = carry
-            self._known = {}  # loop-carried slots are not static
+            self._known = dict(kept)  # loop-written slots are not static
             v = self.ex(n.body, scope)
             v = jnp.float64(v) if isinstance(v, float) else v
             return (self.vars, self.mem, v)
@@ -425,7 +836,7 @@ class DeviceSection:
         carry0 = (self.vars, self.mem, jnp.float64(0.0))
         self.vars, self.mem, last = jax.lax.fori_loop(
             0, trip_val, body, carry0)
-        self._known = {}
+        self._known = dict(kept)
         return last
 
     def _while(self, n: WhileStmt, scope):
@@ -451,26 +862,39 @@ class DeviceSection:
             raise DevgenError(
                 "file-reading while() predicate became data-dependent")
         if isinstance(p0, float):
-            # constant predicate: either never runs, or we must prove the
-            # body can change it — re-evaluate after one traced iteration
             if not SC.truthy(p0):
                 return 0.0
-            p0 = jnp.float64(p0)
+            # elementwise shape -> sliced gathers/scatters in one shot
+            if self._vec_while(n, scope):
+                return 0.0
+            # static predicate: unroll at trace time while it stays static
+            # (trim/energy scans over folded state); transition to a traced
+            # loop the moment it becomes data-dependent
+            guard = 1 << 17
+            while isinstance(p0, float) and SC.truthy(p0):
+                guard -= 1
+                if guard < 0:
+                    raise DevgenError("static while() too long to unroll")
+                self.ex(n.body, scope)
+                p0 = self.ex(n.pred, scope)
+            if isinstance(p0, float):
+                return 0.0
         carry0 = (self.vars, self.mem, p0)
+        kept = self._loop_kept_known([n.body, n.pred], scope)
 
         def cond(c):
             return EM.truthy_mask(c[2])
 
         def body(c):
             self.vars, self.mem, _p = c
-            self._known = {}  # loop-carried slots are not static
+            self._known = dict(kept)  # loop-written slots are not static
             self.ex(n.body, scope)
             p = self.ex(n.pred, scope)
             p = jnp.float64(p) if isinstance(p, float) else p
             return (self.vars, self.mem, p)
 
         self.vars, self.mem, _ = jax.lax.while_loop(cond, body, carry0)
-        self._known = {}
+        self._known = dict(kept)
         return 0.0
 
     # -- expression evaluation --------------------------------------------------
@@ -485,6 +909,8 @@ class DeviceSection:
         if isinstance(n, Name):
             return self._read_name(n.ident, scope)
         if isinstance(n, Mem):
+            if isinstance(n.base, Name) and n.base.ident == "gmem":
+                return self._gmem_get(self.ex(n.index, scope))
             b = self.ex(n.base, scope)
             i = self.ex(n.index, scope)
             return self._mem_get(self._mem_addr(b, i))
@@ -591,6 +1017,15 @@ class DeviceSection:
             self._write_slot(key, out)
             return out
         if isinstance(tgt, Mem):
+            if isinstance(tgt.base, Name) and tgt.base.ident == "gmem":
+                i = self.ex(tgt.index, scope)
+                if n.op == "=":
+                    out = rhs
+                else:
+                    out = EM.BINARY[_COMPOUND_OPS[n.op]](
+                        self._arr(self._gmem_get(i)), self._arr(rhs))
+                self._gmem_set(i, out)
+                return out
             b = self.ex(tgt.base, scope)
             i = self.ex(tgt.index, scope)
             a = self._mem_addr(b, i)
@@ -645,10 +1080,114 @@ class DeviceSection:
                  "file_riff", "file_var", "file_multi_count",
                  "file_multi_select"):
             return self._file_call(f, n.args, scope)
+        if f in self._GMEM_FNS:
+            return self._gmem_call(f, n.args, scope)
         if f in ("slider", "spl") and len(n.args) == 1:
             raise DevgenError(f"dynamic {f}() read")
         raise DevgenError(f"@{self.section} builtin {f}() not "
                           "device-executable")
+
+    def _gmem_call(self, f: str, args: Sequence[Node], scope):
+        """Bulk gmem ops on the heap-tail segment view; semantics mirror
+        shadow/state.py gmem_* (clamped counts, silent drops).  Counts and
+        MEM bases must fold static; the gmem-side base may be traced (slot
+        tables discovered per block) via dynamic slices."""
+        jnp = self._jnp
+        if f in ("gmem_attach", "gmem_attach_size"):
+            for a in args:
+                self.ex(a, scope)
+            # the HOST attaches segments; on-device re-attach of the same
+            # namespace is the steady-state no-op
+            return 1.0 if self.gmem_cells else 0.0
+        if f == "gmem_size":
+            return float(self.gmem_cells)
+        if not self.gmem_cells:
+            raise DevgenError("gmem used but no segment attached")
+        import jax
+
+        vals = [self.ex(a, scope) for a in args]
+        if len(vals) >= 3 and not isinstance(vals[2], float):
+            raise DevgenError(f"{f} with non-static count")
+        G = self.gmem_cells
+        base = self.gmem_base
+
+        if f in ("gmem_fill", "gmem_zero"):
+            if f == "gmem_zero":
+                fillv: Any = 0.0
+                cnt = vals[1]
+            else:
+                fillv = vals[1]
+                cnt = vals[2]
+            if not isinstance(cnt, float):
+                raise DevgenError(f"{f} with non-static count")
+            if isinstance(vals[0], float):
+                d0 = max(0, int(vals[0] + 1.0e-5))
+                nln = min(max(0, int(cnt + 1.0e-5)), G - d0)
+                if nln > 0:
+                    fv = jnp.full((nln,), self._arr(fillv),
+                                  dtype=jnp.float64)
+                    self.mem = self.mem.at[base + d0:base + d0 + nln].set(fv)
+                return float(max(0, nln))
+            nln = max(0, int(cnt + 1.0e-5))
+            if 0 < nln <= G:
+                fv = jnp.full((nln,), self._arr(fillv), dtype=jnp.float64)
+                d = base + jnp.clip(self._gmem_index(vals[0]), 0, G - nln)
+                self.mem = jax.lax.dynamic_update_slice(self.mem, fv, (d,))
+            return float(nln)
+        if f == "gmem_put" and len(args) == 3:
+            m = vals[1]
+            if not isinstance(m, float):
+                raise DevgenError("gmem_put with non-static mem base")
+            mi = max(0, int(m + 1.0e-5))
+            nln = max(0, int(vals[2] + 1.0e-5))
+            if nln <= 0 or nln > G:
+                return 0.0
+            if mi + nln > self.mem_size:
+                raise DevgenError("gmem_put beyond device heap")
+            chunk = self.mem[mi:mi + nln]
+            if isinstance(vals[0], float):
+                d0 = max(0, int(vals[0] + 1.0e-5))
+                k = min(nln, G - d0)
+                if k > 0:
+                    self.mem = self.mem.at[base + d0:base + d0 + k].set(
+                        chunk[:k])
+                return float(max(0, k))
+            d = base + jnp.clip(self._gmem_index(vals[0]), 0, G - nln)
+            self.mem = jax.lax.dynamic_update_slice(self.mem, chunk, (d,))
+            return float(nln)
+        if f == "gmem_get" and len(args) == 3:
+            m = vals[0]
+            if not isinstance(m, float):
+                raise DevgenError("gmem_get with non-static mem base")
+            mi = max(0, int(m + 1.0e-5))
+            nln = max(0, int(vals[2] + 1.0e-5))
+            if nln <= 0 or nln > G:
+                return 0.0
+            if mi + nln > self.mem_size:
+                raise DevgenError("gmem_get beyond device heap")
+            if isinstance(vals[1], float):
+                g0 = max(0, int(vals[1] + 1.0e-5))
+                k = min(nln, G - g0)
+                if k > 0:
+                    self.mem = self.mem.at[mi:mi + k].set(
+                        self.mem[base + g0:base + g0 + k])
+                return float(max(0, k))
+            g = base + jnp.clip(self._gmem_index(vals[1]), 0, G - nln)
+            chunk = jax.lax.dynamic_slice(self.mem, (g,), (nln,))
+            self.mem = self.mem.at[mi:mi + nln].set(chunk)
+            return float(nln)
+        if f == "gmem_copy" and len(args) == 3:
+            if not all(isinstance(v, float) for v in vals):
+                raise DevgenError("gmem_copy with non-static operands")
+            d = max(0, int(vals[0] + 1.0e-5))
+            sidx = max(0, int(vals[1] + 1.0e-5))
+            nln = max(0, int(vals[2] + 1.0e-5))
+            nln = min(nln, G - max(d, sidx))
+            if nln > 0:
+                self.mem = self.mem.at[base + d:base + d + nln].set(
+                    self.mem[base + sidx:base + sidx + nln])
+            return float(max(0, nln))
+        raise DevgenError(f"{f}: unsupported arity")
 
     def _user_call(self, fname: str, args: Sequence[Node], scope):
         fdef = self.P.fn_defs[fname]

@@ -45,7 +45,24 @@ MAX_INLINE_DEPTH = 64
 
 class _CoupledUpgrade(Exception):
     """Internal: @block/@sample mem sharing discovered during symexec —
-    retry with the device-executed (coupled) @block regime."""
+    retry with the device-executed (coupled) @block regime (or, for
+    settling write-only @block heaps, the baked uncoupled regime)."""
+
+    def __init__(self, reason: str = "writes", spans=None):
+        super().__init__(reason)
+        self.reason = reason  # "reads" | "writes"
+        # sample-written mem spans [(origin, length)] at raise time, for
+        # the settle probe's poison test
+        self.spans = spans or []
+
+
+class _SettledRetry(Exception):
+    """Internal: the optimistic settled-constant assumption was violated
+    for some vars; re-run discovery with them demoted to carried state."""
+
+    def __init__(self, violations: Set[Any]):
+        super().__init__("settled retry")
+        self.violations = violations
 
 
 class SpecializeError(Exception):
@@ -333,7 +350,8 @@ class _SymExec:
                  segment_len_hint: int,
                  control_vars: Optional[Set[Any]] = None,
                  mod_inductions: Optional[Dict[Any, int]] = None,
-                 const_overrides: Optional[Dict[Any, float]] = None):
+                 const_overrides: Optional[Dict[Any, float]] = None,
+                 settled_vars: Optional[Set[Any]] = None):
         self.P = program
         self.snap = snapshot              # ShadowState after init/slider
         # block-invariant constants (post-@block values; the block runs
@@ -346,12 +364,19 @@ class _SymExec:
         self.mod_inductions = mod_inductions or {}
         self.known_cells = known_mem_cells
         self.assigned = assigned_vars_of_sample(program)
+        # optimistic SCCP-style constants: vars syntactically assigned in
+        # @sample whose assignments all sit in branches that fold false
+        # under this very assumption (e.g. `srate != last_srate ? ...`
+        # re-init guards).  A write that actually executes with any other
+        # value is a violation; discovery shrinks the set and retries.
+        self.settled = settled_vars or set()
+        self.settled_violations: Set[Any] = set()
         self.control_vars = control_vars or set()
         self.ctrl_nodes: Dict[Any, GNode] = {}
         self.env: Dict[Any, SymVal] = {}
         self.prev_nodes: Dict[Any, GNode] = {}
         self.writes: Set[Any] = set()
-        self.ring_writes: Dict[Tuple[int, int], _RingWrite] = {}
+        self.ring_writes: Dict[Tuple[int, int], List[_RingWrite]] = {}
         self.dyn_writes: List[_DynWrite] = []
         self._gate: Optional[GNode] = None  # ambient branch condition
         self.written_cells: Set[int] = set()
@@ -387,6 +412,8 @@ class _SymExec:
         if kind == "mem":
             a = key[1]
             return float(self.snap.mem[a]) if a < len(self.snap.mem) else 0.0
+        if kind == "rand":
+            return 0.0  # consumed-draw counter starts at the pool head
         raise AssertionError(key)
 
     def read_key(self, key) -> SymVal:
@@ -398,6 +425,8 @@ class _SymExec:
             val: SymVal = RingIdx(key, 0, self.mod_inductions[key], 0)
         elif key in self.inductions:
             val = IndAff(key, 0)
+        elif key in self.settled and key not in self.settled_violations:
+            val = CV(self._state_value(key))
         elif key in self.assigned or (key[0] == "mem" and key[1] in self.known_cells):
             node = self.prev_nodes.get(key)
             if node is None:
@@ -416,6 +445,10 @@ class _SymExec:
         return val
 
     def write_key(self, key, val: SymVal) -> None:
+        if key in self.settled and key not in self.settled_violations:
+            same = isinstance(val, CV) and val.v == self._state_value(key)
+            if not same:
+                self.settled_violations.add(key)
         self.env[key] = val
         self.writes.add(key)
 
@@ -569,6 +602,56 @@ class _SymExec:
         # dynamic address: tolerated during discovery passes, fatal at final
         return TS(GNode("dynmem", args=(self._node(addr),)))
 
+    def _wrap_norm_while(self, n: WhileStmt, scope) -> Optional[SymVal]:
+        """Data-dependent range-normalization loop (`while (a > 180)
+        a -= 360;`, ref shape: 3DPanner.jsfx:137-138): lowers to one
+        vector-wide lax.while_loop with a masked step — bit-exact to the
+        golden's per-element repeated add/subtract."""
+        pred = n.pred
+        if not (isinstance(pred, Bin) and pred.op in (">", ">=", "<", "<=")
+                and isinstance(pred.lhs, Name)):
+            return None
+        v_ident = pred.lhs.ident
+        if v_ident in scope:
+            return None  # fn params resolve differently; keep it simple
+        lim = self.eval(pred.rhs, scope)
+        if not isinstance(lim, CV):
+            return None
+        body = n.body.items if isinstance(n.body, Block) else [n.body]
+        if len(body) != 1 or not isinstance(body[0], Asn):
+            return None
+        a = body[0]
+        if not (isinstance(a.target, Name) and a.target.ident == v_ident):
+            return None
+        if a.op in ("-=", "+="):
+            sgn = -1.0 if a.op == "-=" else 1.0
+            step = self.eval(a.value, scope)
+        elif a.op == "=" and isinstance(a.value, Bin) \
+                and a.value.op in ("-", "+") \
+                and isinstance(a.value.lhs, Name) \
+                and a.value.lhs.ident == v_ident:
+            sgn = -1.0 if a.value.op == "-" else 1.0
+            step = self.eval(a.value.rhs, scope)
+        else:
+            return None
+        if not (isinstance(step, CV) and step.v > 0.0):
+            return None
+        # direction must shrink toward the bound or the loop diverges
+        if (pred.op in (">", ">=")) != (sgn < 0):
+            return None
+        key = _env_key_for_name(v_ident)
+        cur = self.read_key(key)
+        self.order += 1
+        node = GNode("normloop", args=(self._node(cur),),
+                     meta={"op": pred.op, "C": lim.v,
+                           "S": sgn * step.v, "order": self.order})
+        self.write_key(key, TS(node))
+        return CV(0.0)
+
+    def _cursor_anchor(self, var, offset: int, mod: int) -> int:
+        """Slot a mod-M cursor addresses at t=0: (start + offset) mod M."""
+        return (int(self._state_value(var)) + offset) % mod
+
     def mem_write(self, base: SymVal, idx: SymVal, val: SymVal) -> None:
         addr = self._addr_of(base, idx)
         if isinstance(addr, CV):
@@ -581,12 +664,25 @@ class _SymExec:
                 raise SpecializeError(
                     "ring write at negative base (unnormalized wrap index?)")
             region = (addr.origin, addr.mod)
-            if region in self.ring_writes:
-                raise SpecializeError("multiple ring writes to one region per sample")
+            prior = self.ring_writes.get(region)
+            if prior is not None:
+                # multi-writer shared ring (e.g. several delay-line
+                # "instances" left pointing at the same buffer): legal only
+                # when every write lands on the SAME slot each sample —
+                # distinct cursor vars are fine when their anchors (start +
+                # offset mod M) coincide; reads then resolve by program
+                # order (last writer wins)
+                p0 = prior[0]
+                if (p0.mod, p0.origin) != (addr.mod, addr.origin) or \
+                        self._cursor_anchor(p0.var, p0.offset, p0.mod) != \
+                        self._cursor_anchor(addr.var, addr.offset, addr.mod):
+                    raise SpecializeError(
+                        "multiple ring writes to one region at different "
+                        "cursor positions per sample")
             self.order += 1
-            self.ring_writes[region] = _RingWrite(
+            self.ring_writes.setdefault(region, []).append(_RingWrite(
                 addr.var, addr.offset, addr.mod, addr.origin,
-                self._node(val), self.order)
+                self._node(val), self.order))
             return
         if isinstance(addr, IndAff):
             raise SpecializeError("unbounded cursor mem write (no mask)")
@@ -656,7 +752,7 @@ class _SymExec:
         """Execute both branches on env copies, select-merge the writes."""
         base_env = dict(self.env)
         base_writes = self.writes
-        base_rings = dict(self.ring_writes)
+        base_rings = {k: list(v) for k, v in self.ring_writes.items()}
 
         # run each branch with its OWN write-set so the merge below only
         # touches variables the branch actually assigned; dynamic mem
@@ -807,6 +903,9 @@ class _SymExec:
             while True:
                 c = self.eval(n.pred, scope)
                 if not isinstance(c, CV):
+                    got = self._wrap_norm_while(n, scope)
+                    if got is not None:
+                        return got
                     raise SpecializeError("data-dependent while in @sample")
                 if not SC.truthy(c.v):
                     return CV(0.0)
@@ -1027,8 +1126,7 @@ def _prev_deps(node: Union[GNode, float], cache: Dict[int, Set],
     if node.kind == "prev":
         out.add(node.meta["key"])
     if node.kind in ("ringref", "dynringref") and ring_writes is not None:
-        w = ring_writes.get(node.meta["region"])
-        if w is not None:
+        for w in ring_writes.get(node.meta["region"]) or ():
             out |= _prev_deps(w.value, cache, ring_writes)
     for a in node.args:
         out |= _prev_deps(a, cache, ring_writes)
@@ -1086,7 +1184,39 @@ def _match_mod_induction(node, key) -> Optional[int]:
     return None
 
 
-def _block_var_dataflow(program: PluginProgram, sample_writes: Set[Any]
+def _feq(a: float, b: float) -> bool:
+    return a == b or (math.isnan(a) and math.isnan(b))
+
+
+def _norm_loop(v, meta):
+    """Masked fixpoint for range-normalization whiles (vector or scalar):
+    iterate `v (+|-)= S where pred(v, C)` until no lane satisfies pred —
+    identical rounding sequence to the golden's per-element loop."""
+    import jax
+    import jax.numpy as jnp
+
+    C = jnp.float64(meta["C"])
+    S = jnp.float64(meta["S"])
+    op = meta["op"]
+
+    def pred(z):
+        if op == ">":
+            return z > C
+        if op == ">=":
+            return z >= C
+        if op == "<":
+            return z < C
+        return z <= C
+
+    return jax.lax.while_loop(
+        lambda z: jnp.any(pred(z)),
+        lambda z: jnp.where(pred(z), z + S, z),
+        v)
+
+
+def _block_var_dataflow(program: PluginProgram, sample_writes: Set[Any],
+                        mem_taint: bool = True, sb_taint: bool = True,
+                        include_slider: bool = False
                         ) -> Tuple[Set[str], Dict[str, Set[str]]]:
     """Audio-taint + var-dependency analysis over @block (control
     dependences included).
@@ -1099,9 +1229,11 @@ def _block_var_dataflow(program: PluginProgram, sample_writes: Set[Any]
     only on their deps plus frozen constants, so a host probe whose clean
     dependency closure repeats across two blocks repeats forever."""
     tainted: Set[str] = {k[1] for k in sample_writes if k[0] == "var"}
-    # samplesblock differs in the remainder block; values derived from it
-    # are not block-invariant
-    tainted.add("samplesblock")
+    if sb_taint:
+        # samplesblock differs in the remainder block; values derived from
+        # it are not block-invariant.  With sb_taint=False the caller must
+        # validate candidates empirically against odd-sized blocks.
+        tainted.add("samplesblock")
     deps: Dict[str, Set[str]] = {}
     TAINT_CALLS = frozenset({
         "midirecv", "midirecv_buf", "msg_recv", "msg_recv_buf", "msg_avail",
@@ -1130,7 +1262,9 @@ def _block_var_dataflow(program: PluginProgram, sample_writes: Set[Any]
         if isinstance(n, Mem):
             walk_e(n.base, scope, cond)
             walk_e(n.index, scope, cond)
-            return (True, set())  # mem: conservative audio-shared blob
+            # mem: conservative audio-shared blob; the settle probe's
+            # poison test justifies dropping this taint (mem_taint=False)
+            return (mem_taint, set())
         if isinstance(n, Un):
             return walk_e(n.operand, scope, cond)
         if isinstance(n, Bin):
@@ -1210,7 +1344,11 @@ def _block_var_dataflow(program: PluginProgram, sample_writes: Set[Any]
             return (t, r)
         return (True, set())  # unknown node: conservative
 
-    stmts = program.sections.get("block", [])
+    stmts = list(program.sections.get("block", []))
+    if include_slider:
+        # @block can retrigger @slider: its recomputations are part of the
+        # per-block dataflow (ref: dsp_jsfx_aot.py:5788-5804)
+        stmts += list(program.sections.get("slider", []))
     for _ in range(6):  # taint only grows; small fixpoint
         before = (len(tainted), sum(len(v) for v in deps.values()))
         for stmt in stmts:
@@ -1426,6 +1564,21 @@ class SpecializedSampleKernel:
         self.coupled = False
         self._block_writes: Set[Any] = set()
         self._block_consts: Dict[Any, float] = {}
+        # baked regime: @block mem writes that settle after the first block
+        self._block_settled = False
+        self._settled_cells: Set[int] = set()
+        self._bake_state = None
+        # @block-written sample vars pending settle validation
+        self._fb_vars: Set[Any] = set()
+        self._retriggers = False
+        # hop regime: an extracted every-N-samples device section
+        self._hop = None
+        self._hop_body: Optional[List[Node]] = None
+        self._hop_ctr: Optional[Tuple[str, str]] = None
+        self._hop_len = 0
+        self._sample_stmts: List[Node] = list(
+            program.sections.get("sample") or [])
+        self._extract_hop()
         if self.has_block:
             _, writes_b, wmem_b, rmem_b = section_var_usage(program, "block")
             reads_b = section_genuine_reads(program, "block")
@@ -1457,24 +1610,60 @@ class SpecializedSampleKernel:
             fb = (writes_b | writes_sl) & sample_writes & sample_greads
             self._block_writes = writes_b | writes_sl
             self.control_vars = (writes_b | writes_sl) - sample_writes
-            if hot or fb:
+            self._ctrl_baseline = set(self.control_vars)
+            self._retriggers = retriggers
+            # fold block-1-fixpoint control vars as constants up front:
+            # gating flags like `ir_ready` must be static for the ring
+            # machinery to see through their branches
+            self._discover_block_consts()
+            if hot:
                 if retriggers:
                     raise SpecializeError(
                         "audio-coupled @block retriggers @slider — not "
                         "device-executable yet")
                 self._require_devblock()
+            elif fb:
+                # @block WRITES sample state but never reads it (hot is
+                # empty): typically one-time reload resets.  Defer to the
+                # settle probe, whose sentinel test proves blocks 2+ leave
+                # these vars alone; genuine rewriting falls back to the
+                # device @block.
+                self._fb_vars = {k for k in fb if k[0] == "var"}
 
+        tried_opt = False
         while True:
             try:
                 sym = self._stable_symexec()
                 break
-            except _CoupledUpgrade:
+            except _CoupledUpgrade as up:
+                poison = up.spans if (up.reason == "reads"
+                                      or self.block_reads_mem) else None
+                if not self._block_settled \
+                        and self._try_block_settle(poison):
+                    # baked regime: kernel mem view = post-block-1 heap,
+                    # @block stays a host trajectory, no device section
+                    self._discover_block_consts(mem_taint=False)
+                    continue
                 self._require_devblock()
+            except SpecializeError:
+                # mem-read taint may have blocked the very const folds
+                # (gating flags) that make the plugin expressible; retry
+                # optimistically — the post-symexec upgrade path then
+                # VALIDATES the assumption with the settle/poison probe
+                if self.has_block and not tried_opt and not self.coupled:
+                    tried_opt = True
+                    before = set(self._block_consts)
+                    self._discover_block_consts(mem_taint=False)
+                    if set(self._block_consts) != before:
+                        continue
+                raise
         self._plan(sym)
         self.ctrl_order = sorted(sym.ctrl_nodes.keys(), key=repr)
         self._devblock = None
         if self.coupled:
             self._build_devblock()
+        if self._hop_body is not None:
+            self._build_hop()
         self.n_rand = sym.rand_slots
         if self.n_rand and self.has_block:
             for stmt in program.sections.get("block", []):
@@ -1484,6 +1673,7 @@ class SpecializedSampleKernel:
                             "rand() in both @block and @sample — draw "
                             "interleaving not reproducible")
         self._rng_state = None
+        self._rng_prestate = None
         self._traj_plugin = None
         self.last_control_state = None
         self._jax = jax
@@ -1498,74 +1688,411 @@ class SpecializedSampleKernel:
         which is what lets data-dependent-looking loop bounds unroll."""
         if self.coupled:
             return
+        if self._retriggers:
+            raise SpecializeError(
+                "audio-coupled @block retriggers @slider — not "
+                "device-executable yet")
         from .devgen import DeviceSection, DevgenError, section_dynamic_keys
 
         try:
-            DeviceSection(
+            trial = DeviceSection(
                 self.P, self.snap, "block",
                 section_dynamic_keys(self.P, ("block", "sample")),
                 1 << 22, consts={"samplesblock": float(self.B)})
+            # force one trace now: trace-time rejections (merge budget,
+            # dynamic fft bases, ...) must fall back at BUILD time, not
+            # explode at render
+            import jax
+            import jax.numpy as jnp
+
+            jax.eval_shape(trial.step,
+                           jax.ShapeDtypeStruct((trial.n_vars,), jnp.float64),
+                           jax.ShapeDtypeStruct((trial.total_mem,),
+                                                jnp.float64))
         except DevgenError as exc:
             raise SpecializeError(f"audio-coupled @block: {exc}") from None
 
-        # block-invariant constant discovery: audio-UNTAINTED @block vars
-        # evolve independently of the device, so the host can probe them.
-        # If the untainted state reaches a fixpoint after the FIRST block
-        # (state after block 1 == after block 2), those values hold during
-        # every block's samples and fold as CVs in @sample — e.g. filter
-        # lengths/coefficients rebuilt once behind a need_rebuild flag
-        # (ref shape: TSEQ.jsfx @block rebuild_all/update_consts gate).
+        self._discover_block_consts()
+        self.coupled = True
+
+    def _discover_block_consts(self, mem_taint: bool = True) -> None:
+        if not self.has_block:
+            return
+        # idempotent: always restart from the pre-fold control set
+        self.control_vars = set(getattr(self, "_ctrl_baseline",
+                                        self.control_vars))
+        return self._discover_block_consts_inner(mem_taint)
+
+    def _discover_block_consts_inner(self, mem_taint: bool = True) -> None:
+        """Block-invariant constant discovery: audio-UNTAINTED @block vars
+        evolve independently of the device, so the host can probe them.
+        If the untainted state reaches a fixpoint after the FIRST block
+        (state after block 1 == after block 2), those values hold during
+        every block's samples and fold as CVs in @sample — e.g. filter
+        lengths/coefficients rebuilt once behind a need_rebuild flag
+        (ref shape: TSEQ.jsfx @block rebuild_all/update_consts gate)."""
         self._block_consts = {}
         try:
             sample_writes = assigned_vars_of_sample(self.P)
-            tainted, deps = _block_var_dataflow(self.P, sample_writes)
-            clean = {k[1] for k in self.control_vars
-                     if k[0] == "var" and k[1] not in tainted}
-            if clean:
+            tainted, deps = _block_var_dataflow(
+                self.P, sample_writes, mem_taint=mem_taint,
+                include_slider=self._retriggers)
+            # soft candidates: only blocked by the samplesblock taint
+            # (remainder-block conservatism); they can still fold after an
+            # empirical sweep injecting odd-sized blocks
+            tainted_ns, deps_ns = _block_var_dataflow(
+                self.P, sample_writes, mem_taint=mem_taint, sb_taint=False,
+                include_slider=self._retriggers)
+            ctrl_names = {k[1] for k in self.control_vars if k[0] == "var"}
+            clean = {n for n in ctrl_names if n not in tainted}
+            soft = {n for n in ctrl_names
+                    if n not in tainted_ns and n in tainted}
+            if clean or soft:
                 from ..shadow import compile_shadow
 
                 plug = compile_shadow(self.P)
                 plug.state = self.snap.clone()
-                plug.state.samplesblock = float(self.B)
-                plug.run_block()
+
+                def _probe_block():
+                    stp = plug.state
+                    stp.samplesblock = float(self.B)
+                    plug.run_block()
+                    if (stp.pending_change_mask or stp.pending_automate_mask
+                            or stp.pending_automate_end_mask):
+                        plug.run_slider()
+                        stp.pending_change_mask = 0
+                        stp.pending_automate_mask = 0
+                        stp.pending_automate_end_mask = 0
+
+                _probe_block()
                 v1 = dict(plug.state.V)
-                plug.run_block()
+                _probe_block()
                 v2 = dict(plug.state.V)
 
                 def stable(name: str) -> bool:
-                    a = float(v1.get(name, 0.0))
-                    b = float(v2.get(name, 0.0))
-                    return a == b or (math.isnan(a) and math.isnan(b))
+                    return _feq(float(v1.get(name, 0.0)),
+                                float(v2.get(name, 0.0)))
 
                 # a clean var folds only if its whole clean dependency
                 # closure repeats between block 1 and 2 (then by induction
                 # it repeats forever — clean vars read no audio state)
-                closure_ok: Dict[str, bool] = {}
+                def mk_ok(tset, dmap):
+                    closure_ok: Dict[str, bool] = {}
 
-                def ok(name: str, stack: Set[str]) -> bool:
-                    got = closure_ok.get(name)
-                    if got is not None:
-                        return got
-                    if name in stack:
-                        return stable(name)
-                    if name in tainted or not stable(name):
-                        closure_ok[name] = False
-                        return False
-                    stack.add(name)
-                    out = all(ok(d, stack) for d in deps.get(name, ())
-                              if dollar_const(d) is None)
-                    stack.discard(name)
-                    closure_ok[name] = out
-                    return out
+                    def ok(name: str, stack: Set[str]) -> bool:
+                        got = closure_ok.get(name)
+                        if got is not None:
+                            return got
+                        if name in stack:
+                            return stable(name)
+                        if name in tset or not stable(name):
+                            closure_ok[name] = False
+                            return False
+                        stack.add(name)
+                        out = all(ok(d, stack) for d in dmap.get(name, ())
+                                  if dollar_const(d) is None)
+                        stack.discard(name)
+                        closure_ok[name] = out
+                        return out
 
+                    return ok
+
+                ok_hard = mk_ok(tainted, deps)
                 for name in clean:
-                    if ok(name, set()):
+                    if ok_hard(name, set()):
                         self._block_consts[("var", name)] = float(
                             v1.get(name, 0.0))
+                # soft candidates depend on samplesblock only through
+                # threshold idioms (poll counters); the dependency-closure
+                # induction does not apply — the windowed sweep (covering
+                # a full poll cycle, with odd-sized blocks injected at
+                # every position) is the arbiter instead
+                cands = {n: float(v1.get(n, 0.0)) for n in soft
+                         if stable(n)}
+                for n, v in self._validate_soft_consts(cands).items():
+                    self._block_consts[("var", n)] = v
         except Exception:
             self._block_consts = {}
         self.control_vars -= set(self._block_consts)
-        self.coupled = True
+
+    def _validate_soft_consts(self, cands: Dict[str, float]
+                              ) -> Dict[str, float]:
+        """Empirical sweep for samplesblock-sensitive candidates: advance
+        through one poll cycle of full-size blocks; at every position run
+        odd-sized blocks on a clone.  A candidate folds only if its value
+        never moves (window-bounded heuristic; null tests backstop it)."""
+        if not cands:
+            return {}
+        import math as _math
+
+        from ..shadow import compile_shadow
+
+        plug = compile_shadow(self.P)
+        plug.state = self.snap.clone()
+        st = plug.state
+        live = dict(cands)
+        W = max(8, int(_math.ceil(0.30 * float(st.srate) / self.B)) + 2)
+        inj_sizes = sorted({1, self.B // 2 + 1, max(1, self.B - 1)})
+
+        def run_one(state, n):
+            plug.state = state
+            state.samplesblock = float(n)
+            plug.run_block()
+            if (state.pending_change_mask or state.pending_automate_mask
+                    or state.pending_automate_end_mask):
+                plug.run_slider()
+                state.pending_change_mask = 0
+                state.pending_automate_mask = 0
+                state.pending_automate_end_mask = 0
+
+        def check(state):
+            for nm in list(live):
+                if not _feq(float(state.V.get(nm, 0.0)), live[nm]):
+                    live.pop(nm)
+
+        for _p in range(W):
+            run_one(st, self.B)
+            check(st)
+            if not live:
+                break
+            for n in inj_sizes:
+                cl = st.clone()
+                run_one(cl, n)
+                check(cl)
+                if not live:
+                    break
+            plug.state = st
+            if not live:
+                break
+        return live
+
+    # -- hop extraction --------------------------------------------------------
+
+    _HOP_BUILTINS = frozenset({
+        "memcpy", "memset", "fft", "ifft", "fft_real", "ifft_real",
+        "fft_permute", "fft_ipermute", "convolve_c"})
+
+    def _hop_worthy(self, stmts: Sequence[Node]) -> bool:
+        """True when the candidate body uses constructs the vector engine
+        cannot express but the device section executor can (the FFT-hop
+        shape, ref: PsychoConvolver.jsfx:355-420)."""
+        seen: Set[str] = set()
+
+        def scan(roots) -> bool:
+            for root in roots:
+                for x in walk(root):
+                    if isinstance(x, WhileStmt):
+                        return True
+                    if isinstance(x, CallExpr):
+                        if x.func in self._HOP_BUILTINS:
+                            return True
+                        if x.func in self.P.fn_defs and x.func not in seen:
+                            seen.add(x.func)
+                            if scan([self.P.fn_defs[x.func].body]):
+                                return True
+            return False
+
+        return scan(stmts)
+
+    def _extract_hop(self) -> None:
+        """Detect and strip the hop idiom at the TAIL of @sample:
+
+            ctr += 1;
+            ctr >= N ? ( <device work>; ctr = 0; );
+
+        The branch body (minus the counter reset) becomes a device section
+        run between vectorized sample segments; the stripped @sample keeps
+        only the wrap reset, so ctr classifies as a plain mod-N cursor.
+        Tail position guarantees the device work observes the whole
+        sample's effects and nothing downstream observes its own."""
+
+        def match(node) -> Optional[Tuple[str, float, List[Node]]]:
+            if isinstance(node, Cond):
+                pred, then, other = node.pred, node.then, node.other
+                if other is not None and not (isinstance(other, Const)
+                                              and other.value == 0.0):
+                    return None
+            elif isinstance(node, IfStmt):
+                pred, then, other = node.pred, node.then, node.other
+                if other is not None:
+                    return None
+            else:
+                return None
+            if not (isinstance(pred, Bin) and pred.op == ">="
+                    and isinstance(pred.lhs, Name)):
+                return None
+            ctr = pred.lhs.ident
+            if isinstance(pred.rhs, Const):
+                n_val = float(pred.rhs.value)
+            elif isinstance(pred.rhs, Name):
+                n_val = float(self.snap.V.get(pred.rhs.ident, 0.0))
+            else:
+                return None
+            if not (n_val == int(n_val) and n_val >= 2.0):
+                return None
+            items = then.items if isinstance(then, Block) else [then]
+            resets = [st for st in items
+                      if isinstance(st, Asn) and st.op == "="
+                      and isinstance(st.target, Name)
+                      and st.target.ident == ctr
+                      and isinstance(st.value, Const)
+                      and st.value.value == 0.0]
+            if len(resets) != 1 or items[-1] is not resets[0]:
+                return None
+            body = [st for st in items if st is not resets[0]]
+            if not body or not self._hop_worthy(body):
+                return None
+            # the body must not touch the counter
+            for st in body:
+                for x in walk(st):
+                    if isinstance(x, Name) and x.ident == ctr:
+                        return None
+            return ctr, n_val, body
+
+        def rewrite_tail(stmts: List[Node]) -> Optional[List[Node]]:
+            """Find the hop at the tail (descending through a trailing
+            branch arm); returns a rebuilt list or None."""
+            if not stmts:
+                return None
+            last = stmts[-1]
+            m = match(last)
+            if m is not None:
+                ctr, n_val, body = m
+                self._hop_ctr = ("var", ctr)
+                self._hop_len = int(n_val)
+                self._hop_body = body
+                reset = Asn(last.pos, op="=",
+                            target=Name(last.pos, ident=ctr),
+                            value=Const(last.pos, value=0.0))
+                stripped = Cond(last.pos,
+                                pred=last.pred,
+                                then=Block(last.pos, items=[reset]),
+                                other=Const(last.pos, value=0.0))
+                return stmts[:-1] + [stripped]
+            if isinstance(last, (Cond, IfStmt)) \
+                    and isinstance(last.then, Block):
+                inner = rewrite_tail(list(last.then.items))
+                if inner is not None:
+                    new_then = Block(last.then.pos, items=inner)
+                    if isinstance(last, Cond):
+                        node = Cond(last.pos, pred=last.pred, then=new_then,
+                                    other=last.other)
+                    else:
+                        node = IfStmt(last.pos, pred=last.pred,
+                                      then=new_then, other=last.other)
+                    return stmts[:-1] + [node]
+            return None
+
+        out = rewrite_tail(self._sample_stmts)
+        if out is not None:
+            self._sample_stmts = out
+
+    def _try_block_settle(self, poison_spans=None) -> bool:
+        """Probe whether @block's mem writes reach a fixpoint after the
+        FIRST block (load/rebuild work behind need_* flags, ref shape:
+        PsychoConvolver.jsfx @block).  On success the kernel's mem view
+        (ring initials, baked static regions, concrete cells) switches to
+        the post-block-1 heap; @block itself stays on the host trajectory
+        and no device @block is needed.
+
+        When @block also READS mem, poison_spans (the sample path's write
+        regions) drive an equivalence test: the probe re-runs with those
+        cells poisoned, and any divergence in @block's vars or mem writes
+        proves genuine audio-rate coupling (→ device @block instead).
+        Heuristic over a bounded window; the null-test suite backstops it."""
+        import math as _math
+
+        from ..shadow import compile_shadow
+
+        fb_names = sorted(k[1] for k in self._fb_vars)
+
+        def probe(poison: bool):
+            plug = compile_shadow(self.P)
+            plug.state = self.snap.clone()
+            st = plug.state
+            pcells = []
+            if poison:
+                rng = np.random.RandomState(0xC0FFEE)
+                for origin, ln in poison_spans or []:
+                    st.mem_ensure(origin + ln)
+                    st.mem[origin:origin + ln] = rng.randn(ln)
+                    pcells.append((origin, ln))
+
+            def run_one():
+                st.samplesblock = float(self.B)
+                plug.run_block()
+                if (st.pending_change_mask or st.pending_automate_mask
+                        or st.pending_automate_end_mask):
+                    plug.run_slider()
+                    st.pending_change_mask = 0
+                    st.pending_automate_mask = 0
+                    st.pending_automate_end_mask = 0
+
+            run_one()
+            m1 = np.array(st.mem, dtype=np.float64, copy=True)
+            bake = st.clone()
+            probes = max(8, int(_math.ceil(0.30 * float(st.srate)
+                                           / self.B)) + 2)
+            for k in range(probes):
+                # sentinels prove blocks 2+ never rewrite sample state
+                # (sound because hot is empty: @block never READS these)
+                sent = {nm: 7.015e13 + 31.0 * k + i
+                        for i, nm in enumerate(fb_names)}
+                for nm, v in sent.items():
+                    st.V[nm] = v
+                run_one()
+                for nm, v in sent.items():
+                    if float(st.V.get(nm, 0.0)) != v:
+                        return None
+                cur = np.asarray(st.mem, dtype=np.float64)
+                n = min(len(m1), len(cur))
+                if not np.array_equal(m1[:n], cur[:n]):
+                    return None
+                if len(cur) > n and np.any(cur[n:]):
+                    return None
+            # mask the poisoned cells out of the comparison view
+            mview = m1.copy()
+            for origin, ln in pcells:
+                if origin < len(mview):
+                    mview[origin:origin + ln] = 0.0
+            return mview, dict(st.V), m1, bake
+
+        try:
+            got = probe(False)
+            if got is None:
+                return False
+            mview, vfin, m1, bake = got
+            if poison_spans:
+                got_p = probe(True)
+                if got_p is None:
+                    return False
+                mview_p, vfin_p, _m1p, _bake_p = got_p
+                same_v = (vfin.keys() == vfin_p.keys()
+                          and all(_feq(vfin[k], vfin_p[k]) for k in vfin))
+                n = min(len(mview), len(mview_p))
+                if not (same_v and np.array_equal(mview[:n], mview_p[:n])):
+                    return False
+        except Exception:
+            return False
+
+        base = np.asarray(self.snap.mem, dtype=np.float64)
+        n = min(len(base), len(m1))
+        cells = set(np.nonzero(m1[:n] != base[:n])[0].tolist())
+        cells |= {int(i) + n for i in np.nonzero(m1[n:])[0]}
+        self._settled_cells = cells
+        self._bake_state = bake
+        # hybrid kernel snapshot: sample-owned vars stay pre-block (the
+        # carry picks them up at render start), mem view goes post-block-1,
+        # and fb vars (@block-written sample state, e.g. reload resets)
+        # adopt block 1's values — that is what block 1's samples see
+        hybrid = self.snap.clone()
+        hybrid.mem_ensure(len(m1))
+        hybrid.mem[:len(m1)] = m1
+        for k in self._fb_vars:
+            hybrid.V[k[1]] = float(bake.V.get(k[1], 0.0))
+        self.snap = hybrid
+        self._block_settled = True
+        return True
 
     def _build_devblock(self) -> None:
         """Size the device heap and compile @block for the fused pipeline."""
@@ -1597,6 +2124,195 @@ class SpecializedSampleKernel:
                 continue
             raise SpecializeError(
                 f"coupled control key {key!r} has no device source")
+
+    def _build_hop(self) -> None:
+        """Compile the extracted hop body (FFT block work fired every N
+        samples from inside @sample) as a device section fused between
+        vectorized sample segments (ref: PsychoConvolver.jsfx:355-420
+        process_convolution_block behind the block_fill counter)."""
+        from .devgen import DeviceSection, DevgenError
+
+        sym = self.sym
+        key, N = self._hop_ctr, self._hop_len
+        if key not in sym.writes and key not in sym.mod_inductions:
+            # the guarded region folded away (e.g. no IR loaded): the hop
+            # can never fire — plain pipeline
+            self._hop_body = None
+            self._hop = None
+            return
+        if self.coupled:
+            raise SpecializeError(
+                "hop section alongside a device @block — not supported yet")
+        if sym.mod_inductions.get(key) != N:
+            raise SpecializeError(
+                "hop counter did not classify as a mod-N cursor")
+        c0 = int(sym._state_value(key))
+        if N % self.B or (N - c0) % self.B:
+            raise SpecializeError(
+                f"hop length {N} (phase {c0}) not aligned to the "
+                f"block grid ({self.B})")
+        self._hop_phase = c0
+        self._hop_phase0 = c0
+
+        # vars the hop body writes: the vector side must never touch them
+        hop_writes: Set[Any] = set()
+        seen_fns: Set[str] = set()
+
+        def scan(roots):
+            for root in roots:
+                for x in walk(root):
+                    if isinstance(x, Asn) and isinstance(x.target, Name):
+                        hop_writes.add(_env_key_for_name(x.target.ident))
+                    elif isinstance(x, CallExpr) \
+                            and x.func in self.P.fn_defs \
+                            and x.func not in seen_fns:
+                        seen_fns.add(x.func)
+                        scan([self.P.fn_defs[x.func].body])
+
+        scan(self._hop_body)
+        if any(k[0] != "var" for k in hop_writes):
+            raise SpecializeError("hop body writes spl/slider state")
+        touched = set(sym.env.keys()) | set(self.control_vars) \
+            | set(self._block_consts)
+        clash = hop_writes & touched
+        if clash:
+            raise SpecializeError(
+                f"hop body state {sorted(clash)[:3]} is also used by the "
+                "vectorized sample path")
+
+        top = len(self.snap.mem)
+        top = max(top, int(self.P.memtop or 0))
+        for origin, mod in self.carry_regions:
+            top = max(top, origin + mod)
+        for k in self.carried_vars:
+            if k[0] == "mem":
+                top = max(top, k[1] + 1)
+        for k in self.ctrl_order:
+            if k[0] == "mem":
+                top = max(top, k[1] + 1)
+        size = 1 << max(12, int(top - 1).bit_length() if top > 1 else 12)
+        snap_h = self._bake_state if self._bake_state is not None \
+            else self.snap
+        try:
+            self._hop = DeviceSection(
+                self.P, snap_h, "sample-hop", hop_writes, size,
+                consts={"samplesblock": float(self.B)},
+                body=self._hop_body)
+            import jax
+            import jax.numpy as jnp
+
+            jax.eval_shape(
+                self._hop.step,
+                jax.ShapeDtypeStruct((self._hop.n_vars,), jnp.float64),
+                jax.ShapeDtypeStruct((self._hop.total_mem,), jnp.float64))
+        except DevgenError as exc:
+            self._hop = None
+            raise SpecializeError(f"hop section: {exc}") from None
+
+    def _hop_run(self, T: int, phase: int):
+        """Unjitted fused sample/hop pipeline: lax.scan over H-sample
+        segments; each step runs the vectorized segment then the device
+        hop section against the shared heap — one XLA program (the
+        reference fires the hop call from inside the per-sample loop).
+        phase = the hop counter's value entering this render (tracked
+        host-side across resumed renders; it advances by T mod H)."""
+        import jax
+        import jax.numpy as jnp
+
+        H = self._hop_len
+        B = self.B
+        nch = self.nch
+        n_rand = self.n_rand
+        hop = self._hop
+        lead = (H - phase) % H
+        if lead % B and self.ctrl_order:
+            raise SpecializeError(
+                "resumed hop phase misaligned with the control-block grid")
+        if T <= lead:
+            lead_n, nfull, tail = T, 0, 0
+            lead_fires = False
+        else:
+            lead_n = lead
+            nfull = (T - lead) // H
+            tail = T - lead - nfull * H
+            lead_fires = lead_n > 0
+        seg_lead = self._make_seg_fn(lead_n) if lead_n else None
+        seg_full = self._make_seg_fn(H) if nfull else None
+        seg_tail = self._make_seg_fn(tail) if tail else None
+        rows_lead = -(-lead_n // B) if lead_n else 0
+        rows_full = H // B
+        n_ctrl = len(self.ctrl_order)
+        rand_gated = self.rand_gated
+
+        regions = list(self.carry_regions)
+        cells = [k for k in self.carried_vars if k[0] == "mem"]
+        cell_sv = np.asarray([self.scalar_index[k] for k in cells], np.int64)
+        cell_ad = np.asarray([k[1] for k in cells], np.int64)
+
+        def hop_step(svec, rings, hvars, hmem):
+            # sample state -> heap (the hop sees the segment's effects),
+            # run the device section, then heap -> sample state
+            for origin, mod in regions:
+                hmem = jax.lax.dynamic_update_slice(
+                    hmem, rings[(origin, mod)], (origin,))
+            if len(cells):
+                hmem = hmem.at[cell_ad].set(svec[cell_sv])
+            hvars, hmem = hop.step(hvars, hmem)
+            rings = {r: jax.lax.dynamic_slice(hmem, (r[0],), (r[1],))
+                     for r in regions}
+            if len(cells):
+                svec = svec.at[cell_sv].set(hmem[cell_ad])
+            return svec, rings, hvars, hmem
+
+        def run(carry, x32, ctrl, rand):
+            (svec, rings), hvars, hmem = carry
+            x64 = x32.astype(jnp.float64)
+            pool = rand.reshape(-1) if rand_gated else None
+            ys = []
+            off = 0
+            roff = 0
+            if lead_n:
+                rs = pool if rand_gated else rand[:lead_n]
+                (svec, rings), y = seg_lead(
+                    (svec, rings),
+                    (x64[:, :lead_n], ctrl[:rows_lead], rs))
+                ys.append(y)
+                off, roff = lead_n, rows_lead
+                if lead_fires:
+                    svec, rings, hvars, hmem = hop_step(
+                        svec, rings, hvars, hmem)
+            if nfull:
+                xin = x64[:, off:off + nfull * H].reshape(
+                    nch, nfull, H).transpose(1, 0, 2)
+                cin = ctrl[roff:roff + nfull * rows_full].reshape(
+                    nfull, rows_full, n_ctrl)
+                if rand_gated:
+                    xs_in = (xin, cin)
+                else:
+                    rin = rand[off:off + nfull * H].reshape(nfull, H, n_rand)
+                    xs_in = (xin, cin, rin)
+
+                def body(c, xs):
+                    (sv, rg), hv, hm = c
+                    rseg = pool if rand_gated else xs[2]
+                    (sv, rg), y = seg_full((sv, rg), (xs[0], xs[1], rseg))
+                    sv, rg, hv, hm = hop_step(sv, rg, hv, hm)
+                    return ((sv, rg), hv, hm), y
+
+                (( svec, rings), hvars, hmem), yb = jax.lax.scan(
+                    body, ((svec, rings), hvars, hmem), xs_in)
+                ys.append(yb.transpose(1, 0, 2).reshape(nch, nfull * H))
+                off += nfull * H
+                roff += nfull * rows_full
+            if tail:
+                rs = pool if rand_gated else rand[off:]
+                (svec, rings), y = seg_tail(
+                    (svec, rings), (x64[:, off:], ctrl[roff:], rs))
+                ys.append(y)
+            y = jnp.concatenate(ys, axis=1) if len(ys) > 1 else ys[0]
+            return y.astype(jnp.float32), ((svec, rings), hvars, hmem)
+
+        return run
 
     def _coupled_run(self, T: int):
         """Unjitted fused block/sample pipeline: lax.scan over blocks; each
@@ -1687,6 +2403,21 @@ class SpecializedSampleKernel:
     # -- discovery loop ------------------------------------------------------
 
     def _stable_symexec(self) -> _SymExec:
+        # optimistic settled set: assigned vars assumed to hold their
+        # snapshot value; violated assumptions shrink the set and retry
+        settled = {k for k in assigned_vars_of_sample(self.P)
+                   if k[0] == "var"}
+        settled -= self.control_vars
+        settled -= self._block_writes
+        settled -= set(self._block_consts)
+        for _outer in range(64):
+            try:
+                return self._discover_symexec(settled)
+            except _SettledRetry as r:
+                settled = settled - r.violations
+        raise SpecializeError("settled-constant fixpoint did not converge")
+
+    def _discover_symexec(self, settled: Set[Any]) -> _SymExec:
         inductions: Dict[Any, int] = {}
         mod_inductions: Dict[Any, int] = {}
         cells: Set[int] = set()
@@ -1695,8 +2426,18 @@ class SpecializedSampleKernel:
             sym = _SymExec(self.P, self.snap, self.nch, inductions, cells,
                            self.B, control_vars=self.control_vars,
                            mod_inductions=mod_inductions,
-                           const_overrides=self._block_consts)
-            sym.run(self.P.sections["sample"])
+                           const_overrides=self._block_consts,
+                           settled_vars=settled)
+            try:
+                sym.run(self._sample_stmts)
+            except SpecializeError:
+                if sym.settled_violations:
+                    # the failure may be an artifact of the now-invalid
+                    # optimistic pass — shrink and retry before giving up
+                    raise _SettledRetry(sym.settled_violations) from None
+                raise
+            if sym.settled_violations:
+                raise _SettledRetry(sym.settled_violations)
             new_ind = dict(inductions)
             new_modind = dict(mod_inductions)
             cache: Dict[int, Set] = {}
@@ -1749,7 +2490,7 @@ class SpecializedSampleKernel:
             if node_check.kind in ("ringref", "dynringref") \
                     and node_check.meta["region"] not in sym.ring_writes:
                 has_ringstatic = True
-        written_spans = [(w.origin, w.mod) for w in sym.ring_writes.values()]
+        written_spans = list(sym.ring_writes.keys())
         for node_check in self._all_nodes(sym):
             if node_check.kind in ("ringref", "dynringref") \
                     and node_check.meta["region"] not in sym.ring_writes:
@@ -1760,24 +2501,55 @@ class SpecializedSampleKernel:
                             "mem read region overlaps a written ring at a "
                             "different origin/stride — cannot vectorize")
         if not self.coupled:
-            if self.block_reads_mem and (sym.written_cells or sym.ring_writes):
-                # block work consumes audio-rate mem state: needs the
-                # device-executed @block regime
-                raise _CoupledUpgrade
+            sample_spans = [(a, 1) for a in sym.written_cells if a >= 0]
+            sample_spans += list(sym.ring_writes.keys())
+            for dw in sym.dyn_writes:
+                sample_spans.append(
+                    (dw.origin, _dyn_write_bound(sym, dw.idx) or 1))
+            if self.block_reads_mem and not self._block_settled \
+                    and (sym.written_cells or sym.ring_writes
+                         or sym.dyn_writes):
+                # block work MAY consume audio-rate mem state: the settle
+                # probe's poison test decides (device @block otherwise)
+                raise _CoupledUpgrade("reads", sample_spans)
             if self.block_writes_mem and (sym.ring_writes or has_ringstatic
                                           or sym.written_cells):
-                blocked = self._probe_block_mem_writes()
+                blocked = (self._settled_cells
+                           if self._block_settled else None)
+                if blocked is None:
+                    blocked = self._probe_block_mem_writes()
                 conflict = blocked & sym.written_cells
-                spans = [(w.origin, w.mod) for w in sym.ring_writes.values()]
+                spans = list(sym.ring_writes.keys())
+                write_spans = list(spans)
                 for node_check in self._all_nodes(sym):
                     if node_check.kind in ("ringref", "dynringref") \
                             and node_check.meta["region"] not in sym.ring_writes:
                         spans.append(node_check.meta["region"])
-                for origin, mod in spans:
-                    if any(origin <= a < origin + mod for a in blocked):
-                        conflict.add(origin)
-                if conflict:
-                    raise _CoupledUpgrade
+                if self._block_settled:
+                    # baked regime: @block's settled writes may feed
+                    # sample READS (the kernel sees the baked heap), but a
+                    # cell both sides WRITE would diverge from the host
+                    # trajectory's view
+                    for origin, mod in write_spans:
+                        if any(origin <= a < origin + mod for a in blocked):
+                            conflict.add(origin)
+                    for dw in sym.dyn_writes:
+                        dmod = _dyn_write_bound(sym, dw.idx) or 1
+                        if any(dw.origin <= a < dw.origin + dmod
+                               for a in blocked):
+                            conflict.add(dw.origin)
+                    if conflict:
+                        raise SpecializeError(
+                            "@block and @sample both write a shared mem "
+                            "region — not bakeable")
+                else:
+                    for origin, mod in spans:
+                        if any(origin <= a < origin + mod for a in blocked):
+                            conflict.add(origin)
+                    if conflict:
+                        raise _CoupledUpgrade("writes", sample_spans)
+            if self._fb_vars and not self._block_settled:
+                raise _CoupledUpgrade("writes", sample_spans)
         return sym
 
     def _probe_block_mem_writes(self) -> Set[int]:
@@ -1815,8 +2587,9 @@ class SpecializedSampleKernel:
         for sv in sym.env.values():
             if isinstance(sv, TS):
                 push(sv.node)
-        for w in sym.ring_writes.values():
-            push(w.value) if isinstance(w.value, GNode) else None
+        for ws in sym.ring_writes.values():
+            for w in ws:
+                push(w.value) if isinstance(w.value, GNode) else None
         for dw in sym.dyn_writes:
             for x in (dw.idx, dw.value, dw.gate):
                 if isinstance(x, GNode):
@@ -1940,9 +2713,11 @@ class SpecializedSampleKernel:
                 return regions
 
             ring_wdeps = {
-                region: (_prev_deps(w.value, cache, sym.ring_writes)
-                         if isinstance(w.value, GNode) else set())
-                for region, w in sym.ring_writes.items()}
+                region: set().union(*(
+                    _prev_deps(w.value, cache, sym.ring_writes)
+                    if isinstance(w.value, GNode) else set()
+                    for w in ws))
+                for region, ws in sym.ring_writes.items()}
 
             # group dependency edges: g -> h when solving g's externals can
             # recurse into h's scan (through vars or through ring reads)
@@ -2035,7 +2810,7 @@ class SpecializedSampleKernel:
             self.dyn_write_map[region] = w
         if self.dyn_write_map:
             read_spans = list(static) + \
-                [(w.origin, w.mod) for w in sym.ring_writes.values()] + \
+                list(sym.ring_writes.keys()) + \
                 [(a, 1) for a in sym.read_cells] + \
                 [(a, 1) for a in sym.written_cells if a >= 0]
             for origin, mod in self.dyn_write_map:
@@ -2047,7 +2822,8 @@ class SpecializedSampleKernel:
                             "supported for gated writes yet")
         self.dyn_regions = sorted(self.dyn_write_map)
         self.carry_regions = self.ring_regions + self.dyn_regions + (
-            self.static_ring_regions if self.coupled else [])
+            self.static_ring_regions
+            if (self.coupled or self._hop_body is not None) else [])
 
     # -- emission ------------------------------------------------------------
 
@@ -2066,7 +2842,7 @@ class SpecializedSampleKernel:
         snap = self.snap
 
         static_regions: Dict[Tuple[int, int], np.ndarray] = {}
-        if not self.coupled:
+        if not self.coupled and self._hop_body is None:
             # bake read-only regions as constants; in the coupled regime
             # they ride in the carry instead (@block may rewrite them)
             for node in self._all_nodes(sym):
@@ -2081,6 +2857,8 @@ class SpecializedSampleKernel:
         scan_groups = self.scan_groups
         ctrl_index = {k: i for i, k in enumerate(self.ctrl_order)}
         B = self.B
+        rand_gated = self.rand_gated
+        rand_sites = self.rand_sites
 
         def seg(carry, xs):
             import jax
@@ -2091,9 +2869,43 @@ class SpecializedSampleKernel:
             t64 = jnp.arange(L, dtype=jnp.int64)
             tf = t64.astype(jnp.float64)
             memo: Dict[int, Any] = {}
+
+            # gated rand: sites draw only when their branch gate holds, so
+            # the flat MT19937 pool is indexed by a fire-count prefix sum
+            # (matching the golden's conditional consumption exactly);
+            # randseg is the WHOLE render's pool, used0 rides in the carry
+            rand_ctx: Dict[str, Any] = {}
+
+            def gated_rand_vals():
+                got = rand_ctx.get("vals")
+                if got is not None:
+                    return got
+                if rand_ctx.get("building"):
+                    raise SpecializeError(
+                        "rand draw feeds its own gating — draw compaction "
+                        "is not expressible")
+                rand_ctx["building"] = True
+                masks = []
+                for _slot, gate in rand_sites:
+                    if gate is None:
+                        masks.append(jnp.ones((L,), dtype=jnp.int64))
+                    else:
+                        masks.append(EM.truthy_mask(
+                            _arr(emit(gate))).astype(jnp.int64))
+                rand_ctx["building"] = False
+                M = jnp.stack(masks, axis=1)
+                within = jnp.cumsum(M, axis=1) - M
+                per_t = M.sum(axis=1)
+                cum = jnp.cumsum(per_t) - per_t
+                used0 = EM.to_i64(scalars[("rand", "used")])
+                idx = used0 + cum[:, None] + within
+                rand_ctx["vals"] = jnp.take(randseg, idx, axis=0,
+                                            mode="clip")
+                rand_ctx["fires"] = per_t.sum()
+                return rand_ctx["vals"]
             var_stream: Dict[Any, Any] = {}
             var_prev: Dict[Any, Any] = {}
-            ring_src: Dict[Tuple[int, int], Any] = {}
+            ring_src: Dict[Tuple[Tuple[int, int], int], Any] = {}
             in_progress: Set[Any] = set()
 
             def cursor_idx(var, offset, mod, k0, k1):
@@ -2115,7 +2927,10 @@ class SpecializedSampleKernel:
                     col = ctrlseg[:, ctrl_index[x.meta["key"]]]
                     val = jnp.repeat(col, B)[:L]
                 elif x.kind == "rand":
-                    val = randseg[:, x.meta["slot"]]
+                    if rand_gated:
+                        val = gated_rand_vals()[:, x.meta["slot"]]
+                    else:
+                        val = randseg[:, x.meta["slot"]]
                 elif x.kind == "prev":
                     val = prev_of(x.meta["key"])
                 elif x.kind == "ind":
@@ -2133,10 +2948,12 @@ class SpecializedSampleKernel:
                 elif x.kind == "maskidx":
                     val = EM.eel_and(_arr(emit(x.args[0])),
                                      jnp.float64(x.meta["mod"] - 1))
+                elif x.kind == "normloop":
+                    val = _norm_loop(_arr(emit(x.args[0])), x.meta)
                 elif x.kind == "ringref":
                     region = x.meta["region"]
-                    w = sym.ring_writes.get(region)
-                    if w is None:
+                    ws = sym.ring_writes.get(region)
+                    if ws is None:
                         origin, mod = region
                         src_arr = (rings[region] if region not in
                                    static_regions else
@@ -2145,13 +2962,25 @@ class SpecializedSampleKernel:
                                          mod, 0, L)
                         val = src_arr[idx]
                     else:
-                        if w.var != x.meta["var"]:
-                            raise SpecializeError(
-                                "ring read/write use different cursors")
-                        delay = (w.offset - x.meta["offset"]) % w.mod
-                        if delay == 0 and w.order > x.meta["order"]:
-                            delay = w.mod  # read precedes write: prior wrap
-                        val = ring_delayed(region, delay)
+                        w = ws[-1]
+                        # delay via cursor anchors so distinct-but-equal
+                        # cursor vars (shared multi-writer rings) resolve
+                        delay = (sym._cursor_anchor(w.var, w.offset, w.mod)
+                                 - sym._cursor_anchor(x.meta["var"],
+                                                      x.meta["offset"],
+                                                      w.mod)) % w.mod
+                        if delay == 0:
+                            pre = [u for u in ws
+                                   if u.order < x.meta["order"]]
+                            if pre:
+                                # same-slot same-sample: latest preceding
+                                # writer in program order wins
+                                val = write_stream(region, ws.index(pre[-1]))
+                            else:
+                                # read precedes every write: prior wrap
+                                val = ring_delayed(region, w.mod)
+                        else:
+                            val = ring_delayed(region, delay)
                 elif x.kind == "dynringref":
                     val = dyn_ring_read(x)
                 else:
@@ -2162,24 +2991,30 @@ class SpecializedSampleKernel:
             def _arr(v):
                 return v if not isinstance(v, float) else jnp.float64(v)
 
-            ring_emitting: Set[Tuple[int, int]] = set()
+            ring_emitting: Set[Tuple[int, int, int]] = set()
 
-            def ring_source(region):
-                w = sym.ring_writes[region]
-                src = ring_src.get(region)
+            def write_stream(region, i):
+                """Vectorized value stream of the region's i-th write."""
+                ck = (region, i)
+                src = ring_src.get(ck)
                 if src is None:
-                    if region in ring_emitting:
+                    if (region[0], region[1], i) in ring_emitting:
                         raise SpecializeError(
                             "cyclic delay-line coupling between ring buffers"
                             " — not vectorizable yet")
-                    ring_emitting.add(region)
-                    src = _full(emit(w.value))
-                    ring_emitting.discard(region)
-                    ring_src[region] = src
+                    ring_emitting.add((region[0], region[1], i))
+                    src = _full(emit(sym.ring_writes[region][i].value))
+                    ring_emitting.discard((region[0], region[1], i))
+                    ring_src[ck] = src
                 return src
 
+            def ring_source(region):
+                """Final slot value per sample = last write in program
+                order (multi-writer rings: last writer wins)."""
+                return write_stream(region, len(sym.ring_writes[region]) - 1)
+
             def ring_delayed(region, delay):
-                w = sym.ring_writes[region]
+                w = sym.ring_writes[region][-1]
                 src = ring_source(region)
                 if delay == 0:
                     return src
@@ -2202,20 +3037,29 @@ class SpecializedSampleKernel:
                 region = x.meta["region"]
                 origin, mod = region
                 sigma = EM.to_i64(_arr(emit(x.args[0])))  # slot in [0,mod)
-                w = sym.ring_writes.get(region)
-                if w is None:
+                ws = sym.ring_writes.get(region)
+                if ws is None:
                     src_arr = (rings[region] if region not in static_regions
                                else jnp.asarray(static_regions[region]))
                     return src_arr[sigma]
+                w = ws[-1]
                 src = ring_source(region)
                 prefix_idx = cursor_idx(w.var, w.offset, mod, 0, mod)
                 full = jnp.concatenate([rings[region][prefix_idx], src])
                 w0c = EM.to_i64(scalars[w.var]) + w.offset
-                if w.order > x.meta["order"]:
+                pre = [u for u in ws if u.order < x.meta["order"]]
+                if not pre:
                     dtil = jnp.mod(w0c + t64 - sigma - 1, mod) + 1
-                else:
-                    dtil = jnp.mod(w0c + t64 - sigma, mod)
-                return full[mod + t64 - dtil]
+                    return full[mod + t64 - dtil]
+                dtil = jnp.mod(w0c + t64 - sigma, mod)
+                base = full[mod + t64 - dtil]
+                if pre[-1] is w:
+                    return base
+                # same-slot same-sample reads see the latest PRECEDING
+                # writer, not the region's final (last-writer) value
+                return jnp.where(dtil == 0,
+                                 write_stream(region, ws.index(pre[-1])),
+                                 base)
 
             solved_groups: Set[int] = set()
 
@@ -2303,6 +3147,8 @@ class SpecializedSampleKernel:
                             v = EM.eel_select(_sc(es(x.args[0])),
                                               _sc(es(x.args[1])),
                                               _sc(es(x.args[2])))
+                        elif x.kind == "normloop":
+                            v = _norm_loop(_sc(es(x.args[0])), x.meta)
                         else:
                             raise AssertionError(f"scan-internal {x.kind}")
                         env[id(x)] = v
@@ -2376,7 +3222,13 @@ class SpecializedSampleKernel:
             # carry updates (single stacked vector -> one device buffer)
             new_vals = []
             for key in carried_vars:
-                if key in P_plans:
+                if key == ("rand", "used"):
+                    # force the gate masks even if every draw is dead code:
+                    # the golden still consumes those draws
+                    gated_rand_vals()
+                    new_vals.append(scalars[key]
+                                    + rand_ctx["fires"].astype(jnp.float64))
+                elif key in P_plans:
                     plan = P_plans[key]
                     if plan.kind == "induction":
                         # value after the last sample: w0 + final_offset + (L-1)
@@ -2397,7 +3249,8 @@ class SpecializedSampleKernel:
                 else jnp.zeros((0,), dtype=jnp.float64)
             new_rings = {}
             for region in carry_regions:
-                w = sym.ring_writes.get(region)
+                ws_r = sym.ring_writes.get(region)
+                w = ws_r[-1] if ws_r else None
                 if w is None:
                     dw = dyn_write_map.get(region)
                     if dw is None:  # carried read-only region: pass through
@@ -2489,6 +3342,9 @@ class SpecializedSampleKernel:
             self.snap.mem_ensure(origin + mod)
             rings[region] = np.asarray(self.snap.mem[origin:origin + mod],
                                        dtype=np.float64).copy()
+        if self._hop is not None:
+            return ((svec, rings), self._hop.initial_vars(),
+                    self._hop.initial_mem())
         if not self.coupled:
             return (svec, rings)
         dev = self._devblock
@@ -2518,6 +3374,14 @@ class SpecializedSampleKernel:
             fn = jax.jit(self._coupled_run(T), donate_argnums=(0,))
             self._seg_fns[key] = fn
             return fn
+        if self._hop is not None:
+            key = ("render", T, L, self._hop_phase)
+            fn = self._seg_fns.get(key)
+            if fn is None:
+                fn = jax.jit(self._hop_run(T, self._hop_phase),
+                             donate_argnums=(0,))
+                self._seg_fns[key] = fn
+            return fn
 
         nch = self.nch
         nfull = T // L
@@ -2531,21 +3395,41 @@ class SpecializedSampleKernel:
         n_ctrl = len(self.ctrl_order)
         n_rand = self.n_rand
 
+        rand_gated = self.rand_gated
+
         def run(carry, x32, ctrl, rand):
             x64 = x32.astype(jnp.float64)
             ys = []
+            if rand_gated:
+                # the whole render's flat draw pool goes to EVERY segment;
+                # each indexes it by its carried consumed-draw count
+                pool = rand.reshape(-1)
+                body = lambda c, xs: seg(c, (xs[0], xs[1], pool))  # noqa: E731
+                body_rem = (lambda c, xs: seg_rem(c, (xs[0], xs[1], pool))) \
+                    if rem else None
+            else:
+                body, body_rem = seg, seg_rem
             if nfull:
                 xin = x64[:, : nfull * L].reshape(nch, nfull, L).transpose(1, 0, 2)
                 cin = ctrl[: nfull * rows_per_seg].reshape(nfull, rows_per_seg,
                                                            n_ctrl)
-                rin = rand[: nfull * L].reshape(nfull, L, n_rand)
-                carry2, yseg = jax.lax.scan(seg, carry, (xin, cin, rin))
+                if rand_gated:
+                    carry2, yseg = jax.lax.scan(body, carry, (xin, cin))
+                else:
+                    rin = rand[: nfull * L].reshape(nfull, L, n_rand)
+                    carry2, yseg = jax.lax.scan(seg, carry, (xin, cin, rin))
             else:
                 carry2 = carry
             if rem:
-                carry2, y_r = seg_rem(
-                    carry2, (x64[:, nfull * L:], ctrl[nfull * rows_per_seg:],
-                             rand[nfull * L:]))
+                if rand_gated:
+                    carry2, y_r = body_rem(
+                        carry2, (x64[:, nfull * L:],
+                                 ctrl[nfull * rows_per_seg:]))
+                else:
+                    carry2, y_r = seg_rem(
+                        carry2, (x64[:, nfull * L:],
+                                 ctrl[nfull * rows_per_seg:],
+                                 rand[nfull * L:]))
             if nfull:
                 ys.append(yseg.transpose(1, 0, 2).reshape(nch, nfull * L))
             if rem:
@@ -2568,6 +3452,23 @@ class SpecializedSampleKernel:
         assert nch == self.nch
         if carry is None:
             carry = self.initial_carry()
+            if self._hop is not None:
+                self._hop_phase = self._hop_phase0
+        elif self.rand_gated:
+            # resumed render: a fresh pool is about to be generated, so the
+            # generator advances by the draws the previous pool consumed
+            # and the carried count rebases to the new pool's head
+            import jax.numpy as jnp
+
+            slot = self.scalar_index[("rand", "used")]
+            if self._hop is not None:
+                (svec, rings), hv, hm = carry
+                self._advance_rng_by_used(int(np.asarray(svec[slot])))
+                carry = ((jnp.asarray(svec).at[slot].set(0.0), rings), hv, hm)
+            else:
+                svec, rings = carry
+                self._advance_rng_by_used(int(np.asarray(svec[slot])))
+                carry = (jnp.asarray(svec).at[slot].set(0.0), rings)
         L = min(self.L, max(self.B, (T // self.B) * self.B)) if T else self.L
         n_full_blocks = T // self.B
         rem_block = T - n_full_blocks * self.B
@@ -2577,21 +3478,43 @@ class SpecializedSampleKernel:
             rows = n_full_blocks + (1 if rem_block else 0)
             ctrl = np.zeros((rows, len(self.ctrl_order)), dtype=np.float64)
         rand = self._rand_streams(T, reset=(carry is None))
-        return self._render_fn(T, L)(carry,
-                                     np.ascontiguousarray(x, np.float32),
-                                     ctrl, rand)
+        fn = self._render_fn(T, L)
+        if self._hop is not None:
+            # the hop counter's phase advances deterministically; the next
+            # resumed render segments accordingly
+            self._hop_phase = (self._hop_phase + T) % self._hop_len
+        return fn(carry, np.ascontiguousarray(x, np.float32), ctrl, rand)
 
     def _rand_streams(self, T: int, reset: bool) -> np.ndarray:
         """Pregenerate the exact MT19937 draw matrix [T, n_rand] (f64 u32
-        values), continuing the per-instance generator state."""
+        values), continuing the per-instance generator state.  In the gated
+        regime the matrix is a flat POOL upper-bounding consumption; the
+        true post-render generator state resolves from the carried
+        consumed-draw count (`_advance_rng_by_used`)."""
         if self.n_rand == 0:
             return np.zeros((T, 0), dtype=np.float64)
         from ..semantics import mt19937np as MT
 
         if reset or self._rng_state is None:
             self._rng_state = MT.eelrng_state_tuple(self.snap.rng)
-        draws, self._rng_state = MT.generate(T * self.n_rand, self._rng_state)
+        if self.rand_gated:
+            # keep the pre-pool state: only `used` of these draws are real
+            self._rng_prestate = self._rng_state
+            draws, _ = MT.generate(T * self.n_rand, self._rng_state)
+        else:
+            draws, self._rng_state = MT.generate(T * self.n_rand,
+                                                 self._rng_state)
         return draws.astype(np.float64).reshape(T, self.n_rand)
+
+    def _advance_rng_by_used(self, used: int) -> None:
+        """Fix up the generator state after a gated render consumed `used`
+        draws of the pregenerated pool."""
+        from ..semantics import mt19937np as MT
+
+        if used > 0:
+            _, self._rng_state = MT.generate(int(used), self._rng_prestate)
+        else:
+            self._rng_state = self._rng_prestate
 
     def render(self, x: np.ndarray, carry=None):
         """x: float32 [nch, T].  Returns (y float32 np [nch, T], final_carry)."""
@@ -2603,7 +3526,16 @@ class SpecializedSampleKernel:
         if self.n_rand and self._rng_state is not None:
             from ..semantics import mt19937np as MT
 
-            MT.restore_eelrng(state.rng, self._rng_state)
+            rng_state = self._rng_state
+            if self.rand_gated:
+                svec0 = np.asarray(carry[0][0] if self._hop is not None
+                                   else carry[0])
+                used = int(svec0[self.scalar_index[("rand", "used")]])
+                if used > 0:
+                    _, rng_state = MT.generate(used, self._rng_prestate)
+                else:
+                    rng_state = self._rng_prestate
+            MT.restore_eelrng(state.rng, rng_state)
         if self.last_control_state is not None:
             ts = self.last_control_state
             state.V.update(ts.V)
@@ -2611,13 +3543,28 @@ class SpecializedSampleKernel:
             state.srate = ts.srate
             state.samplesblock = ts.samplesblock
             state.rng.restore(ts.rng.snapshot())
-        if self.coupled:
+        if self.coupled or self._hop is not None:
             (svec, rings), bvars, bmem = carry
             bm = np.asarray(bmem)
+            devsec = self._devblock if self.coupled else self._hop
+            if devsec.uses_gmem:
+                # the heap tail is the gmem segment view: flush it to the
+                # shared array with page-seq bumps (change detection)
+                gm = bm[devsec.gmem_base:]
+                bm = bm[:devsec.gmem_base]
+                old = np.asarray(state.gmem, dtype=np.float64)
+                n = min(len(old), len(gm))
+                changed = np.nonzero(old[:n] != gm[:n])[0]
+                state.gmem[:n] = gm[:n]
+                host = getattr(state, "host", None)
+                seg = getattr(host, "attached_gmem", None)
+                if seg is not None and changed.size:
+                    seg.bump(int(changed.min()), int(changed.max()),
+                             getattr(host, "instance_id_int", 0))
             state.mem_ensure(len(bm))
             state.mem[:len(bm)] = bm
             bv = np.asarray(bvars)
-            for key, slot in self._devblock.slots.items():
+            for key, slot in devsec.slots.items():
                 if key in self.scalar_index or key[0] == "param":
                     continue  # sample-carried values below are newer
                 v = float(bv[slot])

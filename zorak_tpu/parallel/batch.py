@@ -108,6 +108,8 @@ def _raw_render(kern, T: int, L: int):
 
     if kern.coupled:
         return kern._coupled_run(T)
+    if kern._hop is not None:
+        return kern._hop_run(T)
 
     nch = kern.nch
     nfull = T // L
@@ -120,20 +122,36 @@ def _raw_render(kern, T: int, L: int):
 
     n_rand = kern.n_rand
 
+    rand_gated = kern.rand_gated
+
     def run(carry, x32, ctrl, rand):
         x64 = x32.astype(jnp.float64)
         ys = []
+        if rand_gated:
+            # whole-render flat pool, indexed by the carried draw count
+            pool = rand.reshape(-1)
+            body = lambda c, xs: seg(c, (xs[0], xs[1], pool))  # noqa: E731
+        else:
+            body = None
         if nfull:
             xin = x64[:, : nfull * L].reshape(nch, nfull, L).transpose(1, 0, 2)
             cin = ctrl[: nfull * rows_per_seg].reshape(nfull, rows_per_seg, n_ctrl)
-            rin = rand[: nfull * L].reshape(nfull, L, n_rand)
-            carry2, yseg = jax.lax.scan(seg, carry, (xin, cin, rin))
+            if rand_gated:
+                carry2, yseg = jax.lax.scan(body, carry, (xin, cin))
+            else:
+                rin = rand[: nfull * L].reshape(nfull, L, n_rand)
+                carry2, yseg = jax.lax.scan(seg, carry, (xin, cin, rin))
         else:
             carry2 = carry
         if rem:
-            carry2, y_r = seg_rem(
-                carry2, (x64[:, nfull * L:], ctrl[nfull * rows_per_seg:],
-                         rand[nfull * L:]))
+            if rand_gated:
+                carry2, y_r = seg_rem(
+                    carry2, (x64[:, nfull * L:],
+                             ctrl[nfull * rows_per_seg:], pool))
+            else:
+                carry2, y_r = seg_rem(
+                    carry2, (x64[:, nfull * L:], ctrl[nfull * rows_per_seg:],
+                             rand[nfull * L:]))
         if nfull:
             ys.append(yseg.transpose(1, 0, 2).reshape(nch, nfull * L))
         if rem:
