@@ -140,6 +140,22 @@ def main():
         emit("catalog_sweep", total_audio / wall,
              {"plugins_vectorized": len(outs), "plugins_fallback": len(skipped)})
 
+        # stacked: fuse plugin groups into single dispatches (the
+        # sequential sweep pays per-dispatch tunnel latency per plugin)
+        from zorak_tpu.parallel import catalog_stacked_render
+
+        plan = {}
+        log("catalog: stacked compile + warmup")
+        outs, nd = catalog_stacked_render(renderers, x, plan=plan)
+        jax.block_until_ready(list(outs.values()))
+        log(f"catalog: stacked timed render ({nd} dispatches)")
+        t0 = time.perf_counter()
+        outs, nd = catalog_stacked_render(renderers, x, plan=plan)
+        jax.block_until_ready(list(outs.values()))
+        wall = time.perf_counter() - t0
+        emit("catalog_sweep_stacked", len(outs) * short / srate / wall,
+             {"plugins_vectorized": len(outs), "dispatches": nd})
+
     return 0
 
 

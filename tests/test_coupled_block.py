@@ -6,7 +6,9 @@ import numpy as np
 
 from zorak_tpu.ir.program import compile_plugin_source
 from zorak_tpu.lowering import specialize_sample_kernel
+from zorak_tpu.shadow import compile_shadow
 from zorak_tpu.verify import make_initialized_shadow, null_test_plugin
+from zorak_tpu.verify.nulltest import apply_slider_state
 
 
 def noise(nch, n, scale=0.4, seed=3):
@@ -171,3 +173,51 @@ spl0 = spl0 * g;
     rep = null_test_plugin(prog, noise(1, 5000), segment_len=2048,
                            golden="native", compare_state=True)
     assert rep.passed, rep.summary()
+
+
+def test_coupled_retrigger_runs_device_slider():
+    """@block reads audio state AND retriggers @slider: the @slider
+    section compiles to device code and re-runs under a cond in the
+    fused scan when the pending mask is set (ref: dsp_jsfx_aot.py:
+    5788-5804 block-boundary slider-rerun rule)."""
+    src = """@slider
+g = 0.2 + slider1 * 0.1;
+@block
+acc_b = acc;
+acc > 40 && slider1 < 3 ? (
+  slider1 = slider1 + 1;
+  sliderchange(slider1);
+  acc = 0;
+);
+@sample
+acc += abs(spl0);
+spl0 = spl0 * g + 0.001 * acc_b;
+"""
+    prog = compile_plugin_source(src)
+    x = noise(1, 6000, seed=19, scale=0.5)
+
+    plug = compile_shadow(prog)
+    plug.state.srate = 48000.0
+    apply_slider_state(plug.state, prog, None, None)
+    plug.run_init()
+    plug.run_slider()
+    yg = np.zeros_like(x, dtype=np.float64)
+    for i in range(0, 6000, 512):
+        n = min(512, 6000 - i)
+        out = np.zeros((1, n), dtype=np.float64)
+        plug.process_block(x[:, i:i + n].astype(np.float64), out, 1)
+        # host semantics: pending masks consumed by the slider re-run
+        if plug.state.pending_change_mask:
+            plug.run_slider()
+            plug.state.pending_change_mask = 0
+        yg[:, i:i + n] = out
+
+    shadow_v = make_initialized_shadow(prog, 48000.0)
+    kern = specialize_sample_kernel(prog, shadow_v.state, 1,
+                                    segment_len=2048)
+    assert kern.coupled and kern._devslider is not None
+    y, carry = kern.render(x)
+    assert np.abs(y.astype(np.float64) - yg).max() <= 1e-6
+    # slider writeback: the device re-runs bumped slider1
+    kern.writeback(carry, shadow_v.state)
+    assert shadow_v.state.sliders[0] == plug.state.sliders[0]

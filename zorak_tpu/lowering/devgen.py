@@ -44,6 +44,9 @@ class DevgenError(Exception):
     """Section uses a construct the device executor does not support."""
 
 
+PENDING_SLOT_NAMES = ("__pend_chg__", "__pend_auto__", "__pend_auto_end__")
+
+
 _dft_mat_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
 
 
@@ -146,13 +149,18 @@ class DeviceSection:
             for p in fdef.params:
                 k = ("param", fname, p)
                 self.slots[k] = len(self.slots)
+        # pending slider masks (sliderchange/slider_automate from @block
+        # retrigger @slider, ref: dsp_jsfx_aot.py:5788-5804): pseudo vars
+        # the fused pipeline polls to fire the device @slider section
+        for nm in PENDING_SLOT_NAMES:
+            self.slots[("var", nm)] = len(self.slots)
         self.n_vars = len(self.slots)
 
     # -- static validation ----------------------------------------------------
 
     _FORBIDDEN = frozenset({
         "rand", "midirecv", "midisend", "midisend_buf", "midirecv_buf",
-        "sliderchange", "slider_automate", "slider_show", "slider_next_chg",
+        "slider_show", "slider_next_chg",
         "msg_send", "msg_recv", "msg_peek",
         "msg_advertise", "msg_subscribe", "msg_peer_count", "msg_peer_id",
         "comm_join", "instance_id", "instance_set_name",
@@ -1082,10 +1090,49 @@ class DeviceSection:
             return self._file_call(f, n.args, scope)
         if f in self._GMEM_FNS:
             return self._gmem_call(f, n.args, scope)
+        if f in ("sliderchange", "slider_automate"):
+            return self._slider_pending_call(f, n.args, scope)
         if f in ("slider", "spl") and len(n.args) == 1:
             raise DevgenError(f"dynamic {f}() read")
         raise DevgenError(f"@{self.section} builtin {f}() not "
                           "device-executable")
+
+    def _slider_pending_call(self, f: str, args: Sequence[Node], scope):
+        """sliderchange/slider_automate: OR the mask into the pending
+        pseudo slots (consumed by the fused pipeline's @slider cond).
+        A bare sliderN argument means that slider's bit, matching the
+        golden executors (shadow/pyexec._slider_mask_arg)."""
+        jnp = self._jnp
+        if not args:
+            raise DevgenError(f"{f} expects a mask")
+        a0 = args[0]
+        mask = None
+        if isinstance(a0, Name):
+            i = slider_index(a0.ident)
+            if i is not None:
+                if i >= 53:
+                    raise DevgenError(f"{f}: slider bit {i} beyond f64 "
+                                      "exact-integer range")
+                mask = float(1 << i)
+        if mask is None:
+            mask = self.ex(a0, scope)
+        if f == "slider_automate":
+            end = self.ex(args[1], scope) if len(args) > 1 else 0.0
+            if not isinstance(end, float):
+                raise DevgenError("slider_automate with dynamic end flag")
+            key = ("var", PENDING_SLOT_NAMES[2] if SC.truthy(end)
+                   else PENDING_SLOT_NAMES[1])
+        else:
+            key = ("var", PENDING_SLOT_NAMES[0])
+        cur = self._read_slot(key)
+        if isinstance(cur, float) and isinstance(mask, float):
+            newv: Any = float(int(max(0.0, cur)) | int(max(0.0, mask)))
+        else:
+            ci = jnp.maximum(EM.to_i64(self._arr(cur)), 0)
+            mi = jnp.maximum(EM.to_i64(self._arr(mask)), 0)
+            newv = jnp.bitwise_or(ci, mi).astype(jnp.float64)
+        self._write_slot(key, newv)
+        return 0.0
 
     def _gmem_call(self, f: str, args: Sequence[Node], scope):
         """Bulk gmem ops on the heap-tail segment view; semantics mirror

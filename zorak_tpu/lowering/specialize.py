@@ -1617,10 +1617,6 @@ class SpecializedSampleKernel:
             # machinery to see through their branches
             self._discover_block_consts()
             if hot:
-                if retriggers:
-                    raise SpecializeError(
-                        "audio-coupled @block retriggers @slider — not "
-                        "device-executable yet")
                 self._require_devblock()
             elif fb:
                 # @block WRITES sample state but never reads it (hot is
@@ -1660,6 +1656,7 @@ class SpecializedSampleKernel:
         self._plan(sym)
         self.ctrl_order = sorted(sym.ctrl_nodes.keys(), key=repr)
         self._devblock = None
+        self._devslider = None
         if self.coupled:
             self._build_devblock()
         if self._hop_body is not None:
@@ -1688,10 +1685,6 @@ class SpecializedSampleKernel:
         which is what lets data-dependent-looking loop bounds unroll."""
         if self.coupled:
             return
-        if self._retriggers:
-            raise SpecializeError(
-                "audio-coupled @block retriggers @slider — not "
-                "device-executable yet")
         from .devgen import DeviceSection, DevgenError, section_dynamic_keys
 
         try:
@@ -1709,6 +1702,19 @@ class SpecializedSampleKernel:
                            jax.ShapeDtypeStruct((trial.n_vars,), jnp.float64),
                            jax.ShapeDtypeStruct((trial.total_mem,),
                                                 jnp.float64))
+            if self._retriggers:
+                # @block can retrigger @slider: that section must compile
+                # to device code too (it runs under a cond in the scan)
+                trial_sl = DeviceSection(
+                    self.P, self.snap, "slider",
+                    section_dynamic_keys(
+                        self.P, ("block", "slider", "sample")),
+                    1 << 22, consts={"samplesblock": float(self.B)})
+                jax.eval_shape(
+                    trial_sl.step,
+                    jax.ShapeDtypeStruct((trial_sl.n_vars,), jnp.float64),
+                    jax.ShapeDtypeStruct((trial_sl.total_mem,),
+                                         jnp.float64))
         except DevgenError as exc:
             raise SpecializeError(f"audio-coupled @block: {exc}") from None
 
@@ -2112,11 +2118,17 @@ class SpecializedSampleKernel:
         if blocked:
             top = max(top, max(blocked) + 1)
         size = 1 << max(12, int(top - 1).bit_length() if top > 1 else 12)
-        self._dev_dyn = section_dynamic_keys(self.P, ("block", "sample"))
+        secs = ("block", "slider", "sample") if self._retriggers \
+            else ("block", "sample")
+        self._dev_dyn = section_dynamic_keys(self.P, secs)
         try:
             self._devblock = DeviceSection(
                 self.P, self.snap, "block", self._dev_dyn, size,
                 consts={"samplesblock": float(self.B)})
+            self._devslider = DeviceSection(
+                self.P, self.snap, "slider", self._dev_dyn, size,
+                consts={"samplesblock": float(self.B)}) \
+                if self._retriggers else None
         except DevgenError as exc:
             raise SpecializeError(f"audio-coupled @block: {exc}") from None
         for i, key in enumerate(self.ctrl_order):
@@ -2338,6 +2350,9 @@ class SpecializedSampleKernel:
         n_rand = self.n_rand
         n_ctrl = len(self.ctrl_order)
 
+        devslider = self._devslider
+        from .devgen import PENDING_SLOT_NAMES
+        pend_slots = [dev.slots[("var", nm)] for nm in PENDING_SLOT_NAMES]
         inter = [k for k in self.carried_vars if k in dev.slots]
         svec_sl = np.asarray([self.scalar_index[k] for k in inter], np.int64)
         bv_sl = np.asarray([dev.slots[k] for k in inter], np.int64)
@@ -2364,6 +2379,20 @@ class SpecializedSampleKernel:
                 if len(cells):
                     bmem = bmem.at[cell_ad].set(svec[cell_sv])
                 bvars, bmem = devsec.step(bvars, bmem)
+                if devslider is not None:
+                    # @block retriggered @slider: re-run it on device and
+                    # clear the pending masks (ref: dsp_jsfx_aot.py:5788)
+                    pend = (bvars[pend_slots[0]] + bvars[pend_slots[1]]
+                            + bvars[pend_slots[2]])
+
+                    def _rerun(args):
+                        bv, bm = args
+                        bv, bm = devslider.step(bv, bm)
+                        bv = bv.at[jnp.asarray(pend_slots)].set(0.0)
+                        return bv, bm
+
+                    bvars, bmem = jax.lax.cond(
+                        pend != 0.0, _rerun, lambda a: a, (bvars, bmem))
                 # device view -> sample state
                 if len(inter):
                     svec = svec.at[svec_sl].set(bvars[bv_sl])
@@ -3564,9 +3593,18 @@ class SpecializedSampleKernel:
             state.mem_ensure(len(bm))
             state.mem[:len(bm)] = bm
             bv = np.asarray(bvars)
+            from .devgen import PENDING_SLOT_NAMES
+
             for key, slot in devsec.slots.items():
                 if key in self.scalar_index or key[0] == "param":
                     continue  # sample-carried values below are newer
+                if key[0] == "var" and key[1] in PENDING_SLOT_NAMES:
+                    # pseudo slots -> the state's pending slider masks
+                    masks = ("pending_change_mask", "pending_automate_mask",
+                             "pending_automate_end_mask")
+                    setattr(state, masks[PENDING_SLOT_NAMES.index(key[1])],
+                            int(max(0.0, float(bv[slot]))))
+                    continue
                 v = float(bv[slot])
                 if key[0] == "var":
                     state.V[key[1]] = v

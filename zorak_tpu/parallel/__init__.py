@@ -1,2 +1,3 @@
 from .batch import (BatchRenderer, build_catalog_renderers,
-                    catalog_batch_render, render_batch)
+                    catalog_batch_render, catalog_stacked_render,
+                    render_batch)

@@ -109,7 +109,7 @@ def _raw_render(kern, T: int, L: int):
     if kern.coupled:
         return kern._coupled_run(T)
     if kern._hop is not None:
-        return kern._hop_run(T)
+        return kern._hop_run(T, kern._hop_phase0)
 
     nch = kern.nch
     nfull = T // L
@@ -188,6 +188,66 @@ def build_catalog_renderers(catalog_root: str, srate: float = 48000.0,
         except SpecializeError as exc:
             skipped[spec.slug] = str(exc)
     return renderers, skipped
+
+
+def catalog_stacked_render(renderers: Dict[str, "BatchRenderer"],
+                           x: np.ndarray, groups=None, plan=None):
+    """Render one input through MANY plugins in as few device dispatches
+    as possible: each group of plugins fuses into ONE jitted XLA program
+    (the sequential sweep pays per-dispatch tunnel latency ~20x over).
+
+    groups: optional list of slug-lists; default = one group per heavy
+    coupled plugin (their compiles are multi-minute on their own) plus
+    one group with everything else.  Returns ({slug: device audio},
+    n_dispatches)."""
+    import jax
+
+    T = int(x.shape[1])
+    entries = {}
+    for slug, r in renderers.items():
+        kern = r.kernel
+        L = min(kern.L, max(kern.B, (T // kern.B) * kern.B))
+        raw = _raw_render(kern, T, L)
+        n_full = T // kern.B
+        rem = T - n_full * kern.B
+        if kern.has_block and not kern.coupled:
+            ctrl = kern.control_trajectory(n_full, rem)
+        else:
+            rows = n_full + (1 if rem else 0)
+            ctrl = np.zeros((rows, len(kern.ctrl_order)), dtype=np.float64)
+        rand = kern._rand_streams(T, reset=True)
+        nch = kern.nch
+        xf = x[:nch] if x.shape[0] >= nch else np.broadcast_to(
+            x[:1], (nch, T))
+        entries[slug] = (raw, (kern.initial_carry(),
+                               np.ascontiguousarray(xf, np.float32),
+                               ctrl, rand))
+
+    if groups is None:
+        heavy = [s for s in entries
+                 if renderers[s].kernel.coupled
+                 or renderers[s].kernel._hop is not None]
+        light = [s for s in entries if s not in heavy]
+        groups = ([light] if light else []) + [[s] for s in heavy]
+    groups = [[s for s in g if s in entries] for g in groups]
+    groups = [g for g in groups if g]
+
+    outs: Dict[str, Any] = {}
+    for group in groups:
+        key = (tuple(sorted(group)), T)
+        fn = None if plan is None else plan.get(key)
+        if fn is None:
+            raws = {s: entries[s][0] for s in group}
+
+            def stacked(inputs, _raws=raws):
+                return {s: _raws[s](*inputs[s])[0] for s in _raws}
+
+            fn = jax.jit(stacked)
+            if plan is not None:
+                plan[key] = fn
+        ys = fn({s: entries[s][1] for s in group})
+        outs.update(ys)
+    return outs, len(groups)
 
 
 def catalog_batch_render(catalog_root: str, x: np.ndarray,
