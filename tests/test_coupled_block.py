@@ -221,3 +221,123 @@ spl0 = spl0 * g + 0.001 * acc_b;
     # slider writeback: the device re-runs bumped slider1
     kern.writeback(carry, shadow_v.state)
     assert shadow_v.state.sliders[0] == plug.state.sliders[0]
+
+
+_MIDI_BLOCK_BODY = """while (midirecv(ofs, m1, m23)) (
+  st = m1 & 240;
+  st == 144 ? notes += 1;
+  st == 128 ? notes -= 1;
+  last_vel = (m23 / 256) & 127;
+);
+"""
+
+_MIDI_EVENTS = [(100, 144, 60, 100), (700, 144, 64, 90), (1800, 128, 60, 0),
+                (2600, 144, 67, 70), (4400, 128, 64, 0)]
+
+
+def _golden_with_midi(prog, x, midi):
+    from zorak_tpu.shadow.state import MidiEvent
+
+    plug = compile_shadow(prog)
+    plug.state.srate = 48000.0
+    apply_slider_state(plug.state, prog, None, None)
+    plug.run_init()
+    plug.run_slider()
+    yg = np.zeros_like(x, dtype=np.float64)
+    total = x.shape[1]
+    for i in range(0, total, 512):
+        n = min(512, total - i)
+        st = plug.state
+        st.midi_in = [MidiEvent(int(o - i), int(a), int(b), int(c))
+                      for (o, a, b, c) in midi if i <= o < i + n]
+        st.midi_in_pos = 0
+        out = np.zeros((x.shape[0], n), dtype=np.float64)
+        plug.process_block(x[:, i:i + n].astype(np.float64), out, x.shape[0])
+        yg[:, i:i + n] = out
+    return plug, yg
+
+
+def test_block_midirecv_uncoupled_trajectory():
+    """Uncoupled @block midirecv: events route into the host control
+    trajectory's per-block queues."""
+    src = ("@block\n" + _MIDI_BLOCK_BODY
+           + "g = 0.1 + 0.2 * notes + 0.001 * last_vel;\n"
+           + "@sample\nenv += 0.01 * (g - env);\nspl0 = spl0 * env;\n")
+    prog = compile_plugin_source(src)
+    x = noise(1, 5000, seed=23, scale=0.5)
+    plug, yg = _golden_with_midi(prog, x, _MIDI_EVENTS)
+    shadow_v = make_initialized_shadow(prog, 48000.0)
+    kern = specialize_sample_kernel(prog, shadow_v.state, 1,
+                                    segment_len=2048)
+    assert not kern.coupled and kern.accepts_midi
+    y, carry = kern.render(x, midi=_MIDI_EVENTS)
+    assert np.abs(y.astype(np.float64) - yg).max() <= 1e-9
+    kern.writeback(carry, shadow_v.state)
+    assert shadow_v.state.V["notes"] == plug.state.V["notes"]
+
+
+def test_block_midirecv_coupled_staged_planes():
+    """Audio-coupled @block midirecv: host events stage as per-block
+    device planes consumed inside the fused scan (ref: JsfxMidiRuntime
+    queues consumed in @block, src/JSFXJuceProcessor.cpp:1575+)."""
+    src = ("@block\n" + _MIDI_BLOCK_BODY
+           + "g = 0.1 + 0.2 * notes + 0.001 * last_vel + acc * 0.0001;\n"
+           + "acc = 0;\n"
+           + "@sample\nacc += abs(spl0);\nenv += 0.01 * (g - env);\n"
+           + "spl0 = spl0 * env;\n")
+    prog = compile_plugin_source(src)
+    x = noise(1, 5000, seed=24, scale=0.5)
+    plug, yg = _golden_with_midi(prog, x, _MIDI_EVENTS)
+    shadow_v = make_initialized_shadow(prog, 48000.0)
+    kern = specialize_sample_kernel(prog, shadow_v.state, 1,
+                                    segment_len=2048)
+    assert kern.coupled and kern.accepts_midi
+    y, carry = kern.render(x, midi=_MIDI_EVENTS)
+    assert np.abs(y.astype(np.float64) - yg).max() <= 1e-9
+    kern.writeback(carry, shadow_v.state)
+    assert shadow_v.state.V["notes"] == plug.state.V["notes"]
+
+
+def test_block_midisend_staged_out():
+    """Device midisend: events append to the heap-tail OUT table per
+    block, decoded to absolute host offsets after the render."""
+    src = """@block
+acc > thr ? (
+  midisend(3, 144, 60 + 256 * 100);
+  sent += 1;
+);
+thr = 5 + sent;
+acc = 0;
+@sample
+acc += abs(spl0);
+spl0 = spl0 * 0.5;
+"""
+    prog = compile_plugin_source(src)
+    x = noise(1, 4000, seed=29, scale=0.6)
+
+    from zorak_tpu.shadow.state import MidiEvent  # noqa: F401
+
+    plug = compile_shadow(prog)
+    plug.state.srate = 48000.0
+    apply_slider_state(plug.state, prog, None, None)
+    plug.run_init()
+    plug.run_slider()
+    golden_out = []
+    yg = np.zeros_like(x, dtype=np.float64)
+    for i in range(0, 4000, 512):
+        n = min(512, 4000 - i)
+        st = plug.state
+        st.midi_out = []
+        out = np.zeros((1, n), dtype=np.float64)
+        plug.process_block(x[:, i:i + n].astype(np.float64), out, 1)
+        for ev in st.midi_out:
+            golden_out.append((i + ev.offset, ev.b1, ev.b2, ev.b3))
+        yg[:, i:i + n] = out
+
+    shadow_v = make_initialized_shadow(prog, 48000.0)
+    kern = specialize_sample_kernel(prog, shadow_v.state, 1,
+                                    segment_len=2048)
+    assert kern.coupled and kern._devblock.uses_midi_out
+    y, carry = kern.render(x)
+    assert np.abs(y.astype(np.float64) - yg).max() <= 1e-9
+    assert kern.last_midi_out == golden_out

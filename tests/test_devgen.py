@@ -128,7 +128,8 @@ chk = a[5] + a[77];
 
 
 def test_forbidden_builtins_raise():
-    prog = compile_plugin_source("@block\nmidisend(0, 144, 60, 100);\n")
+    # midisend is staged now; rand() remains host-only
+    prog = compile_plugin_source("@block\nx = rand(4);\n")
     snap = make_initialized_shadow(prog, 48000.0).state
     with pytest.raises(DevgenError):
         DeviceSection(prog, snap, "block",

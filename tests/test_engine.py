@@ -136,3 +136,31 @@ class TestStatePersistence:
         x = np.zeros((1, 16), dtype=np.float32)
         y = b.render(x).audio
         assert np.allclose(y, 14.0)
+
+
+def test_engine_midi_uses_vector_kernel_when_block_recv():
+    """MIDI renders stay on the vector engine when @block consumes the
+    events (staged planes / trajectory), matching the shadow loop."""
+    from zorak_tpu.ir import compile_plugin_source
+    from zorak_tpu.runtime.engine import PluginInstance as OfflineEngine
+
+    src = """@block
+while (midirecv(ofs, m1, m23)) ( notes += ((m1 & 240) == 144); );
+g = 0.2 + 0.1 * notes + acc * 0.0001;
+acc = 0;
+@sample
+acc += abs(spl0);
+spl0 = spl0 * g;
+"""
+    prog = compile_plugin_source(src)
+    x = (np.random.RandomState(31).randn(1, 4000) * 0.4).astype(np.float32)
+    midi = [(150, 144, 60, 90), (2100, 144, 62, 80)]
+
+    eng_v = OfflineEngine(prog)
+    assert eng_v.engine == "tpu-vector"
+    rv = eng_v.render(x, midi=midi)
+
+    eng_s = OfflineEngine(prog, prefer="cpu")
+    rs = eng_s.render(x, midi=midi)
+    assert np.abs(rv.audio.astype(np.float64)
+                  - rs.audio.astype(np.float64)).max() <= 1e-9

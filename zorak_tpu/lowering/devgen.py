@@ -45,6 +45,8 @@ class DevgenError(Exception):
 
 
 PENDING_SLOT_NAMES = ("__pend_chg__", "__pend_auto__", "__pend_auto_end__")
+MIDI_POS_SLOT = "__midi_pos__"
+MIDI_OUT_CAP = 64  # staged sends per block (drop past this, like the ref queue)
 
 
 _dft_mat_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
@@ -131,6 +133,8 @@ class DeviceSection:
             else list(program.sections.get(section, []))
         self._validate(self.body)
         self.uses_gmem = self._detect_gmem(self.body)
+        self.uses_midi_in = self._detect_call("midirecv")
+        self.uses_midi_out = self._detect_call("midisend")
         # gmem maps into the device heap right after plugin mem: all state
         # plumbing (branch merges, loop carries, the coupled pipeline's
         # heap sync) covers it for free; plugin mem addressing clamps at
@@ -138,7 +142,13 @@ class DeviceSection:
         self.gmem_cells = int(len(getattr(snapshot, "gmem", ()))) \
             if self.uses_gmem else 0
         self.gmem_base = self.mem_size
-        self.total_mem = self.mem_size + self.gmem_cells
+        # staged MIDI OUT rides the heap tail too (branch merges / loop
+        # carries then cover it for free): [count | CAP rows of 4]
+        self.midi_out_base = self.mem_size + self.gmem_cells
+        self.midi_out_cells = (1 + MIDI_OUT_CAP * 4) \
+            if self.uses_midi_out else 0
+        self.total_mem = self.mem_size + self.gmem_cells \
+            + self.midi_out_cells
 
         # slot table: dynamic vars + every specialized-fn param (params are
         # assigned per call; functions are non-reentrant, so one slot each)
@@ -152,14 +162,14 @@ class DeviceSection:
         # pending slider masks (sliderchange/slider_automate from @block
         # retrigger @slider, ref: dsp_jsfx_aot.py:5788-5804): pseudo vars
         # the fused pipeline polls to fire the device @slider section
-        for nm in PENDING_SLOT_NAMES:
+        for nm in PENDING_SLOT_NAMES + (MIDI_POS_SLOT,):
             self.slots[("var", nm)] = len(self.slots)
         self.n_vars = len(self.slots)
 
     # -- static validation ----------------------------------------------------
 
     _FORBIDDEN = frozenset({
-        "rand", "midirecv", "midisend", "midisend_buf", "midirecv_buf",
+        "rand", "midisend_buf", "midirecv_buf",
         "slider_show", "slider_next_chg",
         "msg_send", "msg_recv", "msg_peek",
         "msg_advertise", "msg_subscribe", "msg_peer_count", "msg_peer_id",
@@ -167,8 +177,7 @@ class DeviceSection:
         "file_string", "file_read", "file_write",
         "sample_read", "sample_read2", "sample_get", "sample_len",
         "sample_channels", "sample_srate", "sample_peak", "sample_rms",
-        "strcpy", "strcat", "strcmp", "strlen", "sprintf", "printf",
-        "str_getchar", "str_setchar", "strncpy", "time", "time_precise",
+        "time", "time_precise",
         "get_host_placement", "export_buffer_to_project", "freembuf",
         "__memtop", "mem_set_values", "mem_get_values", "atomic_setifequal",
         "stack_push", "stack_pop", "stack_peek", "stack_exch",
@@ -198,6 +207,25 @@ class DeviceSection:
         "gmem_attach", "gmem_attach_size", "gmem_size", "gmem_get",
         "gmem_put", "gmem_fill", "gmem_zero", "gmem_copy"})
 
+    def _detect_call(self, fname: str) -> bool:
+        from ..frontend.astnodes import walk
+
+        seen: Set[str] = set()
+
+        def scan(nodes) -> bool:
+            for root in nodes:
+                for n in walk(root):
+                    if isinstance(n, CallExpr):
+                        if n.func == fname:
+                            return True
+                        if n.func in self.P.fn_defs and n.func not in seen:
+                            seen.add(n.func)
+                            if scan([self.P.fn_defs[n.func].body]):
+                                return True
+            return False
+
+        return scan(self.body)
+
     def _detect_gmem(self, stmts: Sequence[Node]) -> bool:
         from ..frontend.astnodes import walk
 
@@ -222,16 +250,20 @@ class DeviceSection:
 
     # -- trace-time state -----------------------------------------------------
 
-    def step(self, vars_vec, mem):
+    def step(self, vars_vec, mem, midi=None):
         """Trace the section body once. vars_vec: f64[n_vars]; mem:
         f64[total_mem] = [plugin heap | gmem segment view] (the gmem tail
         is the block-synchronous HBM view of the shared array,
-        ref: src/DspJsfxGmem.h).  Returns the updated pair."""
+        ref: src/DspJsfxGmem.h).  midi: optional (events f64[K,4],
+        count f64) — this block's staged host MIDI queue, consumed by
+        midirecv via the __midi_pos__ cursor slot (caller resets it per
+        block).  Returns the updated (vars, mem) pair."""
         import jax.numpy as jnp
 
         self._jnp = jnp
         self.vars = vars_vec
         self.mem = mem
+        self.midi = midi
         self._n_merges = 0
         # trace-time constant overlay: slots assigned a static value read
         # back static until a traced write / branch divergence / loop body
@@ -1088,6 +1120,28 @@ class DeviceSection:
                  "file_riff", "file_var", "file_multi_count",
                  "file_multi_select"):
             return self._file_call(f, n.args, scope)
+        if f == "midirecv":
+            return self._midirecv(n.args, scope)
+        if f == "midisend":
+            return self._midisend(n.args, scope)
+        if f in ("strlen", "str_getchar"):
+            # static string table (literal pool); mutations are inert in
+            # ALL executors (golden contract: shadow/pyexec._INERT_FUNCS)
+            vals = [self.ex(a, scope) for a in n.args]
+            if not all(isinstance(v, float) for v in vals):
+                raise DevgenError(f"{f} with dynamic handle")
+            host = getattr(self.snap, "host", None)
+            if host is None:
+                return 0.0
+            if f == "strlen":
+                return float(host.strlen(self.snap, vals[0]))
+            return float(host.str_getchar(self.snap, vals[0], vals[1]))
+        if f in ("sprintf", "printf", "strcpy", "strcat", "strcmp",
+                 "str_setchar", "str_insert", "str_delete", "str_mid",
+                 "strncpy"):
+            for a in n.args:
+                self.ex(a, scope)
+            return 0.0
         if f in self._GMEM_FNS:
             return self._gmem_call(f, n.args, scope)
         if f in ("sliderchange", "slider_automate"):
@@ -1133,6 +1187,73 @@ class DeviceSection:
             newv = jnp.bitwise_or(ci, mi).astype(jnp.float64)
         self._write_slot(key, newv)
         return 0.0
+
+    def _midirecv(self, args: Sequence[Node], scope):
+        """Pop the next staged host MIDI event (golden semantics:
+        shadow/pyexec._midirecv4; 3-arg form packs msg23 = b2 + b3*256).
+        Out-params write only when an event is available."""
+        if len(args) not in (3, 4):
+            raise DevgenError("midirecv expects 3 or 4 args")
+        if self.midi is None:
+            raise DevgenError("midirecv: no staged MIDI plane")
+        jnp = self._jnp
+        ev, count = self.midi
+        K = int(ev.shape[0])
+        key = ("var", MIDI_POS_SLOT)
+        pos = self._arr(self._read_slot(key))
+        have = pos < self._arr(count)
+        idx = jnp.clip(EM.to_i64(pos), 0, max(0, K - 1))
+        row = ev[idx]
+        if len(args) == 4:
+            outs = [row[0], row[1], row[2], row[3]]
+        else:
+            outs = [row[0], row[1], row[2] + row[3] * 256.0]
+        for a, v in zip(args, outs):
+            if not isinstance(a, Name):
+                raise DevgenError("midirecv out-param must be a variable")
+            k = scope.get(a.ident) or _env_key(a.ident)
+            if k[0] == "builtin":
+                raise DevgenError("midirecv writes builtin")
+            old = self._arr(self._read_slot(k)) if k in self.slots else None
+            if old is None:
+                raise DevgenError(f"midirecv out-param {a.ident} "
+                                  "unclassified")
+            self._write_slot(k, jnp.where(have, v, old))
+        self._write_slot(key, jnp.where(have, pos + 1.0, pos))
+        return jnp.where(have, jnp.float64(1.0), jnp.float64(0.0))
+
+    def _midisend(self, args: Sequence[Node], scope):
+        """Append to the block's staged OUT table at the heap tail
+        (golden semantics: shadow/pyexec._midisend byte masking; 3-arg
+        msg23 unpacks).  Overflow past MIDI_OUT_CAP drops, mirroring the
+        reference's bounded midiOut queue (dsp_jsfx_aot.py State)."""
+        if len(args) not in (3, 4):
+            raise DevgenError("midisend expects 3 or 4 args")
+        if not self.midi_out_cells:
+            raise DevgenError("midisend: no staged MIDI out table")
+        jnp = self._jnp
+        base = self.midi_out_base
+        vals = [self._arr(self.ex(a, scope)) for a in args]
+        ofs = jnp.maximum(EM.to_i64(vals[0]), 0).astype(jnp.float64)
+        b1 = jnp.bitwise_and(EM.to_i64(vals[1]), 255).astype(jnp.float64)
+        if len(args) == 4:
+            b2 = jnp.bitwise_and(EM.to_i64(vals[2]), 255).astype(jnp.float64)
+            b3 = jnp.bitwise_and(EM.to_i64(vals[3]), 255).astype(jnp.float64)
+        else:
+            m23 = EM.to_i64(vals[2])
+            b2 = jnp.bitwise_and(m23, 255).astype(jnp.float64)
+            b3 = jnp.bitwise_and(m23 >> 8, 255).astype(jnp.float64)
+        n0 = self.mem[base]
+        ni = EM.to_i64(n0)
+        live = ni < MIDI_OUT_CAP
+        slot = base + 1 + jnp.where(live, ni, MIDI_OUT_CAP) * 4
+        row = jnp.stack([ofs, b1, b2, b3])
+        idx = slot + jnp.arange(4)
+        idx = jnp.where(live, idx, self.total_mem)
+        self.mem = self.mem.at[idx].set(row, mode="drop")
+        self.mem = self.mem.at[base].set(
+            jnp.minimum(n0 + 1.0, float(MIDI_OUT_CAP)))
+        return vals[1]
 
     def _gmem_call(self, f: str, args: Sequence[Node], scope):
         """Bulk gmem ops on the heap-tail segment view; semantics mirror

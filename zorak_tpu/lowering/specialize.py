@@ -612,8 +612,7 @@ class _SymExec:
                 and isinstance(pred.lhs, Name)):
             return None
         v_ident = pred.lhs.ident
-        if v_ident in scope:
-            return None  # fn params resolve differently; keep it simple
+        scoped = v_ident in scope
         lim = self.eval(pred.rhs, scope)
         if not isinstance(lim, CV):
             return None
@@ -639,13 +638,16 @@ class _SymExec:
         # direction must shrink toward the bound or the loop diverges
         if (pred.op in (">", ">=")) != (sgn < 0):
             return None
-        key = _env_key_for_name(v_ident)
-        cur = self.read_key(key)
+        cur = scope[v_ident] if scoped \
+            else self.read_key(_env_key_for_name(v_ident))
         self.order += 1
         node = GNode("normloop", args=(self._node(cur),),
                      meta={"op": pred.op, "C": lim.v,
                            "S": sgn * step.v, "order": self.order})
-        self.write_key(key, TS(node))
+        if scoped:
+            scope[v_ident] = TS(node)
+        else:
+            self.write_key(_env_key_for_name(v_ident), TS(node))
         return CV(0.0)
 
     def _cursor_anchor(self, var, offset: int, mod: int) -> int:
@@ -1558,6 +1560,7 @@ class SpecializedSampleKernel:
         #    @sample): the section compiles to device code (devgen) and runs
         #    between vectorized sample segments inside ONE fused scan.
         self.has_block = bool(program.sections.get("block"))
+        self._block_has_midi = self._section_calls("block", "midirecv")
         self.control_vars: Set[Any] = set()
         self.block_writes_mem = False
         self.block_reads_mem = False
@@ -1669,6 +1672,7 @@ class SpecializedSampleKernel:
                         raise SpecializeError(
                             "rand() in both @block and @sample — draw "
                             "interleaving not reproducible")
+        self.last_midi_out: List[Tuple[int, int, int, int]] = []
         self._rng_state = None
         self._rng_prestate = None
         self._traj_plugin = None
@@ -1688,20 +1692,28 @@ class SpecializedSampleKernel:
         from .devgen import DeviceSection, DevgenError, section_dynamic_keys
 
         try:
+            trial_sz = 1 << max(22, int(max(self.P.memtop or 0,
+                                            len(self.snap.mem))
+                                        - 1).bit_length())
             trial = DeviceSection(
                 self.P, self.snap, "block",
                 section_dynamic_keys(self.P, ("block", "sample")),
-                1 << 22, consts={"samplesblock": float(self.B)})
+                trial_sz, consts={"samplesblock": float(self.B)})
             # force one trace now: trace-time rejections (merge budget,
             # dynamic fft bases, ...) must fall back at BUILD time, not
             # explode at render
             import jax
             import jax.numpy as jnp
 
-            jax.eval_shape(trial.step,
-                           jax.ShapeDtypeStruct((trial.n_vars,), jnp.float64),
-                           jax.ShapeDtypeStruct((trial.total_mem,),
-                                                jnp.float64))
+            vst = jax.ShapeDtypeStruct((trial.n_vars,), jnp.float64)
+            mst = jax.ShapeDtypeStruct((trial.total_mem,), jnp.float64)
+            if trial.uses_midi_in:
+                jax.eval_shape(
+                    lambda v, m, me, mn: trial.step(v, m, midi=(me, mn)),
+                    vst, mst, jax.ShapeDtypeStruct((4, 4), jnp.float64),
+                    jax.ShapeDtypeStruct((), jnp.float64))
+            else:
+                jax.eval_shape(trial.step, vst, mst)
             if self._retriggers:
                 # @block can retrigger @slider: that section must compile
                 # to device code too (it runs under a cond in the scan)
@@ -1709,7 +1721,7 @@ class SpecializedSampleKernel:
                     self.P, self.snap, "slider",
                     section_dynamic_keys(
                         self.P, ("block", "slider", "sample")),
-                    1 << 22, consts={"samplesblock": float(self.B)})
+                    trial_sz, consts={"samplesblock": float(self.B)})
                 jax.eval_shape(
                     trial_sl.step,
                     jax.ShapeDtypeStruct((trial_sl.n_vars,), jnp.float64),
@@ -1877,6 +1889,24 @@ class SpecializedSampleKernel:
     _HOP_BUILTINS = frozenset({
         "memcpy", "memset", "fft", "ifft", "fft_real", "ifft_real",
         "fft_permute", "fft_ipermute", "convolve_c"})
+
+    def _section_calls(self, section: str, fname: str) -> bool:
+        """Does a section (transitively through user fns) call fname?"""
+        seen: Set[str] = set()
+
+        def scan(roots) -> bool:
+            for root in roots:
+                for x in walk(root):
+                    if isinstance(x, CallExpr):
+                        if x.func == fname:
+                            return True
+                        if x.func in self.P.fn_defs and x.func not in seen:
+                            seen.add(x.func)
+                            if scan([self.P.fn_defs[x.func].body]):
+                                return True
+            return False
+
+        return scan(self.P.sections.get(section) or [])
 
     def _hop_worthy(self, stmts: Sequence[Node]) -> bool:
         """True when the candidate body uses constructs the vector engine
@@ -2351,8 +2381,12 @@ class SpecializedSampleKernel:
         n_ctrl = len(self.ctrl_order)
 
         devslider = self._devslider
-        from .devgen import PENDING_SLOT_NAMES
+        from .devgen import MIDI_POS_SLOT, PENDING_SLOT_NAMES
         pend_slots = [dev.slots[("var", nm)] for nm in PENDING_SLOT_NAMES]
+        use_midi = dev.uses_midi_in
+        use_mout = dev.uses_midi_out
+        mo_base, mo_cells = dev.midi_out_base, dev.midi_out_cells
+        mpos_slot = dev.slots[("var", MIDI_POS_SLOT)]
         inter = [k for k in self.carried_vars if k in dev.slots]
         svec_sl = np.asarray([self.scalar_index[k] for k in inter], np.int64)
         bv_sl = np.asarray([dev.slots[k] for k in inter], np.int64)
@@ -2368,7 +2402,14 @@ class SpecializedSampleKernel:
         def make_step(devsec, segf):
             def step(carry, xs):
                 (svec, rings), bvars, bmem = carry
-                xblk, randblk = xs
+                if use_midi:
+                    xblk, randblk, mev_b, mn_b = xs
+                    midi_blk = (mev_b, mn_b)
+                    # each block consumes a fresh host event queue
+                    bvars = bvars.at[mpos_slot].set(0.0)
+                else:
+                    xblk, randblk = xs
+                    midi_blk = None
                 # sample state -> device view (@block sees the state as of
                 # the end of the previous block, reference ordering)
                 if len(inter):
@@ -2378,7 +2419,9 @@ class SpecializedSampleKernel:
                         bmem, rings[(origin, mod)], (origin,))
                 if len(cells):
                     bmem = bmem.at[cell_ad].set(svec[cell_sv])
-                bvars, bmem = devsec.step(bvars, bmem)
+                if use_mout:
+                    bmem = bmem.at[mo_base:mo_base + mo_cells].set(0.0)
+                bvars, bmem = devsec.step(bvars, bmem, midi=midi_blk)
                 if devslider is not None:
                     # @block retriggered @slider: re-run it on device and
                     # clear the pending masks (ref: dsp_jsfx_aot.py:5788)
@@ -2407,25 +2450,44 @@ class SpecializedSampleKernel:
                     row = row.at[i].set(bmem[a])
                 (svec, rings), y = segf((svec, rings),
                                         (xblk, row[None, :], randblk))
-                return ((svec, rings), bvars, bmem), y
+                out = y if not use_mout \
+                    else (y, bmem[mo_base:mo_base + mo_cells])
+                return ((svec, rings), bvars, bmem), out
             return step
 
-        def run(carry, x32, ctrl, rand):  # ctrl rows unused (device-sourced)
+        def run(carry, x32, ctrl, rand, mev=None, mn=None):
+            # ctrl rows unused (device-sourced); mev/mn = per-block staged
+            # MIDI planes [rows, K, 4], [rows] when @block midirecvs
             x64 = x32.astype(jnp.float64)
             ys = []
+            mouts = []
             if nfull:
                 xin = x64[:, :nfull * B].reshape(nch, nfull, B).transpose(
                     1, 0, 2)
                 rin = rand[:nfull * B].reshape(nfull, B, n_rand)
-                carry, yb = jax.lax.scan(make_step(dev, seg), carry,
-                                         (xin, rin))
+                xs = (xin, rin, mev[:nfull], mn[:nfull]) if use_midi \
+                    else (xin, rin)
+                carry, yb = jax.lax.scan(make_step(dev, seg), carry, xs)
+                if use_mout:
+                    yb, mo_full = yb
+                    mouts.append(mo_full)
                 ys.append(yb.transpose(1, 0, 2).reshape(nch, nfull * B))
             if rem:
-                carry, y_r = make_step(dev_rem, seg_rem)(
-                    carry, (x64[:, nfull * B:], rand[nfull * B:]))
+                xs_r = (x64[:, nfull * B:], rand[nfull * B:])
+                if use_midi:
+                    xs_r = xs_r + (mev[nfull], mn[nfull])
+                carry, y_r = make_step(dev_rem, seg_rem)(carry, xs_r)
+                if use_mout:
+                    y_r, mo_r = y_r
+                    mouts.append(mo_r[None, :])
                 ys.append(y_r)
             y = jnp.concatenate(ys, axis=1) if len(ys) > 1 else ys[0]
-            return y.astype(jnp.float32), carry
+            yout = y.astype(jnp.float32)
+            if use_mout:
+                mo = (jnp.concatenate(mouts, axis=0) if len(mouts) > 1
+                      else mouts[0]) if mouts else jnp.zeros((0, mo_cells))
+                return yout, carry, mo
+            return yout, carry
 
         return run
 
@@ -2794,6 +2856,62 @@ class SpecializedSampleKernel:
                         "cyclic entanglement between sequential recurrence "
                         "groups (through delay lines) — not vectorizable yet")
 
+        # ring-ring cycle detection at PLAN time (emission recursion would
+        # otherwise fail at render, after the engine already chose this
+        # kernel): edge R1 -> R2 when R1's written value needs R2's
+        # current-segment source (delay shorter than the longest segment;
+        # reads reaching only into carry history are cycle-free)
+        if sym.ring_writes:
+            redges: Dict[Tuple[int, int], Set[Tuple[int, int]]] = {}
+            for region, ws in sym.ring_writes.items():
+                rdeps: Set[Tuple[int, int]] = set()
+                stack_n = [w.value for w in ws
+                           if isinstance(w.value, GNode)]
+                seen_n2: Set[int] = set()
+                while stack_n:
+                    nd = stack_n.pop()
+                    if id(nd) in seen_n2:
+                        continue
+                    seen_n2.add(id(nd))
+                    stack_n.extend(a for a in nd.args
+                                   if isinstance(a, GNode))
+                    if nd.kind == "dynringref" \
+                            and nd.meta["region"] in sym.ring_writes:
+                        rdeps.add(nd.meta["region"])
+                    elif nd.kind == "ringref" \
+                            and nd.meta["region"] in sym.ring_writes:
+                        r2 = nd.meta["region"]
+                        w2 = sym.ring_writes[r2][-1]
+                        delay = (sym._cursor_anchor(w2.var, w2.offset,
+                                                    w2.mod)
+                                 - sym._cursor_anchor(nd.meta["var"],
+                                                      nd.meta["offset"],
+                                                      w2.mod)) % w2.mod
+                        if delay == 0 and not any(
+                                u.order < nd.meta["order"]
+                                for u in sym.ring_writes[r2]):
+                            delay = w2.mod
+                        if delay < self.L:
+                            rdeps.add(r2)
+                redges[region] = rdeps
+
+            color: Dict[Tuple[int, int], int] = {}
+
+            def rdfs(u) -> bool:
+                color[u] = 1
+                for v in redges.get(u, ()):
+                    if color.get(v) == 1 or (color.get(v) is None
+                                             and not rdfs(v)):
+                        return False
+                color[u] = 2
+                return True
+
+            for r in redges:
+                if color.get(r) is None and not rdfs(r):
+                    raise SpecializeError(
+                        "cyclic delay-line coupling between ring buffers "
+                        "within one segment — not vectorizable yet")
+
         # cross-variable cycles (v depends on prev(w), w on prev(v)) are fine:
         # prev() only needs the other var's solved stream shifted by one — but a
         # genuine cycle among linrec/stream plans through *current* values
@@ -2917,17 +3035,20 @@ class SpecializedSampleKernel:
                 masks = []
                 for _slot, gate in rand_sites:
                     if gate is None:
-                        masks.append(jnp.ones((L,), dtype=jnp.int64))
+                        masks.append(jnp.ones((L,), dtype=jnp.float64))
                     else:
                         masks.append(EM.truthy_mask(
-                            _arr(emit(gate))).astype(jnp.int64))
+                            _arr(emit(gate))).astype(jnp.float64))
                 rand_ctx["building"] = False
+                # prefix sums in f64 (exact far beyond any draw count):
+                # the i64 cumsum lowers to a u32-pair reduce-window that
+                # blows the TPU's scoped vmem budget at 64k segments
                 M = jnp.stack(masks, axis=1)
                 within = jnp.cumsum(M, axis=1) - M
                 per_t = M.sum(axis=1)
                 cum = jnp.cumsum(per_t) - per_t
-                used0 = EM.to_i64(scalars[("rand", "used")])
-                idx = used0 + cum[:, None] + within
+                used0 = scalars[("rand", "used")]
+                idx = EM.to_i64(used0 + cum[:, None] + within)
                 rand_ctx["vals"] = jnp.take(randseg, idx, axis=0,
                                             mode="clip")
                 rand_ctx["fires"] = per_t.sum()
@@ -3044,15 +3165,17 @@ class SpecializedSampleKernel:
 
             def ring_delayed(region, delay):
                 w = sym.ring_writes[region][-1]
-                src = ring_source(region)
                 if delay == 0:
-                    return src
+                    return ring_source(region)
                 k = min(delay, L)
                 idx = cursor_idx(w.var, w.offset - delay, w.mod, 0, k)
                 prefix = rings[region][idx]
                 if k >= L:
+                    # the whole read window predates this segment: carry
+                    # history only — no dependence on the current source
+                    # (keeps long feedback legal and cycle-free)
                     return prefix[:L]
-                return jnp.concatenate([prefix, src[: L - k]])
+                return jnp.concatenate([prefix, ring_source(region)[: L - k]])
 
             def _full(v):
                 if isinstance(v, float):
@@ -3285,9 +3408,10 @@ class SpecializedSampleKernel:
                     if dw is None:  # carried read-only region: pass through
                         new_rings[region] = rings[region]
                         continue
-                    # gated dynamic write: last-writer-wins scatter (sort
-                    # by slot then time; only each slot's final write
-                    # lands; gated-off and out-of-range samples drop)
+                    # gated dynamic write: last-writer-wins via a
+                    # scatter-max of write times per slot, then a gather
+                    # of each slot's final value (sort-free: TPU's sort
+                    # lowering blows the vmem budget at 64k segments)
                     mod = region[1]
                     idx = EM.to_i64(_arr(emit(dw.idx)))
                     val = _full(emit(dw.value))
@@ -3295,15 +3419,12 @@ class SpecializedSampleKernel:
                     if dw.gate is not None:
                         live = live & EM.truthy_mask(_arr(emit(dw.gate)))
                     pos = jnp.where(live, idx, mod)
-                    order = jnp.argsort(pos * (L + 1) + t64)
-                    pos_s = pos[order]
-                    val_s = val[order]
-                    last = jnp.concatenate(
-                        [pos_s[1:] != pos_s[:-1],
-                         jnp.ones((1,), dtype=bool)])
-                    target = jnp.where(last, pos_s, mod)
-                    new_rings[region] = rings[region].at[target].set(
-                        val_s, mode="drop")
+                    lastt = jnp.zeros((mod,), dtype=jnp.int64).at[pos].max(
+                        t64 + 1, mode="drop")
+                    has = lastt > 0
+                    gathered = val[jnp.clip(lastt - 1, 0, L - 1)]
+                    new_rings[region] = jnp.where(has, gathered,
+                                                  rings[region])
                     continue
                 src = ring_source(region)
                 k = min(L, w.mod)
@@ -3315,21 +3436,33 @@ class SpecializedSampleKernel:
 
     # -- state plumbing ------------------------------------------------------
 
-    def control_trajectory(self, n_blocks: int, rem_block: int = 0):
+    def control_trajectory(self, n_blocks: int, rem_block: int = 0,
+                           midi=None):
         """Interpret the @block/@slider trajectory on the host; returns the
         control matrix [n_blocks(+1 if rem), n_ctrl] and keeps the final
-        control-state for writeback."""
+        control-state for writeback.  midi events route into each block's
+        queue (host-side midirecv, the uncoupled path)."""
         from ..shadow import compile_shadow
+        from ..shadow.state import MidiEvent
 
         if self._traj_plugin is None:
             self._traj_plugin = compile_shadow(self.P)
         plug = self._traj_plugin
         plug.state = self.snap.clone()
         st = plug.state
+        ev_sorted = sorted(midi or [], key=lambda e: e[0])
 
         rows = n_blocks + (1 if rem_block else 0)
         out = np.zeros((rows, len(self.ctrl_order)), dtype=np.float64)
         for b in range(rows):
+            if midi:
+                start = b * self.B
+                nb0 = rem_block if (rem_block and b == n_blocks) else self.B
+                st.midi_in = [
+                    MidiEvent(int(e[0] - start), int(e[1]) & 0xFF,
+                              int(e[2]) & 0xFF, int(e[3]) & 0xFF)
+                    for e in ev_sorted if start <= e[0] < start + nb0]
+                st.midi_in_pos = 0
             nb = rem_block if (rem_block and b == n_blocks) else self.B
             st.samplesblock = float(nb)
             plug.run_block()
@@ -3388,11 +3521,11 @@ class SpecializedSampleKernel:
             self._seg_fns[L] = fn
         return fn
 
-    def _render_fn(self, T: int, L: int):
+    def _render_fn(self, T: int, L: int, midi_k: int = 0):
         """One jitted function for the whole render: reshape + lax.scan over
         full segments + remainder — a single device dispatch (critical when
         the host link has high per-call latency)."""
-        key = ("render", T, L)
+        key = ("render", T, L, midi_k)
         fn = self._seg_fns.get(key)
         if fn is not None:
             return fn
@@ -3470,12 +3603,45 @@ class SpecializedSampleKernel:
         self._seg_fns[key] = fn
         return fn
 
-    def render_device(self, x: np.ndarray, carry=None):
+    @property
+    def accepts_midi(self) -> bool:
+        """True when host MIDI events can reach @block: staged per-block
+        device planes in the coupled regime, or the host-interpreted
+        control trajectory in the uncoupled one."""
+        if self.coupled:
+            return bool(self._devblock is not None
+                        and self._devblock.uses_midi_in)
+        return bool(self.has_block and self._block_has_midi)
+
+    def _midi_planes(self, midi, T: int):
+        """[(offset,b1,b2,b3)] at engine rate -> per-block planes
+        (ev f64[rows, K, 4] with in-block offsets, n f64[rows])."""
+        B = self.B
+        rows = T // B + (1 if T % B else 0)
+        per: List[List[Tuple[float, float, float, float]]] =             [[] for _ in range(rows)]
+        for ev in sorted(midi or [], key=lambda e: e[0]):
+            off = max(0, min(int(ev[0]), T - 1))
+            per[off // B].append((float(off - (off // B) * B),
+                                  float(int(ev[1]) & 0xFF),
+                                  float(int(ev[2]) & 0xFF),
+                                  float(int(ev[3]) & 0xFF)))
+        K = max(1, max((len(p) for p in per), default=1))
+        mev = np.zeros((rows, K, 4), dtype=np.float64)
+        mn = np.zeros((rows,), dtype=np.float64)
+        for b, evs in enumerate(per):
+            mn[b] = len(evs)
+            for k, e in enumerate(evs):
+                mev[b, k] = e
+        return mev, mn
+
+    def render_device(self, x: np.ndarray, carry=None, midi=None):
         """x: float32 [nch, T].  Returns (y_dev float32 jnp [nch, T], carry).
 
-        Output stays ON DEVICE — device->host transfer is the caller's
-        decision (the tunnel D2H path in dev environments is slow; on real
-        deployments prefer on-device reductions / sharded writes).
+        midi: optional [(offset, b1, b2, b3)] at the kernel's rate, only
+        when accepts_midi.  Output stays ON DEVICE — device->host transfer
+        is the caller's decision (the tunnel D2H path in dev environments
+        is slow; on real deployments prefer on-device reductions /
+        sharded writes).
         """
         nch, T = x.shape
         assert nch == self.nch
@@ -3502,17 +3668,47 @@ class SpecializedSampleKernel:
         n_full_blocks = T // self.B
         rem_block = T - n_full_blocks * self.B
         if self.has_block and not self.coupled:
-            ctrl = self.control_trajectory(n_full_blocks, rem_block)
+            ctrl = self.control_trajectory(n_full_blocks, rem_block,
+                                           midi=midi)
         else:
             rows = n_full_blocks + (1 if rem_block else 0)
             ctrl = np.zeros((rows, len(self.ctrl_order)), dtype=np.float64)
         rand = self._rand_streams(T, reset=(carry is None))
-        fn = self._render_fn(T, L)
-        if self._hop is not None:
-            # the hop counter's phase advances deterministically; the next
-            # resumed render segments accordingly
-            self._hop_phase = (self._hop_phase + T) % self._hop_len
-        return fn(carry, np.ascontiguousarray(x, np.float32), ctrl, rand)
+        self.last_midi_out = []
+        if self.coupled and self.accepts_midi:
+            mev, mn = self._midi_planes(midi, T)
+            fn = self._render_fn(T, L, midi_k=mev.shape[1])
+            out = fn(carry, np.ascontiguousarray(x, np.float32), ctrl,
+                     rand, mev, mn)
+        else:
+            if midi and not self.accepts_midi:
+                raise SpecializeError(
+                    "MIDI events supplied but this kernel has no @block "
+                    "midirecv path")
+            fn = self._render_fn(T, L)
+            if self._hop is not None:
+                # the hop counter's phase advances deterministically; the
+                # next resumed render segments accordingly
+                self._hop_phase = (self._hop_phase + T) % self._hop_len
+            out = fn(carry, np.ascontiguousarray(x, np.float32), ctrl, rand)
+        if len(out) == 3:
+            y_dev, carry, mo = out
+            self.last_midi_out = self._decode_midi_out(np.asarray(mo))
+            return y_dev, carry
+        return out
+
+    def _decode_midi_out(self, mo: np.ndarray):
+        """Staged per-block OUT planes -> [(abs_offset, b1, b2, b3)]."""
+        from .devgen import MIDI_OUT_CAP
+
+        events = []
+        for b in range(mo.shape[0]):
+            n = int(mo[b, 0])
+            for k in range(min(n, MIDI_OUT_CAP)):
+                ofs, b1, b2, b3 = mo[b, 1 + 4 * k: 5 + 4 * k]
+                events.append((b * self.B + int(ofs), int(b1), int(b2),
+                               int(b3)))
+        return events
 
     def _rand_streams(self, T: int, reset: bool) -> np.ndarray:
         """Pregenerate the exact MT19937 draw matrix [T, n_rand] (f64 u32
@@ -3545,9 +3741,9 @@ class SpecializedSampleKernel:
         else:
             self._rng_state = self._rng_prestate
 
-    def render(self, x: np.ndarray, carry=None):
+    def render(self, x: np.ndarray, carry=None, midi=None):
         """x: float32 [nch, T].  Returns (y float32 np [nch, T], final_carry)."""
-        y_dev, carry = self.render_device(x, carry)
+        y_dev, carry = self.render_device(x, carry, midi=midi)
         return np.asarray(y_dev), carry
 
     def writeback(self, carry, state) -> None:
@@ -3579,7 +3775,8 @@ class SpecializedSampleKernel:
             if devsec.uses_gmem:
                 # the heap tail is the gmem segment view: flush it to the
                 # shared array with page-seq bumps (change detection)
-                gm = bm[devsec.gmem_base:]
+                gm = bm[devsec.gmem_base:devsec.gmem_base
+                        + devsec.gmem_cells]
                 bm = bm[:devsec.gmem_base]
                 old = np.asarray(state.gmem, dtype=np.float64)
                 n = min(len(old), len(gm))
@@ -3590,6 +3787,7 @@ class SpecializedSampleKernel:
                 if seg is not None and changed.size:
                     seg.bump(int(changed.min()), int(changed.max()),
                              getattr(host, "instance_id_int", 0))
+            bm = bm[:devsec.mem_size]
             state.mem_ensure(len(bm))
             state.mem[:len(bm)] = bm
             bv = np.asarray(bvars)
@@ -3598,6 +3796,8 @@ class SpecializedSampleKernel:
             for key, slot in devsec.slots.items():
                 if key in self.scalar_index or key[0] == "param":
                     continue  # sample-carried values below are newer
+                if key[0] == "var" and key[1] == "__midi_pos__":
+                    continue
                 if key[0] == "var" and key[1] in PENDING_SLOT_NAMES:
                     # pseudo slots -> the state's pending slider masks
                     masks = ("pending_change_mask", "pending_automate_mask",

@@ -173,7 +173,13 @@ class PluginInstance:
         else:
             x_eng = x
 
-        use_kernel = (self.kernel is not None and not midi
+        kern_midi = None
+        if midi and self.kernel is not None and self.kernel.accepts_midi:
+            # scale host-rate offsets to the engine rate (the shadow loop
+            # does the same per event)
+            kern_midi = [(int(e[0]) * F, e[1], e[2], e[3]) for e in midi]
+        use_kernel = (self.kernel is not None
+                      and (not midi or kern_midi is not None)
                       and self.smart_idle == "always_awake")
         if not use_kernel:
             return self._render_shadow(x, x_eng, block_size, midi, t_start=time.perf_counter())
@@ -181,12 +187,13 @@ class PluginInstance:
         t0 = time.perf_counter()
         if True:
             if fetch_audio:
-                y, carry = self.kernel.render(x_eng)
+                y, carry = self.kernel.render(x_eng, midi=kern_midi)
                 if F > 1:
                     y = downsample_box(y, F)
             else:
                 import jax
-                y_dev, carry = self.kernel.render_device(x_eng)
+                y_dev, carry = self.kernel.render_device(x_eng,
+                                                         midi=kern_midi)
                 stats = _audio_stats(y_dev)
                 jax.block_until_ready(stats)
                 wall = time.perf_counter() - t0
