@@ -43,6 +43,10 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from zorak_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from zorak_tpu.ir import load_plugin_file
     from zorak_tpu.lowering import specialize_sample_kernel
     from zorak_tpu.verify import make_initialized_shadow

@@ -47,6 +47,9 @@ def timed_rtx(fn, audio_seconds, warmup=1, runs=3):
 
 
 def main():
+    from zorak_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=60.0)
     ap.add_argument("--catalog", default="/root/reference")
@@ -155,6 +158,31 @@ def main():
         wall = time.perf_counter() - t0
         emit("catalog_sweep_stacked", len(outs) * short / srate / wall,
              {"plugins_vectorized": len(outs), "dispatches": nd})
+
+    if "coupled" in configs:
+        # fused block/sample plugins at a larger host block (a host's
+        # buffer-size choice; null-tested bit-exact at any B): fewer scan
+        # steps per render
+        from zorak_tpu.catalog import discover
+        from zorak_tpu.lowering import specialize_sample_kernel
+        from zorak_tpu.runtime.services import EngineHost
+        from zorak_tpu.verify import make_initialized_shadow
+
+        specs = {s.slug: s for s in discover(args.catalog)}
+        xin = (rng.randn(2, n) * 0.25).astype(np.float32)
+        for slug in ("DOT", "ERBTilt", "SpectralStabilizer"):
+            for B in (512, 2048):
+                prog = specs[slug].load_program()
+                nch = max(1, prog.io_channels["process"])
+                sh = make_initialized_shadow(prog, srate, host=EngineHost())
+                log(f"coupled: {slug} B={B} specializing + compiling")
+                kern = specialize_sample_kernel(prog, sh.state, nch,
+                                                segment_len=1 << 16,
+                                                block_size=B)
+                xi = xin[:nch]
+                rtx = timed_rtx(
+                    lambda: kern.render_device(xi)[0], secs, runs=3)
+                emit(f"coupled_{slug.lower()}_b{B}", rtx)
 
     return 0
 

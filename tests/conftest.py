@@ -21,28 +21,9 @@ jax.config.update("jax_platforms", "cpu")
 # container migrates hosts between rounds).
 
 
-def _host_fingerprint() -> str:
-    import hashlib
-    import platform
+from zorak_tpu.utils.cache import enable_persistent_cache  # noqa: E402
 
-    feat = ""
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith(("flags", "Features")):
-                    feat = line
-                    break
-    except OSError:
-        pass
-    raw = f"{platform.machine()}|{feat}"
-    return hashlib.sha1(raw.encode()).hexdigest()[:12]
-
-
-_cache_dir = os.path.expanduser(
-    f"~/.cache/zorak_tpu/jaxcache-{_host_fingerprint()}")
-os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+enable_persistent_cache()
 
 import pathlib
 

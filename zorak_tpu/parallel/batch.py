@@ -228,7 +228,10 @@ def catalog_stacked_render(renderers: Dict[str, "BatchRenderer"],
                  if renderers[s].kernel.coupled
                  or renderers[s].kernel._hop is not None]
         light = [s for s in entries if s not in heavy]
-        groups = ([light] if light else []) + [[s] for s in heavy]
+        # bound each fused program's size: one 14-plugin program
+        # SIGKILLed the remote TPU compiler
+        groups = [light[i:i + 5] for i in range(0, len(light), 5)]
+        groups += [[s] for s in heavy]
     groups = [[s for s in g if s in entries] for g in groups]
     groups = [g for g in groups if g]
 
