@@ -137,3 +137,76 @@ class TestPsychoConvolver:
         y, _ = kern.render(x)
         rep = compare_audio(y_ref.astype(np.float32), y)
         assert rep.audio_passed, rep.summary()
+
+
+class TestHopCrossFeatures:
+    def test_hop_with_gated_rand(self):
+        # gated rand draws + a hop section in one kernel: the flat pool
+        # indexing must survive the hop-pipeline segmentation
+        src = """@init
+H = 32;
+BUF = 0;
+OUT = 64;
+ctr = 0;
+rp = 0;
+function work() local(i) (
+  i = 0;
+  while (i < H) ( OUT[i] = BUF[i] * 0.25; i += 1; );
+);
+@sample
+y = OUT[rp];
+BUF[ctr] = spl0;
+spl0 > 0.5 ? ( nz = rand(1) * 0.01; ) : ( nz = 0; );
+spl0 = y + nz;
+rp += 1;
+rp >= H ? rp = 0;
+ctr += 1;
+ctr >= H ? ( work(); ctr = 0; );
+"""
+        from zorak_tpu.ir import compile_plugin_source
+
+        prog = compile_plugin_source(src)
+        x = (np.random.RandomState(41).randn(1, 800) * 0.6
+             ).astype(np.float32)
+        y_ref = golden_render(prog, x, block=32)
+        sh = make_initialized_shadow(prog)
+        kern = specialize_sample_kernel(prog, sh.state, 1, segment_len=256,
+                                        block_size=32)
+        assert kern._hop is not None and kern.rand_gated
+        y, _ = kern.render(x)
+        assert np.abs(y.astype(np.float64) - y_ref).max() <= 1e-9
+
+    def test_hop_reads_multiwriter_ring(self):
+        # two writers share the staged input ring; the hop consumes it
+        src = """@init
+H = 16;
+BUF = 0;
+OUT = 32;
+ctr = 0;
+rp = 0;
+function put(x) instance(dummy) ( BUF[ctr] = x; );
+function work() local(i) (
+  i = 0;
+  while (i < H) ( OUT[i] = BUF[i] * 0.5; i += 1; );
+);
+@sample
+y = OUT[rp];
+a.put(spl0 * 2);
+b.put(spl0);
+spl0 = y;
+rp += 1;
+rp >= H ? rp = 0;
+ctr += 1;
+ctr >= H ? ( work(); ctr = 0; );
+"""
+        from zorak_tpu.ir import compile_plugin_source
+
+        prog = compile_plugin_source(src)
+        x = (np.random.RandomState(43).randn(1, 400) * 0.4
+             ).astype(np.float32)
+        y_ref = golden_render(prog, x, block=16)
+        sh = make_initialized_shadow(prog)
+        kern = specialize_sample_kernel(prog, sh.state, 1, segment_len=128,
+                                        block_size=16)
+        y, _ = kern.render(x)
+        assert np.abs(y.astype(np.float64) - y_ref).max() == 0.0

@@ -1673,6 +1673,8 @@ class SpecializedSampleKernel:
                             "rand() in both @block and @sample — draw "
                             "interleaving not reproducible")
         self.last_midi_out: List[Tuple[int, int, int, int]] = []
+        self._traj_cache: Dict[Tuple[int, int], Any] = {}
+        self._rand_cache: Dict[int, np.ndarray] = {}
         self._rng_state = None
         self._rng_prestate = None
         self._traj_plugin = None
@@ -3436,6 +3438,20 @@ class SpecializedSampleKernel:
 
     # -- state plumbing ------------------------------------------------------
 
+    def cached_trajectory(self, n_blocks: int, rem_block: int = 0):
+        """Input-independent control trajectory, memoized per length:
+        host-side @block interpretation otherwise dominates repeated
+        renders of fast kernels."""
+        tkey = (n_blocks, rem_block)
+        cached = self._traj_cache.get(tkey)
+        if cached is not None:
+            ctrl, self.last_control_state = cached
+            return ctrl
+        ctrl = self.control_trajectory(n_blocks, rem_block)
+        if len(self._traj_cache) < 8:
+            self._traj_cache[tkey] = (ctrl, self.last_control_state)
+        return ctrl
+
     def control_trajectory(self, n_blocks: int, rem_block: int = 0,
                            midi=None):
         """Interpret the @block/@slider trajectory on the host; returns the
@@ -3668,12 +3684,22 @@ class SpecializedSampleKernel:
         n_full_blocks = T // self.B
         rem_block = T - n_full_blocks * self.B
         if self.has_block and not self.coupled:
-            ctrl = self.control_trajectory(n_full_blocks, rem_block,
-                                           midi=midi)
+            if midi or carry is not None:
+                ctrl = self.control_trajectory(n_full_blocks, rem_block,
+                                               midi=midi)
+            else:
+                ctrl = self.cached_trajectory(n_full_blocks, rem_block)
         else:
             rows = n_full_blocks + (1 if rem_block else 0)
             ctrl = np.zeros((rows, len(self.ctrl_order)), dtype=np.float64)
-        rand = self._rand_streams(T, reset=(carry is None))
+        if self.n_rand and carry is None and not self.rand_gated:
+            rand = self._rand_cache.get(T)
+            if rand is None:
+                rand = self._rand_streams(T, reset=True)
+                if len(self._rand_cache) < 4:
+                    self._rand_cache[T] = rand
+        else:
+            rand = self._rand_streams(T, reset=(carry is None))
         self.last_midi_out = []
         if self.coupled and self.accepts_midi:
             mev, mn = self._midi_planes(midi, T)

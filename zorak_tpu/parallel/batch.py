@@ -90,7 +90,7 @@ class BatchRenderer:
         n_full_blocks = T // kern.B
         rem_block = T - n_full_blocks * kern.B
         if kern.has_block and not kern.coupled:
-            ctrl = kern.control_trajectory(n_full_blocks, rem_block)
+            ctrl = kern.cached_trajectory(n_full_blocks, rem_block)
         else:
             rows = n_full_blocks + (1 if rem_block else 0)
             ctrl = np.zeros((rows, len(kern.ctrl_order)), dtype=np.float64)
@@ -211,7 +211,7 @@ def catalog_stacked_render(renderers: Dict[str, "BatchRenderer"],
         n_full = T // kern.B
         rem = T - n_full * kern.B
         if kern.has_block and not kern.coupled:
-            ctrl = kern.control_trajectory(n_full, rem)
+            ctrl = kern.cached_trajectory(n_full, rem)
         else:
             rows = n_full + (1 if rem else 0)
             ctrl = np.zeros((rows, len(kern.ctrl_order)), dtype=np.float64)
