@@ -265,6 +265,13 @@ class DeviceSection:
         self.mem = mem
         self.midi = midi
         self._n_merges = 0
+        self._n_fallback_merges = 0
+        # write-log branch merging: while tracing a branch arm, scalar
+        # heap writes append here so the merge applies them cell-masked
+        # instead of where-ing the whole heap (CMD's 6922 merges x 4M
+        # cells OOMed the XLA CPU pipeline at 127 GB)
+        self._merge_log = None
+        self._merge_dirty = False
         # trace-time constant overlay: slots assigned a static value read
         # back static until a traced write / branch divergence / loop body
         # invalidates them (lets file handles, reload flags and local
@@ -389,10 +396,21 @@ class DeviceSection:
             return self.mem[a]
         return self.mem[a]
 
-    def _mem_set(self, a, v):
+    def _mem_set(self, a, v, drop: bool = False):
         jnp = self._jnp
         vv = jnp.float64(v) if isinstance(v, float) else v
-        self.mem = self.mem.at[a].set(vv)
+        if drop:
+            self.mem = self.mem.at[a].set(vv, mode="drop")
+        else:
+            self.mem = self.mem.at[a].set(vv)
+        if self._merge_log is not None:
+            self._merge_log.append((a, vv, drop))
+
+    def _mark_mem_dirty(self):
+        """A heap mutation the merge log cannot express: the enclosing
+        branch merge falls back to a whole-heap where."""
+        if self._merge_log is not None:
+            self._merge_dirty = True
 
     # -- gmem (attached shared segment, block-synchronous HBM view) ----------
 
@@ -429,10 +447,10 @@ class DeviceSection:
         vv = jnp.float64(val) if isinstance(val, float) else val
         if isinstance(i, int):
             if i < self.gmem_cells:
-                self.mem = self.mem.at[base + i].set(vv)
+                self._mem_set(base + i, vv)
             return
         ii = jnp.where(i < self.gmem_cells, base + i, self.total_mem)
-        self.mem = self.mem.at[ii].set(vv, mode="drop")
+        self._mem_set(ii, vv, drop=True)
 
     # -- structured control flow ----------------------------------------------
 
@@ -453,27 +471,45 @@ class DeviceSection:
     _MERGE_BUDGET = 2048
 
     def _merged(self, cond, then_fn, else_fn):
-        """Run both arms on state copies; where-merge state + value."""
+        """Run both arms on state copies; merge state + value.
+
+        Heap merging is write-log based when both arms only performed
+        loggable (scalar/fancy) writes: each logged write re-applies
+        cell-masked onto the pre-branch heap.  Bulk mutations (memcpy,
+        fft stores, ...) mark the arm dirty and fall back to a whole-heap
+        where — those count against the merge budget (a whole-heap where
+        per merge is what blows the compile up at CMD scale)."""
         jnp = self._jnp
         self._n_merges += 1
-        if self._n_merges > self._MERGE_BUDGET:
+        if self._n_merges > (self._MERGE_BUDGET << 5):
             raise DevgenError(
-                "traced-branch merge volume exceeds the fused-program "
+                "traced-branch merge count exceeds the fused-program "
                 "compile budget")
         saved = (self.vars, self.mem)
         files0 = self._clone_files()
         fp0 = self._file_fingerprint()
         known0 = dict(self._known)
+        outer_log = self._merge_log
+        outer_dirty = self._merge_dirty
+
+        self._merge_log = t_log = []
+        self._merge_dirty = False
         tval = then_fn() if then_fn is not None else 0.0
         t_state = (self.vars, self.mem)
+        t_dirty = self._merge_dirty
         fp_t = self._file_fingerprint()
         t_known = self._known
         self.vars, self.mem = saved
         self._files, files_t = files0, self._files
         self._known = dict(known0)
+        self._merge_log = e_log = []
+        self._merge_dirty = False
         eval_ = else_fn() if else_fn is not None else 0.0
         e_state = (self.vars, self.mem)
+        e_dirty = self._merge_dirty
         fp_e = self._file_fingerprint()
+        self._merge_log = outer_log
+        self._merge_dirty = outer_dirty
         # a slot stays statically known only if both arms agree on it
         self._known = {s: v for s, v in t_known.items()
                        if s in self._known and self._known[s] == v}
@@ -488,8 +524,28 @@ class DeviceSection:
         m = EM.truthy_mask(cond)
         self.vars = (t_state[0] if t_state[0] is e_state[0]
                      else jnp.where(m, t_state[0], e_state[0]))
-        self.mem = (t_state[1] if t_state[1] is e_state[1]
-                    else jnp.where(m, t_state[1], e_state[1]))
+        if t_state[1] is e_state[1]:
+            self.mem = t_state[1]
+        elif not (t_dirty or e_dirty) \
+                and len(t_log) + len(e_log) <= 128:
+            # cell-masked reapplication of each arm's writes in order
+            self.mem = saved[1]
+            for idx, vv, drop in e_log:
+                cur = self.mem[jnp.clip(idx, 0, self.total_mem - 1)] \
+                    if not isinstance(idx, int) else self.mem[idx]
+                self._mem_set(idx, jnp.where(m, cur, vv), drop=drop)
+            for idx, vv, drop in t_log:
+                cur = self.mem[jnp.clip(idx, 0, self.total_mem - 1)] \
+                    if not isinstance(idx, int) else self.mem[idx]
+                self._mem_set(idx, jnp.where(m, vv, cur), drop=drop)
+        else:
+            self._n_fallback_merges += 1
+            if self._n_fallback_merges > self._MERGE_BUDGET:
+                raise DevgenError(
+                    "traced-branch merge volume exceeds the fused-program "
+                    "compile budget")
+            self._mark_mem_dirty()
+            self.mem = jnp.where(m, t_state[1], e_state[1])
         if isinstance(tval, float) and isinstance(eval_, float) \
                 and tval == eval_:
             return tval
@@ -710,6 +766,7 @@ class DeviceSection:
                     vals = self._varr(rhs)
                     if getattr(vals, "ndim", 0) == 0:
                         vals = jnp.full((trip,), vals, dtype=jnp.float64)
+                    self._mark_mem_dirty()
                     self.mem = self.mem.at[a].set(vals)
                 else:
                     raise _Reject
@@ -874,6 +931,7 @@ class DeviceSection:
             return (self.vars, self.mem, v)
 
         carry0 = (self.vars, self.mem, jnp.float64(0.0))
+        self._mark_mem_dirty()
         self.vars, self.mem, last = jax.lax.fori_loop(
             0, trip_val, body, carry0)
         self._known = dict(kept)
@@ -933,6 +991,7 @@ class DeviceSection:
             p = jnp.float64(p) if isinstance(p, float) else p
             return (self.vars, self.mem, p)
 
+        self._mark_mem_dirty()
         self.vars, self.mem, _ = jax.lax.while_loop(cond, body, carry0)
         self._known = dict(kept)
         return 0.0
@@ -1250,9 +1309,8 @@ class DeviceSection:
         row = jnp.stack([ofs, b1, b2, b3])
         idx = slot + jnp.arange(4)
         idx = jnp.where(live, idx, self.total_mem)
-        self.mem = self.mem.at[idx].set(row, mode="drop")
-        self.mem = self.mem.at[base].set(
-            jnp.minimum(n0 + 1.0, float(MIDI_OUT_CAP)))
+        self._mem_set(idx, row, drop=True)
+        self._mem_set(base, jnp.minimum(n0 + 1.0, float(MIDI_OUT_CAP)))
         return vals[1]
 
     def _gmem_call(self, f: str, args: Sequence[Node], scope):
@@ -1294,12 +1352,14 @@ class DeviceSection:
                 if nln > 0:
                     fv = jnp.full((nln,), self._arr(fillv),
                                   dtype=jnp.float64)
+                    self._mark_mem_dirty()
                     self.mem = self.mem.at[base + d0:base + d0 + nln].set(fv)
                 return float(max(0, nln))
             nln = max(0, int(cnt + 1.0e-5))
             if 0 < nln <= G:
                 fv = jnp.full((nln,), self._arr(fillv), dtype=jnp.float64)
                 d = base + jnp.clip(self._gmem_index(vals[0]), 0, G - nln)
+                self._mark_mem_dirty()
                 self.mem = jax.lax.dynamic_update_slice(self.mem, fv, (d,))
             return float(nln)
         if f == "gmem_put" and len(args) == 3:
@@ -1317,10 +1377,12 @@ class DeviceSection:
                 d0 = max(0, int(vals[0] + 1.0e-5))
                 k = min(nln, G - d0)
                 if k > 0:
+                    self._mark_mem_dirty()
                     self.mem = self.mem.at[base + d0:base + d0 + k].set(
                         chunk[:k])
                 return float(max(0, k))
             d = base + jnp.clip(self._gmem_index(vals[0]), 0, G - nln)
+            self._mark_mem_dirty()
             self.mem = jax.lax.dynamic_update_slice(self.mem, chunk, (d,))
             return float(nln)
         if f == "gmem_get" and len(args) == 3:
@@ -1337,11 +1399,13 @@ class DeviceSection:
                 g0 = max(0, int(vals[1] + 1.0e-5))
                 k = min(nln, G - g0)
                 if k > 0:
+                    self._mark_mem_dirty()
                     self.mem = self.mem.at[mi:mi + k].set(
                         self.mem[base + g0:base + g0 + k])
                 return float(max(0, k))
             g = base + jnp.clip(self._gmem_index(vals[1]), 0, G - nln)
             chunk = jax.lax.dynamic_slice(self.mem, (g,), (nln,))
+            self._mark_mem_dirty()
             self.mem = self.mem.at[mi:mi + nln].set(chunk)
             return float(nln)
         if f == "gmem_copy" and len(args) == 3:
@@ -1352,6 +1416,7 @@ class DeviceSection:
             nln = max(0, int(vals[2] + 1.0e-5))
             nln = min(nln, G - max(d, sidx))
             if nln > 0:
+                self._mark_mem_dirty()
                 self.mem = self.mem.at[base + d:base + d + nln].set(
                     self.mem[base + sidx:base + sidx + nln])
             return float(max(0, nln))
@@ -1449,6 +1514,7 @@ class DeviceSection:
                     raise DevgenError("file_mem beyond device heap")
                 chunk = np.asarray(inter[h.cursor:h.cursor + n_items],
                                    dtype=np.float64)
+                self._mark_mem_dirty()
                 self.mem = self.mem.at[dst:dst + n_items].set(
                     self._jnp.asarray(chunk))
                 h.cursor += n_items
@@ -1470,12 +1536,14 @@ class DeviceSection:
             a = SC.blob_address(dest)
             if a + ln > self.mem_size:
                 raise DevgenError("memset beyond device heap")
+            self._mark_mem_dirty()
             self.mem = self.mem.at[a:a + ln].set(fill)
         else:
             import jax
 
             a = jnp.clip(EM.to_i64(dest + 1.0e-5), 0,
                          self.mem_size - ln)
+            self._mark_mem_dirty()
             self.mem = jax.lax.dynamic_update_slice(self.mem, fill, (a,))
         return dest
 
@@ -1503,9 +1571,11 @@ class DeviceSection:
             da = SC.blob_address(dest)
             if da + ln > self.mem_size:
                 raise DevgenError("memcpy dest beyond device heap")
+            self._mark_mem_dirty()
             self.mem = self.mem.at[da:da + ln].set(chunk)
         else:
             da = jnp.clip(EM.to_i64(dest + 1.0e-5), 0, self.mem_size - ln)
+            self._mark_mem_dirty()
             self.mem = jax.lax.dynamic_update_slice(self.mem, chunk, (da,))
         return dest
 
@@ -1547,6 +1617,7 @@ class DeviceSection:
 
         def store_complex(base, re, im):
             inter = jnp.stack([re, im], axis=1).reshape(-1)
+            self._mark_mem_dirty()
             self.mem = self.mem.at[base:base + inter.shape[0]].set(inter)
 
         def load_complex(base, n):
@@ -1624,5 +1695,6 @@ class DeviceSection:
             fi = jnp.concatenate([Ri, -Ri[1:half][::-1]])
             xr, _xi = self._dft(fr, fi, sz, inverse=True)
             # irfft(R, n) * 2n  ==  2 * unnormalized hermitian IDFT
+            self._mark_mem_dirty()
             self.mem = self.mem.at[da:da + sz].set(2.0 * xr)
         return 0.0

@@ -1771,7 +1771,7 @@ class SpecializedSampleKernel:
                 from ..shadow import compile_shadow
 
                 plug = compile_shadow(self.P)
-                plug.state = self.snap.clone()
+                plug.state = self._probe_state()
 
                 def _probe_block():
                     stp = plug.state
@@ -1848,7 +1848,7 @@ class SpecializedSampleKernel:
         from ..shadow import compile_shadow
 
         plug = compile_shadow(self.P)
-        plug.state = self.snap.clone()
+        plug.state = self._probe_state()
         st = plug.state
         live = dict(cands)
         W = max(8, int(_math.ceil(0.30 * float(st.srate) / self.B)) + 2)
@@ -2046,7 +2046,7 @@ class SpecializedSampleKernel:
 
         def probe(poison: bool):
             plug = compile_shadow(self.P)
-            plug.state = self.snap.clone()
+            plug.state = self._probe_state()
             st = plug.state
             pcells = []
             if poison:
@@ -2645,6 +2645,16 @@ class SpecializedSampleKernel:
                 raise _CoupledUpgrade("writes", sample_spans)
         return sym
 
+    def _probe_state(self):
+        """Snapshot clone for host-side @block probes: side-effect-free —
+        the clone's gmem view must be PRIVATE (ShadowState.clone keeps the
+        attached segment's shared array; probe blocks bumping BUS_TICK-
+        style cells would pollute the real segment and skew the device
+        view — observed as CMD's tick starting at 12)."""
+        st = self.snap.clone()
+        st.gmem = np.array(st.gmem, dtype=np.float64, copy=True)
+        return st
+
     def _probe_block_mem_writes(self) -> Set[int]:
         """Empirically determine which mem cells @block writes by running a
         few trajectory blocks against a clone and diffing the heap.  Used
@@ -2653,7 +2663,7 @@ class SpecializedSampleKernel:
         from ..shadow import compile_shadow
 
         plug = compile_shadow(self.P)
-        plug.state = self.snap.clone()
+        plug.state = self._probe_state()
         st = plug.state
         base = self.snap.mem
         written: Set[int] = set()
