@@ -1,12 +1,28 @@
 """Catalog-wide null-test sweep: every plugin the vector engine accepts
-must match the golden executor on real audio — the automated promotion of
-the reference's interactive correctness-check workflow."""
+must match the golden executor on real audio AND state — the automated
+promotion of the reference's interactive correctness-check workflow
+(ref: src/JSFXCorrectnessCheck.h:915-1040: vars each stage, mem pages,
+sorted MIDI out, pending slider masks).
+
+Two slider configurations per plugin (defaults + perturbed) and a
+MIDI-carrying case for midi plugins.  Slider-perturbed runs of the
+heavyweight coupled plugins recompile the whole fused program (folded
+slider constants), so those are gated behind RUN_SLOW=1.
+"""
+import os
+
 import numpy as np
 import pytest
 
 from zorak_tpu.catalog import discover
 from zorak_tpu.lowering import SpecializeError
 from zorak_tpu.verify import null_test_plugin
+
+RUN_SLOW = os.environ.get("RUN_SLOW") == "1"
+
+# fused/coupled pipelines whose compile is minutes-scale per slider config
+HEAVY = {"TSEQ", "ERBTilt", "DOT", "SpectralStabilizer", "CMD",
+         "PsychoConvolver", "Roomalizer"}
 
 
 def _vectorizable_specs():
@@ -17,15 +33,70 @@ def _vectorizable_specs():
     return [s for s in specs if s.plugin_type == "jsfx"]
 
 
-@pytest.mark.parametrize("spec", _vectorizable_specs(), ids=lambda s: s.slug)
-def test_catalog_null(spec):
+def _perturbed_sliders(prog):
+    """Deterministic non-default values for the first few numeric sliders:
+    a point 40% of the way across each range away from the default."""
+    over = {}
+    for d in prog.slider_decls[:4]:
+        if d.is_string or d.is_choice or d.hidden \
+                or d.hi is None or d.lo is None:
+            continue
+        lo, hi = float(d.lo), float(d.hi)
+        if not (hi > lo):
+            continue
+        val = lo + 0.4 * (hi - lo)
+        if d.step:
+            step = float(d.step)
+            if step > 0:
+                val = lo + round((val - lo) / step) * step
+        val = min(hi, max(lo, val))
+        if val != d.default:
+            over[d.index0] = val
+    return over
+
+
+def _null(spec, slider_overrides=None, midi=None):
     prog = spec.load_program()
     ch = max(1, prog.io_channels["process"])
     n = 6000
     x = (np.random.RandomState(17).randn(ch, n) * 0.3).astype(np.float32)
     try:
         rep = null_test_plugin(prog, x, segment_len=2048, golden="native",
-                               compare_state=False)
+                               compare_state=True, compare_mem=True,
+                               slider_overrides=slider_overrides, midi=midi)
     except SpecializeError as exc:
         pytest.skip(f"shadow fallback: {exc}")
-    assert rep.audio_passed, f"{spec.slug}: {rep.summary()}"
+    assert rep.passed, f"{spec.slug}: {rep.summary()}"
+
+
+@pytest.mark.parametrize("spec", _vectorizable_specs(), ids=lambda s: s.slug)
+def test_catalog_null(spec):
+    _null(spec)
+
+
+@pytest.mark.parametrize("spec", _vectorizable_specs(), ids=lambda s: s.slug)
+def test_catalog_null_perturbed(spec):
+    if spec.slug in HEAVY and not RUN_SLOW:
+        pytest.skip("slider-perturbed fused recompile is minutes-scale; "
+                    "RUN_SLOW=1 enables")
+    prog = spec.load_program()
+    over = _perturbed_sliders(prog)
+    if not over:
+        pytest.skip("no numeric sliders to perturb")
+    _null(spec, slider_overrides=over)
+
+
+def _reads_midi(s):
+    try:
+        return "midirecv" in s.entry_path.read_text(errors="replace")
+    except Exception:
+        return False
+
+
+@pytest.mark.parametrize("spec", [
+    s for s in _vectorizable_specs() if _reads_midi(s)
+], ids=lambda s: s.slug)
+def test_catalog_null_midi(spec):
+    midi = [(97, 0x90, 60, 100), (1553, 0x80, 60, 0),
+            (2200, 0xB0, 1, 64), (4801, 0x90, 67, 90)]
+    _null(spec, midi=midi)

@@ -778,6 +778,17 @@ class DeviceSection:
                         continue
                     if np.intersect1d(r, w).size:
                         raise _Reject
+            # write-write: two statements writing shifted overlapping
+            # addresses reorder under vectorization (all of stmt1, then
+            # all of stmt2) — require identical (later statement wins,
+            # same as sequential) or disjoint address vectors
+            for i in range(len(writes)):
+                for j in range(i + 1, len(writes)):
+                    w1, w2 = writes[i], writes[j]
+                    if w1.shape == w2.shape and np.array_equal(w1, w2):
+                        continue
+                    if np.intersect1d(w1, w2).size:
+                        raise _Reject
         except _Reject:
             self.mem, self.vars, self._known = mem0, vars0, known0
             return False

@@ -1673,8 +1673,10 @@ class SpecializedSampleKernel:
                             "rand() in both @block and @sample — draw "
                             "interleaving not reproducible")
         self.last_midi_out: List[Tuple[int, int, int, int]] = []
+        self._traj_midi_out: List[Tuple[int, int, int, int]] = []
         self._traj_cache: Dict[Tuple[int, int], Any] = {}
-        self._rand_cache: Dict[int, np.ndarray] = {}
+        # T -> (draw matrix, post-generation MT19937 state)
+        self._rand_cache: Dict[int, Tuple[np.ndarray, Any]] = {}
         self._rng_state = None
         self._rng_prestate = None
         self._traj_plugin = None
@@ -2224,6 +2226,35 @@ class SpecializedSampleKernel:
                 f"hop body state {sorted(clash)[:3]} is also used by the "
                 "vectorized sample path")
 
+        # vars the hop body READS: anything the vectorized sample path
+        # writes per-sample is not in the hop's dynamic_keys, so the
+        # device section would fold it to its static snapshot value —
+        # silently wrong audio. Reject honestly instead.
+        hop_reads: Set[Any] = set()
+        seen_fns.clear()
+
+        def scan_reads(roots):
+            for root in roots:
+                for x in walk(root):
+                    if isinstance(x, Name):
+                        hop_reads.add(_env_key_for_name(x.ident))
+                    elif isinstance(x, CallExpr) \
+                            and x.func in self.P.fn_defs \
+                            and x.func not in seen_fns:
+                        seen_fns.add(x.func)
+                        scan_reads([self.P.fn_defs[x.func].body])
+
+        scan_reads(self._hop_body)
+        hop_reads -= hop_writes
+        varying = (set(sym.writes) | set(self.carried_vars)
+                   | set(self.control_vars))
+        stale = {k for k in hop_reads & varying if k[0] != "mem"}
+        if stale:
+            raise SpecializeError(
+                f"hop body reads {sorted(stale)[:3]} which the sample/"
+                "control path updates — the device section would fold it "
+                "to a stale snapshot")
+
         top = len(self.snap.mem)
         top = max(top, int(self.P.memtop or 0))
         for origin, mod in self.carry_regions:
@@ -2272,10 +2303,13 @@ class SpecializedSampleKernel:
         if lead % B and self.ctrl_order:
             raise SpecializeError(
                 "resumed hop phase misaligned with the control-block grid")
-        if T <= lead:
+        if T < lead:
+            # render ends strictly inside the lead: counter never reaches H
             lead_n, nfull, tail = T, 0, 0
             lead_fires = False
         else:
+            # T == lead consumes the full remaining lead, so the hop fires
+            # at its end (the golden runs the hop body inside that sample)
             lead_n = lead
             nfull = (T - lead) // H
             tail = T - lead - nfull * H
@@ -3455,11 +3489,12 @@ class SpecializedSampleKernel:
         tkey = (n_blocks, rem_block)
         cached = self._traj_cache.get(tkey)
         if cached is not None:
-            ctrl, self.last_control_state = cached
+            ctrl, self.last_control_state, self._traj_midi_out = cached
             return ctrl
         ctrl = self.control_trajectory(n_blocks, rem_block)
         if len(self._traj_cache) < 8:
-            self._traj_cache[tkey] = (ctrl, self.last_control_state)
+            self._traj_cache[tkey] = (ctrl, self.last_control_state,
+                                      self._traj_midi_out)
         return ctrl
 
     def control_trajectory(self, n_blocks: int, rem_block: int = 0,
@@ -3480,6 +3515,7 @@ class SpecializedSampleKernel:
 
         rows = n_blocks + (1 if rem_block else 0)
         out = np.zeros((rows, len(self.ctrl_order)), dtype=np.float64)
+        traj_midi: List[Tuple[int, int, int, int]] = []
         for b in range(rows):
             if midi:
                 start = b * self.B
@@ -3498,9 +3534,14 @@ class SpecializedSampleKernel:
                 st.pending_change_mask = 0
                 st.pending_automate_mask = 0
                 st.pending_automate_end_mask = 0
+            for ev in st.midi_out:
+                traj_midi.append((b * self.B + int(ev.offset), int(ev.b1),
+                                  int(ev.b2), int(ev.b3)))
+            st.midi_out = []
             for i, key in enumerate(self.ctrl_order):
                 out[b, i] = self._key_value(st, key)
         self.last_control_state = st
+        self._traj_midi_out = traj_midi
         return out
 
     @staticmethod
@@ -3671,6 +3712,7 @@ class SpecializedSampleKernel:
         """
         nch, T = x.shape
         assert nch == self.nch
+        fresh = carry is None
         if carry is None:
             carry = self.initial_carry()
             if self._hop is not None:
@@ -3693,8 +3735,9 @@ class SpecializedSampleKernel:
         L = min(self.L, max(self.B, (T // self.B) * self.B)) if T else self.L
         n_full_blocks = T // self.B
         rem_block = T - n_full_blocks * self.B
+        self._traj_midi_out = []
         if self.has_block and not self.coupled:
-            if midi or carry is not None:
+            if midi or not fresh:
                 ctrl = self.control_trajectory(n_full_blocks, rem_block,
                                                midi=midi)
             else:
@@ -3702,15 +3745,20 @@ class SpecializedSampleKernel:
         else:
             rows = n_full_blocks + (1 if rem_block else 0)
             ctrl = np.zeros((rows, len(self.ctrl_order)), dtype=np.float64)
-        if self.n_rand and carry is None and not self.rand_gated:
-            rand = self._rand_cache.get(T)
-            if rand is None:
+        if self.n_rand and fresh and not self.rand_gated:
+            # fresh renders always start from snap.rng, so the draw matrix
+            # is a pure function of T — cache it WITH the post-generation
+            # generator state (a hit must leave _rng_state as if generated)
+            hit = self._rand_cache.get(T)
+            if hit is None:
                 rand = self._rand_streams(T, reset=True)
                 if len(self._rand_cache) < 4:
-                    self._rand_cache[T] = rand
+                    self._rand_cache[T] = (rand, self._rng_state)
+            else:
+                rand, self._rng_state = hit
         else:
-            rand = self._rand_streams(T, reset=(carry is None))
-        self.last_midi_out = []
+            rand = self._rand_streams(T, reset=fresh)
+        self.last_midi_out = list(self._traj_midi_out)
         if self.coupled and self.accepts_midi:
             mev, mn = self._midi_planes(midi, T)
             fn = self._render_fn(T, L, midi_k=mev.shape[1])
@@ -3804,6 +3852,16 @@ class SpecializedSampleKernel:
             state.srate = ts.srate
             state.samplesblock = ts.samplesblock
             state.rng.restore(ts.rng.snapshot())
+            state.pending_change_mask = ts.pending_change_mask
+            state.pending_automate_mask = ts.pending_automate_mask
+            state.pending_automate_end_mask = ts.pending_automate_end_mask
+            # @block-owned mem evolves on the host trajectory (incl. the
+            # settle-baked view the kernel snapshot adopted); flush it —
+            # @sample-owned regions are overlaid by rings/cells below
+            if ts.mem_used:
+                state.mem_ensure(ts.mem_used)
+                state.mem[:ts.mem_used] = np.asarray(
+                    ts.mem[:ts.mem_used], dtype=np.float64)
         if self.coupled or self._hop is not None:
             (svec, rings), bvars, bmem = carry
             bm = np.asarray(bmem)

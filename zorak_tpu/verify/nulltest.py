@@ -15,6 +15,7 @@ import numpy as np
 
 AUDIO_EPS = 1.0e-5   # ref: JSFXCorrectnessCheck.h:34
 SCALAR_EPS = 1.0e-8  # ref: JSFXCorrectnessCheck.h:35
+MEM_PAGE = 1024      # ref: JSFXCorrectnessCheck.h:38 (kMemPageDoubles)
 
 
 @dataclass
@@ -25,6 +26,14 @@ class NullReport:
     rms_delta: float = 0.0
     audio_passed: bool = True
     var_mismatches: List[Tuple[str, float, float]] = field(default_factory=list)
+    # first mem-page mismatch, latched like the reference harness
+    # (ref: JSFXCorrectnessCheck.h:991-1040 latchMismatch + freeze):
+    # (address, page, ref_value, test_value)
+    mem_mismatch: Optional[Tuple[int, int, float, float]] = None
+    # ("midiOutCount", n_ref, n_test) or ("midiOut[i]", ref_ev, test_ev)
+    midi_mismatch: Optional[Tuple[str, object, object]] = None
+    # (mask_name, ref_mask, test_mask)
+    mask_mismatch: Optional[Tuple[str, int, int]] = None
 
     @property
     def max_delta_dbfs(self) -> float:
@@ -34,16 +43,26 @@ class NullReport:
 
     @property
     def passed(self) -> bool:
-        return self.audio_passed and not self.var_mismatches
+        return (self.audio_passed and not self.var_mismatches
+                and self.mem_mismatch is None and self.midi_mismatch is None
+                and self.mask_mismatch is None)
 
     def summary(self) -> str:
         db = self.max_delta_dbfs
         db_s = f"{db:.1f} dBFS" if math.isfinite(db) else "-inf dBFS"
         status = "PASS" if self.passed else "FAIL"
+        extra = ""
+        if self.mem_mismatch is not None:
+            a, page, rv, tv = self.mem_mismatch
+            extra += f", mem[{a}] (page {page}): {rv!r} vs {tv!r}"
+        if self.midi_mismatch is not None:
+            extra += f", midi: {self.midi_mismatch}"
+        if self.mask_mismatch is not None:
+            extra += f", pending mask: {self.mask_mismatch}"
         return (f"[{status}] null test: {self.n_channels}ch x {self.n_samples} "
                 f"samples, max |delta| = {self.max_abs_delta:.3e} ({db_s}), "
                 f"rms = {self.rms_delta:.3e}, "
-                f"var mismatches = {len(self.var_mismatches)}")
+                f"var mismatches = {len(self.var_mismatches)}{extra}")
 
 
 def compare_audio(reference: np.ndarray, test: np.ndarray,
@@ -77,6 +96,84 @@ def compare_states(ref_state, test_state, eps: float = SCALAR_EPS,
     for i in range(64):
         if _differs(ref_state.spl[i], test_state.spl[i], eps):
             rep.var_mismatches.append((f"spl{i}", ref_state.spl[i], test_state.spl[i]))
+    return rep
+
+
+def compare_memory_pages(ref_state, test_state, eps: float = SCALAR_EPS,
+                         report: Optional[NullReport] = None) -> NullReport:
+    """Compare mem[] in 1024-double pages up to max(used_ref, used_test),
+    zero-filling past each side's extent; latch the FIRST mismatch with its
+    page number (ref: JSFXCorrectnessCheck.h:991-1040)."""
+    rep = report or NullReport()
+    if rep.mem_mismatch is not None:
+        return rep
+    used = max(int(getattr(ref_state, "mem_used", 0)),
+               int(getattr(test_state, "mem_used", 0)))
+    if used <= 0:
+        return rep
+    a_full = np.asarray(ref_state.mem[:used], dtype=np.float64)
+    b_full = np.asarray(test_state.mem[:used], dtype=np.float64)
+    if a_full.size < used:
+        a_full = np.concatenate([a_full, np.zeros(used - a_full.size)])
+    if b_full.size < used:
+        b_full = np.concatenate([b_full, np.zeros(used - b_full.size)])
+    d = np.abs(a_full - b_full)
+    both_nan = np.isnan(a_full) & np.isnan(b_full)
+    one_nan = np.isnan(a_full) ^ np.isnan(b_full)
+    idx = np.where(((d > eps) | one_nan) & ~both_nan)[0]
+    if idx.size:
+        a0 = int(idx[0])
+        rep.mem_mismatch = (a0, a0 // MEM_PAGE,
+                            float(a_full[a0]), float(b_full[a0]))
+    return rep
+
+
+def compare_midi_out(ref_events, test_events,
+                     report: Optional[NullReport] = None) -> NullReport:
+    """Stable-sort both sides by sample offset, then compare count and every
+    (offset, b1, b2, b3) (ref: JSFXCorrectnessCheck.h:949-989)."""
+    rep = report or NullReport()
+    if rep.midi_mismatch is not None:
+        return rep
+
+    def norm(evs):
+        out = []
+        for e in evs:
+            if hasattr(e, "offset"):
+                out.append((int(e.offset), int(e.b1) & 0xFF,
+                            int(e.b2) & 0xFF, int(e.b3) & 0xFF))
+            else:
+                off, b1, b2, b3 = e[:4]
+                out.append((int(off), int(b1) & 0xFF,
+                            int(b2) & 0xFF, int(b3) & 0xFF))
+        out.sort(key=lambda t: t[0])  # python sort is stable
+        return out
+
+    a, b = norm(ref_events or []), norm(test_events or [])
+    if len(a) != len(b):
+        rep.midi_mismatch = ("midiOutCount", len(a), len(b))
+        return rep
+    for i, (ea, eb) in enumerate(zip(a, b)):
+        if ea != eb:
+            rep.midi_mismatch = (f"midiOut[{i}]", ea, eb)
+            return rep
+    return rep
+
+
+def compare_pending_masks(ref_state, test_state,
+                          report: Optional[NullReport] = None) -> NullReport:
+    """Exact compare of the pending change/automate/automate-end slider
+    masks (ref: JSFXCorrectnessCheck.h:915-948)."""
+    rep = report or NullReport()
+    if rep.mask_mismatch is not None:
+        return rep
+    for name in ("pending_change_mask", "pending_automate_mask",
+                 "pending_automate_end_mask"):
+        rv = int(getattr(ref_state, name, 0))
+        tv = int(getattr(test_state, name, 0))
+        if max(rv, 0) != max(tv, 0):
+            rep.mask_mismatch = (name, rv, tv)
+            return rep
     return rep
 
 
@@ -173,11 +270,16 @@ def null_test_plugin(program, x: np.ndarray, srate: float = 48000.0,
                      block_size: int = 512, segment_len: int = 4096,
                      slider_overrides: Optional[Dict[int, float]] = None,
                      compare_state: bool = True, golden: str = "python",
+                     compare_mem: bool = False, midi=None,
                      export_dir=None, name: str = "nulltest") -> NullReport:
     """Render x through the golden shadow AND the vector TPU kernel; compare.
 
     x: float32 [channels, samples].  golden: "python" (exact reference
     semantics, slow) or "native" (C-compiled, bit-identical, fast).
+    compare_state adds var/spl + pending-mask + MIDI-out compares;
+    compare_mem additionally diffs the whole heap in 1024-double pages
+    (ref: JSFXCorrectnessCheck.h:915-1040).  midi: optional
+    [(abs_offset, b1, b2, b3)] events fed to both sides.
     """
     from ..lowering import specialize_sample_kernel
 
@@ -194,22 +296,41 @@ def null_test_plugin(program, x: np.ndarray, srate: float = 48000.0,
         gold.run_slider()
     else:
         gold = make_initialized_shadow(program, srate, slider_overrides)
+    midi = sorted(midi or [], key=lambda e: e[0])
     y_ref = np.zeros_like(x)
+    gold_midi_out = []
     for start in range(0, total, block_size):
         stop = min(start + block_size, total)
+        if midi:
+            from ..shadow.state import MidiEvent
+
+            gold.state.midi_in = [
+                MidiEvent(int(e[0]) - start, int(e[1]) & 0xFF,
+                          int(e[2]) & 0xFF, int(e[3]) & 0xFF)
+                for e in midi if start <= e[0] < stop]
+            gold.state.midi_in_pos = 0
         gold.process_block(x[:, start:stop], y_ref[:, start:stop])
+        for ev in gold.state.midi_out:
+            gold_midi_out.append((start + int(ev.offset), int(ev.b1),
+                                  int(ev.b2), int(ev.b3)))
+        gold.state.midi_out = []
 
     # vectorized render from an identical snapshot
     snap_owner = make_initialized_shadow(program, srate, slider_overrides)
     kern = specialize_sample_kernel(program, snap_owner.state, nch,
                                     segment_len=segment_len,
                                     block_size=block_size)
-    y_test, carry = kern.render(x)
+    y_test, carry = kern.render(x, midi=midi if midi else None)
 
     rep = compare_audio(y_ref, y_test)
     if compare_state:
         kern.writeback(carry, snap_owner.state)
         compare_states(gold.state, snap_owner.state, report=rep)
+        compare_pending_masks(gold.state, snap_owner.state, report=rep)
+        if midi or gold_midi_out or kern.last_midi_out:
+            compare_midi_out(gold_midi_out, kern.last_midi_out, report=rep)
+        if compare_mem:
+            compare_memory_pages(gold.state, snap_owner.state, report=rep)
     if export_dir is not None:
         export_bundle(export_dir, y_ref, y_test, srate, rep, name=name)
     return rep
