@@ -485,3 +485,37 @@ spl0 = ph * 0.5;
         x = noise(1, 2500, scale=0.3, seed=22)
         rep = null_test_plugin(prog, x, segment_len=1024)
         assert rep.passed, rep.summary()
+
+
+class TestScopedBranchMerge:
+    """Conditional assignment to function params/locals must select-merge,
+    not leak the then-arm binding (the clamp-helper bug Contour's state
+    compare caught: `function cl(v,lo,hi)(v<lo?v=lo; v>hi?v=hi; v)`)."""
+
+    def test_clamp_helper_param_mutation(self):
+        src = ("@init\n"
+               "function cl(v, lo, hi) ( v < lo ? v = lo; v > hi ? v = hi; v; );\n"
+               "@sample\n"
+               "e = 0.9*e + 0.1*abs(spl0);\n"
+               "g = cl(e, 0.2, 1);\n"
+               "spl0 = spl0 * (0.5 + 0.1*g);\n")
+        rep = null_test_plugin(compile_plugin_source(src), noise(1, 3000))
+        assert rep.passed, rep.summary()
+
+    def test_branch_assign_in_logical_and(self):
+        src = ("@init\n"
+               "function f(v) ( (v > 0.1) && (v = v * 2; 1); v; );\n"
+               "@sample\n"
+               "e = 0.9*e + 0.1*abs(spl0);\n"
+               "spl0 = spl0 * (0.5 + 0.1*f(e));\n")
+        rep = null_test_plugin(compile_plugin_source(src), noise(1, 3000))
+        assert rep.passed, rep.summary()
+
+    def test_cond_expr_over_params(self):
+        src = ("@init\n"
+               "function pick(v, w) ( v > w ? v : w; );\n"
+               "@sample\n"
+               "e = 0.9*e + 0.1*abs(spl0);\n"
+               "spl0 = spl0 * (0.5 + 0.1*pick(e, 0.3));\n")
+        rep = null_test_plugin(compile_plugin_source(src), noise(1, 3000))
+        assert rep.passed, rep.summary()

@@ -131,6 +131,16 @@ class DeviceSection:
         # of a named section
         self.body = list(body) if body is not None \
             else list(program.sections.get(section, []))
+        # solo-instance comm folding: with no live bus host (standalone /
+        # null-test renders, or an engine-promised single-instance graph),
+        # msg_*/comm_join fold to the inert golden-host semantics at trace
+        # time (ref: DspJsfxMessageBus.cpp delivers nothing without peers;
+        # graph-scheduled multi-instance renders use the shadow path)
+        from ..comm.bus import InstanceComm
+
+        host = getattr(snapshot, "host", None)
+        self.comm_solo = (not isinstance(host, InstanceComm)
+                          or bool(getattr(host, "comm_solo", False)))
         self._validate(self.body)
         self.uses_gmem = self._detect_gmem(self.body)
         self.uses_midi_in = self._detect_call("midirecv")
@@ -168,6 +178,17 @@ class DeviceSection:
 
     # -- static validation ----------------------------------------------------
 
+    # msg_*/comm builtins that fold to inert golden-host semantics in the
+    # solo regime (comm_solo) and reject otherwise
+    _COMM_FNS = frozenset({
+        "msg_send", "msg_sendto", "msg_recv", "msg_peek",
+        "msg_send_buf", "msg_sendto_buf",
+        "msg_advertise", "msg_subscribe", "msg_unsubscribe",
+        "msg_avail", "msg_kind", "msg_length", "msg_dropped", "msg_clear",
+        "msg_peer_count", "msg_peer_id", "msg_peer_caps", "msg_peer_alive",
+        "comm_join", "instance_id", "instance_set_name",
+    })
+
     _FORBIDDEN = frozenset({
         "rand", "midisend_buf", "midirecv_buf",
         "slider_show", "slider_next_chg",
@@ -197,6 +218,8 @@ class DeviceSection:
                             if f not in seen_fns:
                                 seen_fns.add(f)
                                 scan([self.P.fn_defs[f].body])
+                        elif f in self._COMM_FNS and self.comm_solo:
+                            pass  # folds inert at trace time (_comm_call)
                         elif f in self._FORBIDDEN:
                             raise DevgenError(
                                 f"@{self.section} uses {f}() — not "
@@ -1199,7 +1222,10 @@ class DeviceSection:
             # ALL executors (golden contract: shadow/pyexec._INERT_FUNCS)
             vals = [self.ex(a, scope) for a in n.args]
             if not all(isinstance(v, float) for v in vals):
-                raise DevgenError(f"{f} with dynamic handle")
+                # traced handle/index (e.g. inside a traced loop): strings
+                # are static data, so the call lowers to gathers over the
+                # packed literal-pool table
+                return self._str_gather(f, vals)
             host = getattr(self.snap, "host", None)
             if host is None:
                 return 0.0
@@ -1212,6 +1238,17 @@ class DeviceSection:
             for a in n.args:
                 self.ex(a, scope)
             return 0.0
+        if f in self._COMM_FNS and self.comm_solo:
+            # inert solo semantics (matches shadow.state.HostServices):
+            # args still evaluate (reads only — out-params of msg_recv/
+            # msg_peek stay untouched when no message arrives, exactly the
+            # golden executors' behavior), result is 0 / the instance id
+            for a in n.args:
+                self.ex(a, scope)
+            if f == "instance_id":
+                host = getattr(self.snap, "host", None)
+                return float(getattr(host, "instance_id_value", 0.0))
+            return 0.0
         if f in self._GMEM_FNS:
             return self._gmem_call(f, n.args, scope)
         if f in ("sliderchange", "slider_automate"):
@@ -1220,6 +1257,48 @@ class DeviceSection:
             raise DevgenError(f"dynamic {f}() read")
         raise DevgenError(f"@{self.section} builtin {f}() not "
                           "device-executable")
+
+    _str_tab = None
+
+    def _str_tables(self):
+        """Packed literal-pool tables: (handles i64[H], lengths f64[H],
+        chars f64[H, maxlen]).  Strings are immutable in all executors so
+        a snapshot at build time is the complete truth."""
+        if self._str_tab is None:
+            jnp = self._jnp
+            items = sorted((int(h), s or "") for h, s in
+                           getattr(self.snap, "strings_by_handle",
+                                   {}).items())
+            if not items:
+                items = [(-1, "")]
+            maxlen = max(1, max(len(s) for _, s in items))
+            handles = np.asarray([h for h, _ in items], np.int64)
+            lengths = np.asarray([len(s) for _, s in items], np.float64)
+            chars = np.zeros((len(items), maxlen), np.float64)
+            for r, (_h, s) in enumerate(items):
+                for i, ch in enumerate(s):
+                    chars[r, i] = float(ord(ch))
+            self._str_tab = (jnp.asarray(handles), jnp.asarray(lengths),
+                             jnp.asarray(chars))
+        return self._str_tab
+
+    def _str_gather(self, f: str, vals):
+        """strlen/str_getchar with a traced handle (and index): row lookup
+        by exact handle match, zero for unknown handles / out-of-range
+        indices — the golden-host semantics (shadow/state.py:130-138)."""
+        jnp = self._jnp
+        handles, lengths, chars = self._str_tables()
+        h = EM.to_i64(self._arr(vals[0]))
+        idx = jnp.searchsorted(handles, h)
+        idx_c = jnp.clip(idx, 0, handles.shape[0] - 1)
+        ok = handles[idx_c] == h
+        ln = jnp.where(ok, lengths[idx_c], 0.0)
+        if f == "strlen":
+            return ln
+        i = EM.to_i64(self._arr(vals[1]))
+        inb = ok & (i >= 0) & (i < EM.to_i64(ln))
+        ch = chars[idx_c, jnp.clip(i, 0, chars.shape[1] - 1)]
+        return jnp.where(inb, ch, 0.0)
 
     def _slider_pending_call(self, f: str, args: Sequence[Node], scope):
         """sliderchange/slider_automate: OR the mask into the pending

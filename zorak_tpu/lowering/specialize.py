@@ -750,11 +750,19 @@ class _SymExec:
                 return RingIdx(ev.var, ev.offset + ev.origin, M, 0)
         return None
 
-    def _merged_exec(self, cond: SymVal, then_fn, else_fn) -> SymVal:
-        """Execute both branches on env copies, select-merge the writes."""
+    def _merged_exec(self, cond: SymVal, then_fn, else_fn,
+                     scope: Optional[Dict[str, SymVal]] = None) -> SymVal:
+        """Execute both branches on env copies, select-merge the writes.
+
+        `scope` is the enclosing function-local binding dict (inlined user
+        functions): branch assignments to params/locals land there instead
+        of the env, so it snapshots and select-merges the same way (a
+        leaked unconditional `v = lo` inside `v < lo ? v = lo;` was the
+        clamp-helper bug the Contour state compare caught)."""
         base_env = dict(self.env)
         base_writes = self.writes
         base_rings = {k: list(v) for k, v in self.ring_writes.items()}
+        base_scope = dict(scope) if scope else None
 
         # run each branch with its OWN write-set so the merge below only
         # touches variables the branch actually assigned; dynamic mem
@@ -772,6 +780,10 @@ class _SymExec:
         self._gate = _and(base_gate, cnode0)
         tval = then_fn() if then_fn else CV(0.0)
         then_env, then_writes = self.env, self.writes
+        then_scope = dict(scope) if scope else None
+        if scope:
+            scope.clear()
+            scope.update(base_scope)
         if self.ring_writes != base_rings:
             raise SpecializeError("ring write inside data-dependent branch")
 
@@ -781,13 +793,35 @@ class _SymExec:
                           GNode("call", op="not", args=(cnode0,)))
         eval_ = else_fn() if else_fn else CV(0.0)
         else_env, else_writes = self.env, self.writes
+        else_scope = dict(scope) if scope else None
         if self.ring_writes != base_rings:
             raise SpecializeError("ring write inside data-dependent branch")
 
         self._gate = base_gate
         self._branch_depth -= 1
-        merged = dict(base_env)
         cnode = self._node(cond)
+        if scope:
+            # select-merge function-local bindings the arms diverged on
+            scope.clear()
+            scope.update(base_scope)
+            for key in set(then_scope) | set(else_scope):
+                tv = then_scope.get(key)
+                ev = else_scope.get(key)
+                if tv is None:
+                    tv = base_scope.get(key, CV(0.0))
+                if ev is None:
+                    ev = base_scope.get(key, CV(0.0))
+                if tv == ev:
+                    scope[key] = tv
+                else:
+                    norm = self._wrap_normalize(cnode, tv, ev)
+                    if norm is None and isinstance(cnode, GNode) \
+                            and cnode.kind == "call" and cnode.op == "not":
+                        norm = self._wrap_normalize(cnode.args[0], ev, tv)
+                    scope[key] = norm if norm is not None else TS(GNode(
+                        "select",
+                        args=(cnode, self._node(tv), self._node(ev))))
+        merged = dict(base_env)
         for key in then_writes | else_writes:
             tv = then_env.get(key)
             ev = else_env.get(key)
@@ -876,8 +910,10 @@ class _SymExec:
                 def rhs_bool():
                     return self._bool(self.eval(n.rhs, scope))
                 if n.op == "&&":
-                    return self._merged_exec(l, rhs_bool, lambda: CV(0.0))
-                return self._merged_exec(l, lambda: CV(1.0), rhs_bool)
+                    return self._merged_exec(l, rhs_bool, lambda: CV(0.0),
+                                              scope=scope)
+                return self._merged_exec(l, lambda: CV(1.0), rhs_bool,
+                                         scope=scope)
             l = self.eval(n.lhs, scope)
             r = self.eval(n.rhs, scope)
             return self.binop(n.op, l, r)
@@ -887,7 +923,8 @@ class _SymExec:
                 return self.eval(n.then if SC.truthy(c.v) else n.other, scope)
             return self._merged_exec(c,
                                      lambda: self.eval(n.then, scope),
-                                     lambda: self.eval(n.other, scope))
+                                     lambda: self.eval(n.other, scope),
+                                     scope=scope)
         if isinstance(n, IfStmt):
             c = self.eval(n.pred, scope)
             if isinstance(c, CV):
@@ -898,7 +935,8 @@ class _SymExec:
                 return CV(0.0)
             self._merged_exec(
                 c, lambda: self.eval(n.then, scope),
-                (lambda: self.eval(n.other, scope)) if n.other is not None else None)
+                (lambda: self.eval(n.other, scope)) if n.other is not None
+                else None, scope=scope)
             return CV(0.0)
         if isinstance(n, WhileStmt):
             count = 0

@@ -116,7 +116,13 @@ class HostServices:
     def sample_name(self, st, index, out_lv_write, maxlen) -> float: return 0.0
     def sample_read2(self, st, pool, sid, phase, interp): return None
     def sample_preview_read(self, st, *args): return None
-    def file_call(self, st, fn: str, args: List[float]) -> float: return 0.0
+    def file_call(self, st, fn: str, args: List[float]) -> float:
+        # no file slots attached: opening fails with -1 like the reference
+        # host with an unassigned slot (ref: JSFXJuceProcessor.cpp:4948-4967
+        # rt_file_open_common); other calls are inert
+        if fn in ("file_open", "file_open_multi"):
+            return -1.0
+        return 0.0
     def file_var_read(self, st, handle, *rest): return None
     def file_riff_read(self, st, handle, *rest): return None
 
