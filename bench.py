@@ -39,6 +39,112 @@ def emit(value: float, extra: dict) -> None:
     print(json.dumps(out), flush=True)
 
 
+def run_suite_configs(budget_s: float) -> dict:
+    """BASELINE.json configs beyond DDT (stft / denoiser / convolution /
+    catalog sweep), time-bounded; results ride in the bench artifact the
+    driver records.  Compiles are served by the persistent cache."""
+    import jax
+    import jax.numpy as jnp
+
+    suite: dict = {}
+    t_end = time.time() + budget_s
+    srate = 48000.0
+    n = int(20.0 * srate)
+    rng = np.random.RandomState(11)
+
+    def timed(fn, audio_seconds, runs=3):
+        jax.block_until_ready(fn())
+        best = 0.0
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn())
+            best = max(best, audio_seconds / (time.perf_counter() - t0))
+        return round(best, 1)
+
+    try:
+        if time.time() < t_end:
+            from zorak_tpu.kernels.stft import spectral_gate, stft_process
+
+            x = jnp.asarray(rng.randn(n) * 0.25, jnp.float64)
+
+            @jax.jit
+            def run_stft(a):
+                def bins(spec):
+                    w = jnp.linspace(0.5, 1.5, spec.shape[-1],
+                                     dtype=jnp.float32)
+                    return spec * w
+                return stft_process(a, bins, size=2048, hop=512)
+
+            suite["stft2048_overlap_add_rtx"] = timed(
+                lambda: run_stft(x), n / srate)
+            log(f"suite stft: {suite['stft2048_overlap_add_rtx']}x")
+        if time.time() < t_end:
+            xq = jnp.asarray(rng.randn(n) * 0.02, jnp.float64)
+            suite["restoration_spectral_gate_rtx"] = timed(
+                lambda: spectral_gate(xq, size=2048), n / srate)
+            log(f"suite denoiser: {suite['restoration_spectral_gate_rtx']}x")
+        if time.time() < t_end:
+            from zorak_tpu.kernels.convolution import partitioned_convolve
+
+            x = jnp.asarray(rng.randn(n) * 0.25, jnp.float64)
+            k = 131072
+            ir = jnp.asarray(rng.randn(k) * np.exp(-np.arange(k) / (k / 5)),
+                             jnp.float64)
+            suite["partitioned_convolution_131072tap_rtx"] = timed(
+                lambda: partitioned_convolve(x, ir, part_size=2048), n / srate)
+            log("suite convolution: "
+                f"{suite['partitioned_convolution_131072tap_rtx']}x")
+        if time.time() < t_end:
+            from zorak_tpu.parallel import (build_catalog_renderers,
+                                            catalog_stacked_render)
+
+            short = int(10.0 * srate)
+            xc = (rng.randn(2, short) * 0.25).astype(np.float32)
+            log("suite catalog: specializing")
+            renderers, skipped = build_catalog_renderers(
+                "/root/reference", segment_len=1 << 16)
+            # group-incremental warmup with a per-group clock check: a
+            # cold compile cache must not blow the artifact deadline —
+            # plugins warmed in time are measured, the rest reported
+            heavy = [s for s in renderers
+                     if renderers[s].kernel.coupled
+                     or renderers[s].kernel._hop is not None]
+            light = [s for s in renderers if s not in heavy]
+            groups = [light[i:i + 5] for i in range(0, len(light), 5)]
+            groups += [[s] for s in heavy]
+            plan: dict = {}
+            warmed: list = []
+            for grp in groups:
+                if time.time() > t_end:
+                    break
+                try:
+                    outs, _ = catalog_stacked_render(
+                        {s: renderers[s] for s in grp}, xc, plan=plan)
+                    jax.block_until_ready(list(outs.values()))
+                    warmed.append(grp)
+                except Exception as exc:  # noqa: BLE001
+                    log(f"suite catalog: group {grp} failed: {exc}")
+            if warmed:
+                sel = {s: renderers[s] for g in warmed for s in g}
+                t0 = time.perf_counter()
+                outs, nd = catalog_stacked_render(sel, xc, groups=warmed,
+                                                  plan=plan)
+                jax.block_until_ready(list(outs.values()))
+                wall = time.perf_counter() - t0
+                suite["catalog_sweep_rtx"] = round(
+                    len(outs) * short / srate / wall, 1)
+                suite["catalog_plugins_vectorized"] = len(outs)
+                suite["catalog_plugins_total"] = len(renderers)
+                suite["catalog_dispatches"] = nd
+                log(f"suite catalog: {suite['catalog_sweep_rtx']}x "
+                    f"({len(outs)}/{len(renderers)} plugins, "
+                    f"{nd} dispatches)")
+    except Exception as exc:  # noqa: BLE001 — partial suite beats no suite
+        suite["error"] = f"{type(exc).__name__}: {exc}"
+        log(f"suite aborted: {suite['error']}")
+    return suite
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -106,14 +212,19 @@ def main() -> int:
     th = threading.Thread(target=fetch, daemon=True)
     th.start()
     th.join(timeout=max(10.0, (T0 + 540.0) - time.time()))
+
+    # remaining BASELINE configs, bounded so the artifact lands on time
+    suite = run_suite_configs(budget_s=max(0.0, (T0 + 1500.0) - time.time()))
+
     if "ok" in result:
         log(f"audio check: peak={result['peak']:.4f} ok={result['ok']}")
         emit(best, {"engine": "tpu-vector", "audio_ok": bool(result["ok"]),
-                    "runs": runs})
+                    "runs": runs, "suite": suite})
     else:
         log("audio stats fetch timed out (tunnel D2H); compute validated "
             "separately by the null-test suite")
-        emit(best, {"engine": "tpu-vector", "audio_ok": None, "runs": runs})
+        emit(best, {"engine": "tpu-vector", "audio_ok": None, "runs": runs,
+                    "suite": suite})
     sys.stdout.flush()
     sys.stderr.flush()
     # a stuck D2H fetch thread must not abort interpreter teardown

@@ -1,0 +1,212 @@
+"""Sequential device executor: whole plugin stepped on-device.
+
+The middle path for plugins the time-vectorizer rejects (data-dependent
+voice loops, draw-interleaved rand): devgen-compiled @block/@slider/
+@sample fused into one scan program, bit-exact vs the golden executors.
+"""
+import numpy as np
+import pytest
+
+from zorak_tpu.ir import compile_plugin_source
+from zorak_tpu.lowering.devexec import DeviceExecKernel
+from zorak_tpu.shadow import compile_native_shadow
+from zorak_tpu.verify.nulltest import (
+    apply_slider_state, compare_audio, compare_memory_pages, compare_states,
+    make_initialized_shadow)
+
+
+def _golden_render(prog, x, block=512):
+    gold = compile_native_shadow(prog)
+    gold.state.srate = 48000.0
+    apply_slider_state(gold.state, prog, None)
+    gold.run_init()
+    gold.run_slider()
+    y = np.zeros_like(x)
+    for s in range(0, x.shape[1], block):
+        e = min(s + block, x.shape[1])
+        gold.process_block(x[:, s:e], y[:, s:e])
+    return gold, y
+
+
+def _null(src, x, renders=1):
+    prog = compile_plugin_source(src)
+    gold, y_ref = _golden_render(prog, x)
+    snap = make_initialized_shadow(prog, 48000.0, None)
+    kern = DeviceExecKernel(prog, snap.state, x.shape[0], block_size=512)
+    if renders == 1:
+        y, carry = kern.render(x)
+    else:
+        cut = (x.shape[1] // renders // 512) * 512
+        parts = []
+        carry = None
+        pos = 0
+        while pos < x.shape[1]:
+            stop = min(pos + cut, x.shape[1]) if pos + cut < x.shape[1] \
+                else x.shape[1]
+            yp, carry = kern.render(x[:, pos:stop], carry=carry)
+            parts.append(yp)
+            pos = stop
+        y = np.concatenate(parts, axis=1)
+    rep = compare_audio(y_ref, y)
+    # devexec promises the reference audio contract (1e-5 on f32 samples;
+    # XLA:CPU may contract mul+add to FMA inside the scan body, a 1-ulp
+    # f64 wobble the golden's strict IEEE ordering doesn't have; TPU f64
+    # emulation is similarly ~1e-14-relative)
+    assert rep.audio_passed, rep.summary()
+    assert rep.max_abs_delta <= 1e-6
+    kern.writeback(carry, snap.state)
+    rep2 = compare_states(gold.state, snap.state)
+    compare_memory_pages(gold.state, snap.state, report=rep2)
+    assert rep2.passed, rep2.summary()
+    return kern
+
+
+def noise(ch, n, seed=5, scale=0.6):
+    return (np.random.RandomState(seed).randn(ch, n) * scale).astype(
+        np.float32)
+
+
+class TestDeviceExec:
+    def test_data_dependent_voice_loop(self):
+        # the exact class the vectorizer rejects: loop(n) with audio-
+        # dependent n over a voice table
+        src = ("@init\nbuf = 1000;\nn_active = 0;\n"
+               "@block\nctr += 1;\n"
+               "@sample\n"
+               "x = abs(spl0);\n"
+               "x > 0.5 ? n_active = min(n_active + 2, 8) :"
+               " (n_active > 0 ? n_active -= 1);\n"
+               "acc = 0; i = 0;\n"
+               "loop(n_active,\n"
+               "  acc += buf[i] * 0.1 + x * 0.01;\n"
+               "  buf[i] = x;\n"
+               "  i += 1;\n"
+               ");\n"
+               "spl0 = spl0 * 0.7 + acc * 0.05;\n"
+               "spl1 = spl1 * 0.7;\n")
+        _null(src, noise(2, 3000))
+
+    def test_rand_interleaved_block_and_sample(self):
+        # rand() draws in @block interleave with @sample's stream — the
+        # staged-pool cursor must reproduce the golden MT19937 sequence,
+        # across resumed renders (rng rebase)
+        src = ("@init\nnz = 0;\n"
+               "@block\n"
+               "want = 2 + (bc % 3);\nbc += 1;\ni = 0;\n"
+               "loop(want, noise[i] = rand(2) - 1; i += 1; );\n"
+               "@sample\n"
+               "p = abs(spl0) > 0.4 ? rand() * 0.1 : 0;\n"
+               "spl0 = spl0 * 0.8 + p + noise[0] * 0.01;\n")
+        kern = _null(src, noise(1, 3000), renders=2)
+        assert kern.uses_rand
+
+    def test_pending_slider_retrigger(self):
+        src = ("slider1:10<0,100,1>Amt\n"
+               "@init\nq = 0;\n"
+               "@slider\ng = slider1 / 100;\n"
+               "@block\n"
+               "bc += 1;\n"
+               "bc == 3 ? ( slider1 = 50; sliderchange(slider1); );\n"
+               "@sample\nspl0 *= g;\n")
+        _null(src, noise(1, 4000))
+
+    def test_loaded_pool_device_gathers(self):
+        # sample_* reads over a LOADED generation become device gathers
+        # (devgen._pool_gather_call); bit-exact vs the python golden that
+        # answers the same calls through the host pool service
+        from zorak_tpu.runtime.services import EngineHost
+        from zorak_tpu.shadow import compile_shadow
+
+        src = ("@init\n"
+               "pool = sample_pool_from_slot(0, #nm);\n"
+               "sample_pool_commit(pool);\n"
+               "nsel = sample_pool_loaded(pool);\n"
+               "sid = sample_get(pool, 0);\n"
+               "len0 = sample_len(pool, sid);\n"
+               "pk = sample_peak(pool, sid);\n"
+               "pos = 0;\n"
+               "@sample\n"
+               "sid2 = abs(spl0) > 0.3 ? sid : sample_get(pool, 1);\n"
+               "v = sample_read(pool, sid2, 0, pos);\n"
+               "vi = sample_read_interp(pool, sid2, 1, pos * 0.5 + 0.25);\n"
+               "ok = sample_read2_interp(pool, sid2, pos * 0.33, l, r);\n"
+               "spl0 = spl0 * 0.5 + v * 0.3 + vi * 0.1 + l * 0.05"
+               " + ok * 0.001 + pk * 0.001;\n"
+               "spl1 = spl1 * 0.5 + r * 0.2;\n"
+               "pos += 1;\n"
+               "pos >= len0 ? pos = 0;\n")
+
+        rng = np.random.RandomState(9)
+        wave_a = (rng.randn(2, 220) * 0.4)      # stereo
+        wave_b = (rng.randn(1, 97) * 0.7)       # mono
+
+        def host():
+            h = EngineHost()
+            h.files.load_slot(0, wave_a, srate=44100.0, name="a")
+            h.files.load_slot(0, wave_b, srate=48000.0, name="b")
+            return h
+
+        prog = compile_plugin_source(src)
+        x = noise(2, 2500)
+
+        gold = compile_shadow(prog, host=host())
+        gold.state.srate = 48000.0
+        apply_slider_state(gold.state, prog, None)
+        gold.run_init()
+        gold.run_slider()
+        y_ref = np.zeros_like(x)
+        for s in range(0, x.shape[1], 512):
+            e = min(s + 512, x.shape[1])
+            gold.process_block(x[:, s:e], y_ref[:, s:e])
+
+        snap = make_initialized_shadow(prog, 48000.0, None, host=host())
+        assert snap.state.host.pool.generation is not None
+        kern = DeviceExecKernel(prog, snap.state, 2, block_size=512)
+        y, carry = kern.render(x)
+        rep = compare_audio(y_ref, y)
+        assert rep.audio_passed and rep.max_abs_delta <= 1e-6, rep.summary()
+        kern.writeback(carry, snap.state)
+        rep2 = compare_states(gold.state, snap.state)
+        compare_memory_pages(gold.state, snap.state, report=rep2)
+        assert rep2.passed, rep2.summary()
+
+    def test_adaptive_while_unroll_bailout(self, monkeypatch):
+        # a static-predicate voice while() whose unroll exceeds the merge
+        # budget must restore pre-loop state and re-trace as ONE
+        # lax.while_loop body (Sample.jsfx's 16-voice while would
+        # otherwise unroll to 65k+ merges), staying bit-faithful
+        from zorak_tpu.lowering import devgen as DG
+
+        monkeypatch.setattr(DG.DeviceSection, "_UNROLL_MERGE_BUDGET", 48)
+        body = ["vi = 0;", "acc = 0;", "while (vi < 16) (",
+                "  v = 100 + vi * 8;"]
+        for k in range(10):
+            c = f"buf[v + {k % 8}]"
+            body.append(
+                f"  {c} > 0.5 ? (acc += {c} * 0.01; {c} -= 0.1;)"
+                f" : ({c} += abs(spl0) * 0.03;);")
+        body += ["  vi += 1;", ");"]
+        src = ("options: maxmem=4096\n@init\nbuf = 1000;\n@sample\n"
+               + "\n".join(body) + "\nspl0 = spl0 * 0.7 + acc;\n")
+        kern = _null(src, noise(1, 2000))
+        # the bail kept the trace small: merges ~= one body, not 16x
+        assert kern.sample._n_merges < 100
+
+    def test_engine_falls_back_to_devexec(self):
+        from zorak_tpu.runtime.engine import PluginInstance
+
+        src = ("@init\nbuf = 0;\n"
+               "@sample\n"
+               "n = abs(spl0) > 0.3 ? 3 : 1;\n"
+               "s = 0; i = 0;\n"
+               "loop(n, s += buf[i]; buf[i] = spl0 * 0.5; i += 1; );\n"
+               "spl0 = spl0 * 0.6 + s * 0.1;\n")
+        inst = PluginInstance(compile_plugin_source(src),
+                              smart_idle="always_awake")
+        assert inst.engine == "tpu-devexec"
+        x = noise(1, 2048)
+        res = inst.render(x)
+        prog = compile_plugin_source(src)
+        _gold, y_ref = _golden_render(prog, x)
+        assert np.abs(res.audio.astype(np.float64)
+                      - y_ref.astype(np.float64)).max() <= 1e-6

@@ -105,7 +105,9 @@ class TestSmartIdle:
 
     def test_sleeps_on_silence_wakes_on_signal(self):
         prog = compile_plugin_source(self.SRC)
-        inst = PluginInstance(prog, prefer="none", smart_idle="input_driven")
+        # idle_hold_ms ~ 2 blocks at 256/48k so the 20-block render sleeps
+        inst = PluginInstance(prog, prefer="none", smart_idle="input_driven",
+                              idle_hold_ms=10.0)
         n = 256 * 20
         x = np.zeros((1, n), dtype=np.float32)
         x[0, 256 * 12] = 0.5  # wake in block 12
@@ -164,3 +166,102 @@ spl0 = spl0 * g;
     rs = eng_s.render(x, midi=midi)
     assert np.abs(rv.audio.astype(np.float64)
                   - rs.audio.astype(np.float64)).max() <= 1e-9
+
+
+class TestIdleModes:
+    """Smart-idle mode set at reference parity
+    (ref: JSFXJuceProcessor.cpp:6147-6392)."""
+
+    SRC = "@block\nblocks += 1;\n@sample\nspl0 = spl0 * 0.5;\n"
+
+    def test_mode_inference_audio_plugin(self):
+        inst = PluginInstance(compile_plugin_source(self.SRC), prefer="none")
+        assert inst.effective_idle_mode == "input_driven"
+
+    def test_mode_inference_midi_effect(self):
+        src = "@block\nwhile (midirecv(o, a, b, c)) ( q += 1; );\n"
+        inst = PluginInstance(compile_plugin_source(src), prefer="none")
+        assert inst.effective_idle_mode == "event_driven"
+
+    def test_free_running_never_sleeps(self):
+        inst = PluginInstance(compile_plugin_source(self.SRC), prefer="none",
+                              smart_idle="free_running", idle_hold_ms=1.0)
+        x = np.zeros((1, 256 * 12), dtype=np.float32)
+        inst.render(x, block_size=256)
+        assert inst.shadow.state.V["blocks"] == 12.0
+
+    def test_keep_awake_var_blocks_sleep(self):
+        src = "@init\nza_keep_awake = 1;\n" + self.SRC
+        inst = PluginInstance(compile_plugin_source(src), prefer="none",
+                              smart_idle="input_driven", idle_hold_ms=1.0)
+        x = np.zeros((1, 256 * 12), dtype=np.float32)
+        inst.render(x, block_size=256)
+        assert inst.shadow.state.V["blocks"] == 12.0
+
+    def test_output_tail_defers_sleep(self):
+        # decaying feedback keeps output hot after input silence: the
+        # quiet window must not start until the tail decays (ref: :3742)
+        src = ("@block\nblocks += 1;\n"
+               "@sample\nz = 0.999*z + spl0;\nspl0 = z;\n")
+        inst = PluginInstance(compile_plugin_source(src), prefer="none",
+                              smart_idle="input_driven", idle_hold_ms=5.0,
+                              idle_threshold=1e-4)
+        n = 256 * 30
+        x = np.zeros((1, n), dtype=np.float32)
+        x[0, :256] = 0.5  # one loud block, then silence with a long tail
+        inst.render(x, block_size=256)
+        assert inst.shadow.state.V["blocks"] > 10.0
+
+    def test_vector_gated_matches_always_awake_on_active_audio(self):
+        # fully active input: the gated vector path must be bit-identical
+        # to the ungated render (every block awake)
+        prog = compile_plugin_source(self.SRC)
+        x = (np.random.RandomState(0).randn(1, 4096) * 0.4).astype(np.float32)
+        a = PluginInstance(prog, smart_idle="always_awake")
+        b = PluginInstance(prog, smart_idle="input_driven")
+        if a.kernel is None:
+            pytest.skip("vector kernel unavailable")
+        ya = a.render(x).audio
+        rb = b.render(x)
+        assert rb.details.get("idle_mode") == "input_driven"
+        assert np.array_equal(ya, rb.audio)
+
+    def test_vector_gated_sleeps_and_freezes_block_state(self):
+        prog = compile_plugin_source(self.SRC)
+        inst = PluginInstance(prog, smart_idle="input_driven",
+                              idle_hold_ms=10.0)
+        if inst.kernel is None:
+            pytest.skip("vector kernel unavailable")
+        n = 512 * 40
+        x = np.zeros((1, n), dtype=np.float32)
+        x[0, 512 * 30 + 5] = 0.5
+        res = inst.render(x)
+        assert res.details["awake_blocks"] < res.details["blocks"]
+        # @block only ran for awake blocks
+        assert inst.shadow.state.V["blocks"] == res.details["awake_blocks"]
+
+
+class TestFilePersistence:
+    def test_save_restores_file_slots_and_recents(self, tmp_path):
+        from zorak_tpu.runtime import wavio
+        from zorak_tpu.runtime.services import EngineHost
+
+        wav = tmp_path / "probe.wav"
+        wavio.write_wav(wav, np.zeros((1, 256), np.float32), 48000)
+        src = "@sample\nspl0 *= 0.5;\n"
+        inst = PluginInstance(compile_plugin_source(src), prefer="none",
+                              host=EngineHost())
+        inst.load_file(0, wav)
+        inst.import_recipes.append('{"action": 1}')
+        blob = inst.save_state()
+        assert blob["files"][0]["paths"] == [str(wav)]
+        assert blob["recent_files"] == [str(wav)]
+        assert blob["import_recipes"] == ['{"action": 1}']
+
+        inst2 = PluginInstance(compile_plugin_source(src), prefer="none",
+                               host=EngineHost())
+        inst2.load_state(blob)
+        svc = inst2.shadow.state.host.files
+        assert [e.path for e in svc.slots[0]] == [str(wav)]
+        assert inst2.recent_files == [str(wav)]
+        assert inst2.import_recipes == ['{"action": 1}']

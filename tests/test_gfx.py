@@ -39,8 +39,14 @@ after_x = gfx_x;
     vm = GfxVM(compile_plugin_source(src))
     cmds = vm.run_frame()
     assert cmds[0].op == "drawstr" and cmds[0].text == "hello"
-    assert vm.state.V["tw"] == 5 * 8.0
-    assert vm.state.V["after_x"] == 10.0 + 5 * 8.0
+    from zorak_tpu.gfx.interpreter import text_width
+
+    # proportional per-glyph advance at the default font size (the
+    # reference measures real JUCE font metrics; flat monospace was the
+    # round-1 estimate)
+    expect = text_width("hello", vm.state.V.get("gfx_texth", 10.0) or 10.0)
+    assert vm.state.V["tw"] == pytest.approx(expect)
+    assert vm.state.V["after_x"] == pytest.approx(10.0 + expect)
 
 
 def test_mouse_and_frames_are_stateful():

@@ -519,3 +519,37 @@ class TestScopedBranchMerge:
                "spl0 = spl0 * (0.5 + 0.1*pick(e, 0.3));\n")
         rep = null_test_plugin(compile_plugin_source(src), noise(1, 3000))
         assert rep.passed, rep.summary()
+
+
+class TestResumedRenders:
+    def test_block_trajectory_continues_across_renders(self):
+        # @block state (counters/LFOs) persists across separate render
+        # calls, like the reference's long-lived state struct
+        src = ("@init\ng = 0;\n"
+               "@block\nbc += 1;\ng = 0.5 + 0.4 * sin(bc * 0.1);\n"
+               "@sample\nspl0 *= g;\n")
+        from zorak_tpu.shadow import compile_native_shadow
+        from zorak_tpu.verify.nulltest import apply_slider_state
+
+        prog = compile_plugin_source(src)
+        x = noise(1, 2048)
+        xx = np.concatenate([x, x, x], axis=1)
+        gold = compile_native_shadow(prog)
+        gold.state.srate = 48000.0
+        apply_slider_state(gold.state, prog, None)
+        gold.run_init()
+        gold.run_slider()
+        y_ref = np.zeros_like(xx)
+        for s in range(0, xx.shape[1], 512):
+            gold.process_block(xx[:, s:s + 512], y_ref[:, s:s + 512])
+
+        snap = make_initialized_shadow(prog, 48000.0, None)
+        kern = specialize_sample_kernel(prog, snap.state, 1, 2048,
+                                        block_size=512)
+        y1, c = kern.render(x)
+        y2, c = kern.render(x, carry=c)
+        y3, c = kern.render(x, carry=c)
+        y = np.concatenate([y1, y2, y3], axis=1)
+        assert np.abs(y - y_ref).max() == 0.0
+        kern.writeback(c, snap.state)
+        assert snap.state.V.get("bc") == gold.state.V.get("bc")

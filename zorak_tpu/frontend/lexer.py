@@ -1,10 +1,12 @@
-"""EEL2/JSFX tokenizer.
+"""EEL2/JSFX tokenizer, table-driven.
 
-Token rules follow the dialect accepted by the reference AOT compiler
-(ref: dsp_jsfx_aot.py:91-255):
+One compiled master alternation classifies every lexeme; positions come
+from a precomputed newline index instead of per-character cursor
+bookkeeping.  The accepted dialect is the EEL2 grammar the reference
+catalog is written in:
 
-* newlines are significant (returned as NEWLINE tokens; the parser decides
-  when they separate statements vs. continue an expression),
+* newlines are significant (returned as NEWLINE tokens; the parser
+  decides when they separate statements vs. continue an expression),
 * identifiers may contain '$', '#', and dots (u.next_bank is ONE token),
 * numbers are decimal with optional fraction/exponent (hex goes via $x..),
 * both '//' and '/* */' comments,
@@ -14,9 +16,9 @@ Token rules follow the dialect accepted by the reference AOT compiler
 from __future__ import annotations
 
 import re
+from bisect import bisect_right
 from dataclasses import dataclass
-from typing import Optional, Tuple
-
+from typing import Tuple
 
 class LexError(SyntaxError):
     pass
@@ -35,18 +37,58 @@ EOF = "eof"
 
 _KEYWORDS = frozenset({"if", "else", "while"})
 
-_TWO_CHAR = frozenset({
-    "==", "!=", "<=", ">=",
-    "+=", "-=", "*=", "/=", "%=", "^=", "|=", "&=", "~=",
-    "&&", "||", "<<", ">>",
-})
+# one alternation, ordered so longer/more-specific lexemes win: comments
+# before the '/' operators, two-char operators before their one-char
+# prefixes.  Group names double as the dispatch table keys.
+_MASTER = re.compile(
+    r"""
+      (?P<ws>[ \t\r]+)
+    | (?P<nl>\n)
+    | (?P<lcom>//[^\n]*)
+    | (?P<bcom>/\*.*?\*/)
+    | (?P<op2>==|!=|<=|>=|\+=|-=|\*=|/=|%=|\^=|\|=|&=|~=|&&|\|\||<<|>>)
+    | (?P<num>[0-9]+(?:\.[0-9]*)?(?:[eE][+-]?[0-9]+)?
+             |\.[0-9]+(?:[eE][+-]?[0-9]+)?)
+    | (?P<word>[#$A-Za-z_][#$A-Za-z0-9_]*
+               (?:\.[#$A-Za-z_][#$A-Za-z0-9_]*)*)
+    | (?P<dstr>"(?:\\.|[^"\\\n\r])*")
+    | (?P<sstr>'(?:\\.|[^'\\\n\r])*')
+    | (?P<semi>;)
+    | (?P<punct>[()\[\]{},])
+    | (?P<op1>[+\-*/=<>&|!?:%~^])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
 
-_OP_CHARS = frozenset("+-*/=<>&|!?:%~^")
-_PUNCT_CHARS = frozenset("()[]{},")
+# C-style escapes; \xHH handled separately, unknown escapes keep the char
+_ESCAPES = {"n": "\n", "r": "\r", "t": "\t", "\\": "\\", "0": "\0"}
 
-_NUM_RE = re.compile(r"[0-9]+(?:\.[0-9]*)?(?:[eE][+-]?[0-9]+)?|\.[0-9]+(?:[eE][+-]?[0-9]+)?")
-_IDENT_RE = re.compile(r"[#$A-Za-z_][#$A-Za-z0-9_]*(?:\.[#$A-Za-z_][#$A-Za-z0-9_]*)*")
-_HEXDIGIT_RE = re.compile(r"[0-9A-Fa-f]")
+_HEX2 = re.compile(r"[0-9A-Fa-f]{2}")
+
+
+def _decode_string(body: str) -> str:
+    """Unescape the INSIDE of a matched string literal."""
+    if "\\" not in body:
+        return body
+    out = []
+    i = 0
+    n = len(body)
+    while i < n:
+        c = body[i]
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        e = body[i + 1]
+        i += 2
+        if e in _ESCAPES:
+            out.append(_ESCAPES[e])
+        elif e in ("x", "X") and _HEX2.match(body, i):
+            out.append(chr(int(body[i:i + 2], 16)))
+            i += 2
+        else:
+            out.append(e)  # includes quotes and unknown escapes verbatim
+    return "".join(out)
 
 
 @dataclass(frozen=True)
@@ -61,143 +103,65 @@ class Lexer:
         self._text = text
         self._n = len(text)
         self._i = 0
-        self._line = first_line
-        self._col = 1
+        self._first = first_line
+        # newline index -> O(log n) line/col for any offset
+        self._nl = [m.start() for m in re.finditer(r"\n", text)]
 
-    # -- low-level cursor ---------------------------------------------------
-
-    def _at(self, ahead: int = 0) -> str:
-        j = self._i + ahead
-        return self._text[j] if j < self._n else "\0"
-
-    def _step(self, count: int = 1) -> None:
-        for _ in range(count):
-            if self._i >= self._n:
-                return
-            if self._text[self._i] == "\n":
-                self._line += 1
-                self._col = 1
-            else:
-                self._col += 1
-            self._i += 1
-
-    def _here(self) -> Tuple[int, int]:
-        return (self._line, self._col)
-
-    # -- scanning -----------------------------------------------------------
+    def _pos(self, i: int) -> Tuple[int, int]:
+        k = bisect_right(self._nl, i - 1)
+        line_start = (self._nl[k - 1] + 1) if k else 0
+        return (self._first + k, i - line_start + 1)
 
     def next_token(self) -> Token:
-        while True:
-            if self._i >= self._n:
-                return Token(EOF, "", self._here())
-
-            ch = self._at()
-
-            if ch in " \t\r":
-                self._step()
+        text, n = self._text, self._n
+        while self._i < n:
+            m = _MASTER.match(text, self._i)
+            if m is None:
+                self._fail(self._i)
+            kind = m.lastgroup
+            i0 = self._i
+            self._i = m.end()
+            if kind in ("ws", "lcom", "bcom"):
                 continue
-
-            if ch == "\n":
-                pos = self._here()
-                self._step()
+            lexeme = m.group(0)
+            pos = self._pos(i0)
+            if kind == "nl":
                 return Token(NEWLINE, "\n", pos)
-
-            if ch == "/" and self._at(1) == "/":
-                while self._at() not in ("\n", "\0"):
-                    self._step()
-                continue
-
-            if ch == "/" and self._at(1) == "*":
-                self._step(2)
-                while True:
-                    if self._at() == "\0":
-                        raise LexError("unterminated block comment")
-                    if self._at() == "*" and self._at(1) == "/":
-                        self._step(2)
-                        break
-                    self._step()
-                continue
-
-            pos = self._here()
-
-            pair = ch + self._at(1)
-            if pair in _TWO_CHAR:
-                self._step(2)
-                return Token(OP, pair, pos)
-
-            if ch.isdigit() or (ch == "." and self._at(1).isdigit()):
-                m = _NUM_RE.match(self._text, self._i)
-                assert m is not None
-                lit = m.group(0)
-                self._step(len(lit))
-                return Token(NUMBER, lit, pos)
-
-            if ch.isalpha() or ch in "_$#":
-                m = _IDENT_RE.match(self._text, self._i)
-                assert m is not None
-                word = m.group(0)
-                self._step(len(word))
-                kind = KEYWORD if word in _KEYWORDS else IDENT
-                return Token(kind, word, pos)
-
-            if ch in ('"', "'"):
-                return self._scan_string(ch, pos)
-
-            if ch == ";":
-                self._step()
+            if kind == "num":
+                return Token(NUMBER, lexeme, pos)
+            if kind == "word":
+                return Token(KEYWORD if lexeme in _KEYWORDS else IDENT,
+                             lexeme, pos)
+            if kind in ("dstr", "sstr"):
+                return Token(STRING, _decode_string(lexeme[1:-1]), pos)
+            if kind == "semi":
                 return Token(SEMI, ";", pos)
+            if kind == "punct":
+                return Token(PUNCT, lexeme, pos)
+            return Token(OP, lexeme, pos)  # op2 / op1
+        return Token(EOF, "", self._pos(n))
 
-            if ch in _PUNCT_CHARS:
-                self._step()
-                return Token(PUNCT, ch, pos)
-
-            if ch in _OP_CHARS:
-                self._step()
-                return Token(OP, ch, pos)
-
-            raise LexError(f"unexpected character {ch!r} at {pos[0]}:{pos[1]}")
-
-    def _scan_string(self, quote: str, pos: Tuple[int, int]) -> Token:
-        self._step()  # opening quote
-        parts = []
-        while True:
-            ch = self._at()
-            if ch == "\0":
-                raise LexError(f"unterminated string literal at {pos[0]}:{pos[1]}")
-            if ch in ("\n", "\r"):
-                raise LexError(f"newline inside string literal at {pos[0]}:{pos[1]}")
-            if ch == quote:
-                self._step()
-                break
-            if ch == "\\":
-                self._step()
-                esc = self._at()
-                if esc == "\0":
-                    raise LexError("unterminated string escape")
-                self._step()
-                if esc == "n":
-                    parts.append("\n")
-                elif esc == "r":
-                    parts.append("\r")
-                elif esc == "t":
-                    parts.append("\t")
-                elif esc == quote:
-                    parts.append(quote)
-                elif esc == "\\":
-                    parts.append("\\")
-                elif esc in ("x", "X"):
-                    h1, h2 = self._at(), self._at(1)
-                    if _HEXDIGIT_RE.fullmatch(h1) and _HEXDIGIT_RE.fullmatch(h2):
-                        parts.append(chr(int(h1 + h2, 16)))
-                        self._step(2)
-                    else:
-                        parts.append(esc)
-                elif esc == "0":
-                    parts.append("\0")
-                else:
-                    # unknown escape: keep the character as-is
-                    parts.append(esc)
-                continue
-            parts.append(ch)
-            self._step()
-        return Token(STRING, "".join(parts), pos)
+    def _fail(self, i: int) -> None:
+        """No alternative matched: classify the error like a scanner would."""
+        text = self._text
+        ch = text[i]
+        line, col = self._pos(i)
+        if text.startswith("/*", i):
+            raise LexError("unterminated block comment")
+        if ch in ('"', "'"):
+            # a quote with no well-formed literal: diagnose what broke it
+            j = i + 1
+            while j < self._n:
+                c = text[j]
+                if c in ("\n", "\r"):
+                    raise LexError(
+                        f"newline inside string literal at {line}:{col}")
+                if c == "\\":
+                    if j + 1 >= self._n:
+                        raise LexError("unterminated string escape")
+                    j += 2
+                    continue
+                j += 1  # closing quote unreachable here or master had matched
+            raise LexError(
+                f"unterminated string literal at {line}:{col}")
+        raise LexError(f"unexpected character {ch!r} at {line}:{col}")

@@ -1,7 +1,11 @@
-"""Pratt parser for the JSFX/EEL2 dialect.
+"""Precedence-climbing parser for the JSFX/EEL2 dialect.
 
-Grammar-compatible with the reference AOT frontend (ref:
-dsp_jsfx_aot.py:393-842), including its quirks:
+The grammar (operator table, newline-continuation rules, ternary and
+loop() quirks) is DICTATED by the dialect the catalog is written in —
+those rules must match the reference frontend exactly (ref:
+dsp_jsfx_aot.py:393-842) or the catalog stops parsing; everything
+structural around them (token stream, statement dispatch, diagnostics)
+is this implementation's own.  The dialect quirks:
 
 * newlines usually terminate statements, but an expression continues across
   a newline when the next token is an infix operator that cannot start a
@@ -29,6 +33,7 @@ Operator precedence (higher binds tighter), matching the reference table
 """
 from __future__ import annotations
 
+from collections import deque
 from typing import List, Optional
 
 from . import lexer as L
@@ -57,19 +62,46 @@ _TERNARY_PREC = 2
 _ASSIGN_OPS = frozenset({"=", "+=", "-=", "*=", "/=", "%=", "^=", "|=", "&=", "~="})
 
 
+class _TokenStream:
+    """Buffered token source with arbitrary lookahead.
+
+    Tokens are pulled from the lexer on demand into a deque window;
+    `peek(k)` fills the window as needed, so grammar decisions that want
+    deeper context cost nothing extra in the common path."""
+
+    def __init__(self, lex: "L.Lexer"):
+        self._lex = lex
+        self._window: deque = deque()
+
+    def peek(self, k: int = 0) -> L.Token:
+        while len(self._window) <= k:
+            self._window.append(self._lex.next_token())
+        return self._window[k]
+
+    def pop(self) -> L.Token:
+        tok = self.peek(0)
+        self._window.popleft()
+        return tok
+
+
 class Parser:
     def __init__(self, text: str, first_line: int = 1):
         self._src = text
         self._first_line = first_line
-        self._lex = L.Lexer(text, first_line=first_line)
-        self._tok = self._lex.next_token()
-        self._look = self._lex.next_token()
+        self._ts = _TokenStream(L.Lexer(text, first_line=first_line))
 
     # ------------------------------------------------------------------ util
 
+    @property
+    def _tok(self) -> L.Token:
+        return self._ts.peek(0)
+
+    @property
+    def _look(self) -> L.Token:
+        return self._ts.peek(1)
+
     def _advance(self) -> None:
-        self._tok = self._look
-        self._look = self._lex.next_token()
+        self._ts.pop()
 
     def _expect(self, kind: str, text: Optional[str] = None) -> L.Token:
         tok = self._tok

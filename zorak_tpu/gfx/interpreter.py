@@ -43,18 +43,40 @@ class DrawCmd:
     mode: int = 0
 
 
+# proportional advance ratios (fraction of font size) for a typical UI
+# sans face — closer to the reference's JUCE font metrics than a flat
+# monospace estimate; unknown glyphs take the average ratio
+_CHAR_RATIO = {}
+for _chars, _r in (
+        ("iljI.,:;'|!", 0.24), ("ftr()[]{}-\"/ ", 0.30),
+        ("abcdeghknopqsuvxyz", 0.52), ("w", 0.72), ("m", 0.82),
+        ("ABCDEFGHKNPRSTUVXYZ", 0.66), ("MW", 0.86), ("OQ", 0.74),
+        ("JL", 0.52), ("0123456789", 0.556), ("@", 1.0), ("%", 0.85),
+        ("+=<>~^*#&", 0.58), ("_", 0.5)):
+    for _c in _chars:
+        _CHAR_RATIO[_c] = _r
+_AVG_RATIO = 0.55
+
+
+def text_width(text: str, size: float) -> float:
+    return float(size) * sum(_CHAR_RATIO.get(c, _AVG_RATIO) for c in text)
+
+
 class GfxCanvas:
-    """Records the gfx call stream of one frame.
+    """Records the gfx call stream of one frame AND rasterizes it.
 
     Color/position state lives in the VM's EEL vars (gfx_r/g/b/a/x/y/...)
-    exactly as in JSFX; the canvas only snapshots them per command."""
-
-    CHAR_W = 8.0  # monospace estimate for measure/draw advance
+    exactly as in JSFX; the canvas snapshots them per command and draws
+    the primitive into the current gfx_dest surface (gfx/raster.py) so
+    gfx_getpixel / gfx_blit read real pixels."""
 
     def __init__(self) -> None:
+        from .raster import Raster
+
         self.cmds: List[DrawCmd] = []
         self.char_queue: List[float] = []
         self.menu_choice = 0.0
+        self.raster = Raster()
 
     # -- helpers -------------------------------------------------------------
 
@@ -74,6 +96,23 @@ class GfxCanvas:
     @staticmethod
     def _text_of(S, handle: float) -> str:
         return S.strings_by_handle.get(int(handle), "")
+
+    def _surf(self, S):
+        dest = int(self._v(S, "gfx_dest") if "gfx_dest" in S.V else -1.0)
+        if dest < 0:
+            return self.raster.main(int(self._v(S, "gfx_w") or 0),
+                                    int(self._v(S, "gfx_h") or 0))
+        return self.raster.image(dest, create=True)
+
+    def _rgb(self, S):
+        return (self._v(S, "gfx_r"), self._v(S, "gfx_g"),
+                self._v(S, "gfx_b"))
+
+    def _additive(self, S) -> bool:
+        return bool(int(self._v(S, "gfx_mode")) & 1)
+
+    def _texth(self, S) -> float:
+        return float(S.V.get("gfx_texth", 10.0) or 10.0)
 
     # -- dispatch --------------------------------------------------------------
 
@@ -99,25 +138,42 @@ class GfxCanvas:
             return 0.0
         if fn == "gfx_line":
             self._rec(S, "line", a[:4] + [arg(4, 1.0)])
+            self.raster.line(self._surf(S), arg(0), arg(1), arg(2), arg(3),
+                             self._rgb(S), self._v(S, "gfx_a"),
+                             self._additive(S))
             S.V["gfx_x"], S.V["gfx_y"] = arg(2), arg(3)
             return 0.0
         if fn == "gfx_lineto":
             x0, y0 = self._v(S, "gfx_x"), self._v(S, "gfx_y")
             self._rec(S, "line", (x0, y0, arg(0), arg(1), arg(2, 1.0)))
+            self.raster.line(self._surf(S), x0, y0, arg(0), arg(1),
+                             self._rgb(S), self._v(S, "gfx_a"),
+                             self._additive(S))
             S.V["gfx_x"], S.V["gfx_y"] = arg(0), arg(1)
             return 0.0
         if fn == "gfx_rect":
             self._rec(S, "rect", a[:4] + [arg(4, 1.0)])
+            self.raster.fill_rect(self._surf(S), arg(0), arg(1), arg(2),
+                                  arg(3), self._rgb(S), self._v(S, "gfx_a"),
+                                  self._additive(S),
+                                  fill=bool(arg(4, 1.0)))
             return 0.0
         if fn == "gfx_rectto":
             x0, y0 = self._v(S, "gfx_x"), self._v(S, "gfx_y")
-            self._rec(S, "rect", (min(x0, arg(0)), min(y0, arg(1)),
-                                  abs(arg(0) - x0), abs(arg(1) - y0), 1.0))
+            rx, ry = min(x0, arg(0)), min(y0, arg(1))
+            rw, rh = abs(arg(0) - x0), abs(arg(1) - y0)
+            self._rec(S, "rect", (rx, ry, rw, rh, 1.0))
+            self.raster.fill_rect(self._surf(S), rx, ry, rw, rh,
+                                  self._rgb(S), self._v(S, "gfx_a"),
+                                  self._additive(S))
             S.V["gfx_x"], S.V["gfx_y"] = arg(0), arg(1)
             return 0.0
         if fn == "gfx_circle":
             self._rec(S, "circle", (arg(0), arg(1), arg(2), arg(3),
                                     arg(4, 1.0)))
+            self.raster.circle(self._surf(S), arg(0), arg(1), arg(2),
+                               self._rgb(S), self._v(S, "gfx_a"),
+                               self._additive(S), fill=bool(arg(3)))
             return 0.0
         if fn == "gfx_arc":
             self._rec(S, "arc", (arg(0), arg(1), arg(2), arg(3), arg(4),
@@ -126,14 +182,66 @@ class GfxCanvas:
         if fn == "gfx_roundrect":
             self._rec(S, "roundrect", (arg(0), arg(1), arg(2), arg(3),
                                        arg(4), arg(5, 1.0)))
+            self.raster.fill_rect(self._surf(S), arg(0), arg(1), arg(2),
+                                  arg(3), self._rgb(S), self._v(S, "gfx_a"),
+                                  self._additive(S),
+                                  fill=bool(arg(5, 1.0)))
             return 0.0
         if fn == "gfx_triangle":
             self._rec(S, "triangle", a[:6])
+            self.raster.triangle(self._surf(S),
+                                 ((arg(0), arg(1)), (arg(2), arg(3)),
+                                  (arg(4), arg(5))),
+                                 self._rgb(S), self._v(S, "gfx_a"),
+                                 self._additive(S))
             return 0.0
         if fn == "gfx_setpixel":
             self._rec(S, "setpixel", (self._v(S, "gfx_x"),
                                       self._v(S, "gfx_y"),
                                       arg(0), arg(1), arg(2)))
+            self.raster.set_pixel(self._surf(S), self._v(S, "gfx_x"),
+                                  self._v(S, "gfx_y"),
+                                  (arg(0), arg(1), arg(2)))
+            return 0.0
+        if fn == "gfx_getpixel":
+            r, g, b = self.raster.get_pixel(self._surf(S),
+                                            self._v(S, "gfx_x"),
+                                            self._v(S, "gfx_y"))
+            return (r, g, b)
+        if fn == "gfx_setimgdim":
+            img = self.raster.image(int(arg(0)), create=True)
+            img.resize(arg(1), arg(2))
+            return 1.0
+        if fn == "gfx_getimgdim":
+            img = self.raster.image(int(arg(0)))
+            if img is None:
+                return (0.0, 0.0)
+            return (float(img.w), float(img.h))
+        if fn == "gfx_loadimg":
+            # no image decoding in the offline engine: honest failure like
+            # a missing file (ref returns -1 on load failure)
+            return -1.0
+        if fn == "gfx_blit" or fn == "gfx_blitext":
+            src = self.raster.image(int(arg(0)))
+            self._rec(S, "blit", a)
+            if src is None:
+                return 0.0
+            scale = arg(1, 1.0) or 1.0
+            if len(a) > 3:
+                sx, sy = arg(3), arg(4)
+                sw = arg(5, float(src.w))
+                sh = arg(6, float(src.h))
+                dx = arg(7, self._v(S, "gfx_x"))
+                dy = arg(8, self._v(S, "gfx_y"))
+                dw = arg(9, sw * scale)
+                dh = arg(10, sh * scale)
+            else:
+                sx, sy, sw, sh = 0.0, 0.0, float(src.w), float(src.h)
+                dx, dy = self._v(S, "gfx_x"), self._v(S, "gfx_y")
+                dw, dh = sw * scale, sh * scale
+            self.raster.blit(self._surf(S), src, dx, dy, dw, dh,
+                             sx, sy, sw, sh, self._v(S, "gfx_a"),
+                             self._additive(S))
             return 0.0
         if fn == "gfx_setfont":
             name = self._text_of(S, arg(1)) if len(a) > 1 else ""
@@ -144,27 +252,29 @@ class GfxCanvas:
             return 0.0
         if fn == "gfx_measurestr":
             text = self._text_of(S, arg(0))
-            return (self.CHAR_W * len(text),
-                    float(S.V.get("gfx_texth", 10.0) or 10.0))
+            return (text_width(text, self._texth(S)), self._texth(S))
         if fn == "gfx_drawstr":
             text = self._text_of(S, arg(0))
             self._rec(S, "drawstr",
                       (self._v(S, "gfx_x"), self._v(S, "gfx_y"),
                        arg(1), arg(2), arg(3)), text=text)
-            S.V["gfx_x"] = self._v(S, "gfx_x") + self.CHAR_W * len(text)
+            S.V["gfx_x"] = self._v(S, "gfx_x") \
+                + text_width(text, self._texth(S))
             return 0.0
         if fn == "gfx_drawnumber":
             nd = max(0, int(arg(1)))
             text = f"{arg(0):.{nd}f}"
             self._rec(S, "drawstr", (self._v(S, "gfx_x"),
                                      self._v(S, "gfx_y")), text=text)
-            S.V["gfx_x"] = self._v(S, "gfx_x") + self.CHAR_W * len(text)
+            S.V["gfx_x"] = self._v(S, "gfx_x") \
+                + text_width(text, self._texth(S))
             return 0.0
         if fn == "gfx_drawchar":
             text = chr(int(arg(0))) if 0 < arg(0) < 0x110000 else ""
             self._rec(S, "drawstr", (self._v(S, "gfx_x"),
                                      self._v(S, "gfx_y")), text=text)
-            S.V["gfx_x"] = self._v(S, "gfx_x") + self.CHAR_W
+            S.V["gfx_x"] = self._v(S, "gfx_x") \
+                + text_width(text or " ", self._texth(S))
             return 0.0
         if fn == "gfx_getchar":
             return self.char_queue.pop(0) if self.char_queue else 0.0
@@ -261,12 +371,25 @@ class GfxSession:
     engine applies at the next block start."""
 
     def __init__(self, program: PluginProgram):
+        from ..ir.gfxsync import FROM_GFX as _FG, parse_gfx_sync_mem_ranges
+
         self.sync = analyze_gfx_var_sync(program)
         self.vm = GfxVM(program)
         flags = self.sync["flags"]
         self.to_gfx = sorted(n for n, f in flags.items() if f & TO_GFX)
         self.from_gfx = sorted(n for n, f in flags.items() if f & FROM_GFX)
         self.mem_shared = bool(self.sync["mem_shared"])
+        self.mem_ranges = list(self.sync.get("mem_ranges", ()))
+        self.from_gfx_mem = [(b, c) for b, c, f in self.mem_ranges
+                             if f & _FG]
+
+    def _mirror_ranges(self, dsp_state):
+        from ..ir.gfxsync import build_gfx_mirror_ranges
+
+        mem_n = max(int(getattr(dsp_state, "mem_used", 0)),
+                    min(len(dsp_state.mem), GFX_MEM_PREFIX))
+        mem_n = min(mem_n, len(dsp_state.mem))
+        return build_gfx_mirror_ranges(mem_n, self.mem_ranges)
 
     def frame(self, dsp_state, **kw) -> Tuple[List[DrawCmd],
                                               Dict[str, float]]:
@@ -276,20 +399,43 @@ class GfxSession:
         for name in self.to_gfx:
             vst.V[name] = float(dsp_state.V.get(name, 0.0))
         if self.mem_shared:
-            n = min(len(dsp_state.mem), GFX_MEM_PREFIX)
-            vst.mem_ensure(n)
-            vst.mem[:n] = dsp_state.mem[:n]
+            # bounded prefix + suffix + explicit sparse ranges
+            # (ref: JSFXJuceProcessor.cpp:221-380, 9682)
+            for base, count in self._mirror_ranges(dsp_state):
+                vst.mem_ensure(base + count)
+                vst.mem[base:base + count] = dsp_state.mem[base:base + count]
         before = {name: float(vst.V.get(name, 0.0))
                   for name in self.from_gfx}
+        mem_before = {}
+        for b, c in self.from_gfx_mem:
+            vst.mem_ensure(b + c)
+            mem_before[(b, c)] = np.array(vst.mem[b:b + c])
         cmds = self.vm.run_frame(**kw)
         writes = {name: float(vst.V.get(name, 0.0))
                   for name in self.from_gfx
                   if float(vst.V.get(name, 0.0)) != before[name]}
+        mem_writes = {}
+        for (b, c), old in mem_before.items():
+            cur = np.asarray(vst.mem[b:b + c])
+            idx = np.nonzero(cur != old)[0]
+            if idx.size:
+                mem_writes[(b, c)] = (idx + b, cur[idx].copy())
+        if mem_writes:
+            writes = dict(writes)
+            writes["__mem__"] = mem_writes  # type: ignore[assignment]
         return cmds, writes
 
     @staticmethod
     def apply_writes(dsp_state, writes: Dict[str, float]) -> None:
-        """Apply queued UI-authored var writes at a block boundary (ref:
-        applyQueuedGfxStateWrites, JSFXJuceProcessor.cpp:9409)."""
+        """Apply queued UI-authored var (and FROM_GFX-range mem) writes at
+        a block boundary (ref: applyQueuedGfxStateWrites,
+        JSFXJuceProcessor.cpp:9396-9420)."""
+        mem_writes = writes.get("__mem__")
         for name, value in writes.items():
+            if name == "__mem__":
+                continue
             dsp_state.V[name] = value
+        if mem_writes:
+            for (_b, _c), (addrs, vals) in mem_writes.items():
+                dsp_state.mem_ensure(int(addrs.max()) + 1)
+                dsp_state.mem[addrs] = vals

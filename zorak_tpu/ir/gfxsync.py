@@ -12,6 +12,7 @@ both ways), auto/hybrid (analyzed flags), ui_only (nothing synced).
 """
 from __future__ import annotations
 
+import re
 from typing import Any, Dict, Set
 
 from ..frontend.astnodes import Asn, CallExpr, Mem, Name, walk
@@ -124,4 +125,66 @@ def analyze_gfx_var_sync(program) -> Dict[str, Any]:
         "audio_reads": audio.reads,
         "audio_writes": audio.writes,
         "mem_shared": mem_shared,
+        "mem_ranges": parse_gfx_sync_mem_ranges(program.source),
     }
+
+
+# explicit sparse mem mirror ranges: `// @za:gfx_sync_mem: base, count
+# [, direction]`, direction in TO_GFX (default) / FROM_GFX / GFX_TO_DSP /
+# BIDIR(ECTIONAL) / BOTH (ref: JSFXJuceProcessor.cpp:590-628)
+_SYNC_RE = re.compile(
+    r"^\s*//\s*@za:gfx_sync_mem\s*:?\s*([0-9]+)\s*(?:,|\s)\s*([0-9]+)"
+    r"(?:\s*(?:,|\s)\s*([A-Za-z0-9_\-]+))?.*$",
+    re.IGNORECASE)
+
+
+def parse_gfx_sync_mem_ranges(source: str):
+    """[(base, count, flags)] with flags bits TO_GFX/FROM_GFX."""
+    out = []
+    for line in (source or "").splitlines():
+        m = _SYNC_RE.match(line)
+        if not m:
+            continue
+        base, count = int(m.group(1)), int(m.group(2))
+        if base < 0 or count <= 0:
+            continue
+        tok = (m.group(3) or "").upper()
+        if tok in ("FROM_GFX", "GFX_TO_DSP"):
+            flags = FROM_GFX
+        elif tok in ("BIDIR", "BIDIRECTIONAL", "BOTH"):
+            flags = TO_GFX | FROM_GFX
+        else:
+            flags = TO_GFX
+        out.append((base, count, flags))
+    return out
+
+
+def build_gfx_mirror_ranges(mem_n: int, extra=(),
+                            prefix: int = 1 << 18,
+                            suffix: int = 1 << 21):
+    """Bounded automatic prefix + suffix mirror of the logical heap plus
+    explicit TO_GFX sparse ranges, sorted and merged
+    (ref: JSFXJuceProcessor.cpp:339-379 buildGfxMirrorRanges + :9682)."""
+    ranges = []
+    if mem_n > 0:
+        pc = min(mem_n, prefix)
+        ranges.append((0, pc))
+        if mem_n > pc:
+            sc = min(mem_n - pc, suffix)
+            if sc > 0:
+                ranges.append((mem_n - sc, sc))
+    for base, count, flags in extra:
+        if not (flags & TO_GFX) or count <= 0 or base < 0:
+            continue
+        if base >= mem_n:
+            continue
+        ranges.append((base, min(count, mem_n - base)))
+    ranges.sort()
+    merged = []
+    for base, count in ranges:
+        if merged and base <= merged[-1][0] + merged[-1][1]:
+            pb, pc = merged[-1]
+            merged[-1] = (pb, max(pb + pc, base + count) - pb)
+        else:
+            merged.append((base, count))
+    return merged[:16]  # kMaxGfxMemSpans

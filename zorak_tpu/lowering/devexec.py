@@ -1,0 +1,402 @@
+"""Sequential device executor: the WHOLE plugin stepped on the TPU.
+
+The vectorizing specializer (specialize.py) rejects @sample bodies whose
+control structure resists time-vectorization (data-dependent voice
+loops, gated feedback delay networks).  This module is the honest
+middle path the reference has no analogue for: every section compiles
+through devgen's scalar-contract tracer (bit-exact vs the golden
+executors by construction) and the render runs as ONE fused XLA
+program — an outer lax.scan over host blocks (@block → pending-mask
+@slider retrigger → inner lax.scan over the block's samples running
+@sample).  Sequential in time like the reference's native loop
+(ref: dsp_jsfx_aot.py:5713-5905 block driver), but device-resident:
+audio, heap and vars never leave HBM mid-render.
+
+Use when `specialize_sample_kernel` raises: slower than the vector path
+(per-sample dependent ops), far faster than shipping every block to the
+host golden, and it keeps multi-plugin graphs on-device.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..ir.program import PluginProgram
+from .devgen import (DeviceSection, DevgenError, MIDI_POS_SLOT,
+                     PENDING_SLOT_NAMES, RAND_POS_SLOT,
+                     section_dynamic_keys)
+from .specialize import SpecializeError
+
+
+class DeviceExecKernel:
+    """Whole-plugin sequential device render kernel."""
+
+    def __init__(self, program: PluginProgram, snapshot, nch: int,
+                 segment_len: int = 1 << 17, block_size: int = 512,
+                 rand_pool: int = 1 << 18):
+        import jax
+
+        self.P = program
+        self.snap = snapshot
+        self.nch = int(nch)
+        self.B = int(block_size)
+        self.engine = "devexec"
+        if not program.sections.get("sample"):
+            raise SpecializeError("no @sample section")
+
+        secs = tuple(s for s in ("block", "slider", "sample")
+                     if program.sections.get(s))
+        self._dyn = section_dynamic_keys(program, secs)
+
+        top = int(getattr(snapshot, "mem_used", 0))
+        top = max(top, int(program.memtop or 0))
+        size = 1 << max(12, int(top - 1).bit_length() if top > 1 else 12)
+
+        # layout union probe (cheap: construction only scans the AST)
+        try:
+            probe = {s: DeviceSection(program, snapshot, s, self._dyn, size,
+                                      consts={"samplesblock": float(self.B)},
+                                      rand_pool=rand_pool)
+                     for s in secs}
+        except DevgenError as exc:
+            raise SpecializeError(f"device executor: {exc}") from None
+        self._any_gmem = any(p.uses_gmem for p in probe.values())
+        self._any_mout = any(p.uses_midi_out for p in probe.values())
+        self.uses_rand = any(p._detect_call("rand") for p in probe.values())
+        self._rand_cap = int(rand_pool) if self.uses_rand else 0
+        self._rng_state = None
+        self._rng_prestate = None
+
+        def build(section, nblk):
+            return DeviceSection(
+                program, snapshot, section, self._dyn, size,
+                consts={"samplesblock": float(nblk)},
+                force_gmem=self._any_gmem, force_midi_out=self._any_mout,
+                rand_pool=self._rand_cap)
+
+        try:
+            self.sample = build("sample", self.B)
+            self.block = build("block", self.B) if "block" in secs else None
+            self.slider = build("slider", self.B) if "slider" in secs \
+                and self.block is not None else None
+        except DevgenError as exc:
+            raise SpecializeError(f"device executor: {exc}") from None
+        # every section must agree on the shared state layout
+        for sec in (self.block, self.slider):
+            if sec is not None:
+                assert sec.slots == self.sample.slots
+                assert sec.total_mem == self.sample.total_mem
+
+        self._spl_in = np.asarray(
+            [self.sample.slots[("spl", c)] for c in range(self.nch)],
+            np.int64)
+        self._rpos = self.sample.slots[("var", RAND_POS_SLOT)]
+        self._pend = [self.sample.slots[("var", nm)]
+                      for nm in PENDING_SLOT_NAMES]
+        self._mpos = self.sample.slots[("var", MIDI_POS_SLOT)]
+        self._render_fns: Dict[Tuple[int, int], Any] = {}
+        self.last_midi_out: List[Tuple[int, int, int, int]] = []
+        self.coupled = True          # device @block (engine introspection)
+        self.rand_gated = False
+        self.n_rand = 0
+
+        # eval-shape the sample step now so unsupported bodies reject at
+        # build time, not at first render
+        import jax.numpy as jnp
+
+        try:
+            jax.eval_shape(
+                self.sample.step,
+                jax.ShapeDtypeStruct((self.sample.n_vars,), jnp.float64),
+                jax.ShapeDtypeStruct((self.sample.total_mem,), jnp.float64))
+        except DevgenError as exc:
+            raise SpecializeError(f"device executor @sample: {exc}") from None
+
+    # -- carries --------------------------------------------------------------
+
+    def initial_carry(self):
+        return (self.sample.initial_vars(), self.sample.initial_mem())
+
+    @property
+    def accepts_midi(self) -> bool:
+        return bool(self.block is not None and self.block.uses_midi_in)
+
+    # -- render ---------------------------------------------------------------
+
+    def _make_run(self, T: int, midi_k: int = 1):
+        import jax
+        import jax.numpy as jnp
+
+        B = self.B
+        nch = self.nch
+        nfull = T // B
+        rem = T - nfull * B
+        blk = self.block
+        sld = self.slider
+        samp = self.sample
+        use_midi = self.accepts_midi
+        use_mout = self._any_mout
+        mo_base, mo_cells = samp.midi_out_base, samp.midi_out_cells
+        spl_in = jnp.asarray(self._spl_in)
+        pend = jnp.asarray(self._pend)
+        mpos = self._mpos
+
+        if rem:
+            try:
+                samp_r = DeviceSection(
+                    self.P, self.snap, "sample", self._dyn, samp.mem_size,
+                    consts={"samplesblock": float(rem)},
+                    force_gmem=self._any_gmem, force_midi_out=self._any_mout,
+                    rand_pool=self._rand_cap)
+                blk_r = DeviceSection(
+                    self.P, self.snap, "block", self._dyn, samp.mem_size,
+                    consts={"samplesblock": float(rem)},
+                    force_gmem=self._any_gmem,
+                    force_midi_out=self._any_mout,
+                    rand_pool=self._rand_cap) if blk is not None \
+                    else None
+                sld_r = sld
+            except DevgenError as exc:  # pragma: no cover - build checked
+                raise SpecializeError(f"device executor: {exc}") from None
+
+        def sample_loop(carry, xblk, sampsec):
+            # xblk: f64[n, nch] -> scan over samples
+            def body(c, x_t):
+                bv, bm = c
+                bv = bv.at[spl_in].set(x_t)
+                bv, bm = sampsec.step(bv, bm)
+                return (bv, bm), bv[spl_in]
+
+            return jax.lax.scan(body, carry, xblk)
+
+        def block_step(carry, xblk, midi_blk, blksec, sldsec, sampsec):
+            bv, bm = carry
+            if blksec is not None:
+                if use_midi:
+                    bv = bv.at[mpos].set(0.0)
+                if use_mout:
+                    bm = bm.at[mo_base:mo_base + mo_cells].set(0.0)
+                bv, bm = blksec.step(bv, bm, midi=midi_blk)
+                if sldsec is not None:
+                    p = bv[self._pend[0]] + bv[self._pend[1]] \
+                        + bv[self._pend[2]]
+
+                    def rerun(a):
+                        v, m = sldsec.step(a[0], a[1])
+                        # host consumes the masks each block
+                        # (ref: JSFXJuceProcessor.cpp:5667-5737)
+                        return v.at[pend].set(0.0), m
+
+                    bv, bm = jax.lax.cond(p != 0.0, rerun, lambda a: a,
+                                          (bv, bm))
+            (bv, bm), y = sample_loop((bv, bm), xblk, sampsec)
+            if use_mout:
+                return (bv, bm), (y, bm[mo_base:mo_base + mo_cells])
+            return (bv, bm), y
+
+        def run(carry, x32, mev=None, mn=None):
+            x64 = x32.astype(jnp.float64).T  # [T, nch]
+            ys = []
+            mouts = []
+            if nfull:
+                xin = x64[:nfull * B].reshape(nfull, B, nch)
+
+                def step(c, xs):
+                    if use_midi:
+                        xb, me, mc = xs
+                        return block_step(c, xb, (me, mc), blk, sld, samp)
+                    return block_step(c, xs, None, blk, sld, samp)
+
+                xs = (xin, mev[:nfull], mn[:nfull]) if use_midi else xin
+                carry, yb = jax.lax.scan(step, carry, xs)
+                if use_mout:
+                    yb, mo = yb
+                    mouts.append(mo)
+                ys.append(yb.reshape(nfull * B, nch))
+            if rem:
+                mb = (mev[nfull], mn[nfull]) if use_midi else None
+                carry, y_r = block_step(carry, x64[nfull * B:], mb,
+                                        blk_r, sld_r, samp_r)
+                if use_mout:
+                    y_r, mo_r = y_r
+                    mouts.append(mo_r[None, :])
+                ys.append(y_r)
+            y = jnp.concatenate(ys, axis=0) if len(ys) > 1 else ys[0]
+            out = y.T.astype(jnp.float32)
+            if use_mout:
+                mo = (jnp.concatenate(mouts, axis=0) if len(mouts) > 1
+                      else mouts[0])
+                return out, carry, mo
+            return out, carry
+
+        return run
+
+    def _render_fn(self, T: int, midi_k: int = 1):
+        import jax
+
+        key = (T, midi_k)
+        fn = self._render_fns.get(key)
+        if fn is None:
+            fn = jax.jit(self._make_run(T, midi_k), donate_argnums=(0,))
+            self._render_fns[key] = fn
+        return fn
+
+    def _midi_planes(self, midi, T: int):
+        B = self.B
+        rows = T // B + (1 if T % B else 0)
+        per: List[List[Tuple[float, float, float, float]]] = \
+            [[] for _ in range(rows)]
+        for ev in sorted(midi or [], key=lambda e: e[0]):
+            off = max(0, min(int(ev[0]), T - 1))
+            per[off // B].append((float(off - (off // B) * B),
+                                  float(int(ev[1]) & 0xFF),
+                                  float(int(ev[2]) & 0xFF),
+                                  float(int(ev[3]) & 0xFF)))
+        K = max(1, max((len(p) for p in per), default=1))
+        mev = np.zeros((rows, K, 4), dtype=np.float64)
+        mn = np.zeros((rows,), dtype=np.float64)
+        for b, evs in enumerate(per):
+            mn[b] = len(evs)
+            for k, e in enumerate(evs):
+                mev[b, k] = e
+        return mev, mn
+
+    def render_device(self, x: np.ndarray, carry=None, midi=None):
+        nch, T = x.shape
+        assert nch == self.nch
+        fresh = carry is None
+        if carry is None:
+            carry = self.initial_carry()
+        if self.uses_rand:
+            carry = self._stage_rand_pool(carry, fresh)
+        self.last_midi_out = []
+        if midi and not self.accepts_midi:
+            raise SpecializeError(
+                "MIDI events supplied but this kernel has no @block "
+                "midirecv path")
+        if self.accepts_midi:
+            mev, mn = self._midi_planes(midi, T)
+            fn = self._render_fn(T, midi_k=mev.shape[1])
+            out = fn(carry, np.ascontiguousarray(x, np.float32), mev, mn)
+        else:
+            fn = self._render_fn(T)
+            out = fn(carry, np.ascontiguousarray(x, np.float32))
+        if len(out) == 3:
+            y_dev, carry, mo = out
+            self.last_midi_out = self._decode_midi_out(np.asarray(mo))
+            return y_dev, carry
+        return out
+
+    def render(self, x: np.ndarray, carry=None, midi=None):
+        y_dev, carry = self.render_device(x, carry, midi=midi)
+        return np.asarray(y_dev), carry
+
+    def _decode_midi_out(self, mo: np.ndarray):
+        from .devgen import MIDI_OUT_CAP
+
+        events = []
+        for b in range(mo.shape[0]):
+            n = int(mo[b, 0])
+            for k in range(min(n, MIDI_OUT_CAP)):
+                ofs, b1, b2, b3 = mo[b, 1 + 4 * k: 5 + 4 * k]
+                events.append((b * self.B + int(ofs), int(b1), int(b2),
+                               int(b3)))
+        return events
+
+    def _stage_rand_pool(self, carry, fresh: bool):
+        """Refill the heap-tail MT19937 pool and rebase the cursor; on
+        resumed renders first advance the host generator by the draws the
+        previous render consumed (one scalar D2H)."""
+        import jax.numpy as jnp
+
+        from ..semantics import mt19937np as MT
+
+        bv, bm = carry
+        if fresh or self._rng_state is None:
+            self._rng_state = MT.eelrng_state_tuple(self.snap.rng)
+        else:
+            used = int(np.asarray(bv[self._rpos]))
+            if used > self._rand_cap:
+                raise SpecializeError(
+                    f"device rand pool exhausted ({used} > "
+                    f"{self._rand_cap}); rebuild with a larger rand_pool")
+            if used > 0:
+                _, self._rng_state = MT.generate(used, self._rng_prestate)
+            else:
+                self._rng_state = self._rng_prestate
+        self._rng_prestate = self._rng_state
+        draws, _ = MT.generate(self._rand_cap, self._rng_state)
+        base = self.sample.rand_base
+        if isinstance(bm, np.ndarray):
+            bm = bm.copy()
+            bm[base:base + self._rand_cap] = draws
+            bv = np.asarray(bv).copy()
+            bv[self._rpos] = 0.0
+        else:
+            bm = jnp.asarray(bm).at[base:base + self._rand_cap].set(
+                jnp.asarray(draws, jnp.float64))
+            bv = jnp.asarray(bv).at[self._rpos].set(0.0)
+        return (bv, bm)
+
+    # -- writeback ------------------------------------------------------------
+
+    def writeback(self, carry, state) -> None:
+        """Flush the final (vars, mem) into a ShadowState."""
+        bv, bm = carry
+        bv = np.asarray(bv)
+        bm = np.asarray(bm)
+        samp = self.sample
+        if self.uses_rand and self._rng_prestate is not None:
+            from ..semantics import mt19937np as MT
+
+            used = int(bv[self._rpos])
+            if used > self._rand_cap:
+                raise SpecializeError(
+                    f"device rand pool exhausted ({used} > "
+                    f"{self._rand_cap}); rebuild with a larger rand_pool")
+            rng_state = self._rng_prestate
+            if used > 0:
+                _, rng_state = MT.generate(used, self._rng_prestate)
+            MT.restore_eelrng(state.rng, rng_state)
+        if samp.uses_gmem and samp.gmem_cells:
+            gm = bm[samp.gmem_base:samp.gmem_base + samp.gmem_cells]
+            old = np.asarray(state.gmem, dtype=np.float64)
+            n = min(len(old), len(gm))
+            changed = np.nonzero(old[:n] != gm[:n])[0]
+            state.gmem[:n] = gm[:n]
+            host = getattr(state, "host", None)
+            seg = getattr(host, "attached_gmem", None)
+            if seg is not None and changed.size:
+                seg.bump(int(changed.min()), int(changed.max()),
+                         getattr(host, "instance_id_int", 0))
+        heap = bm[:samp.mem_size]
+        state.mem_ensure(len(heap))
+        state.mem[:len(heap)] = heap
+        masks = ("pending_change_mask", "pending_automate_mask",
+                 "pending_automate_end_mask")
+        for key, slot in samp.slots.items():
+            if key[0] == "param":
+                continue
+            if key[0] == "var" and key[1] in (MIDI_POS_SLOT,
+                                              RAND_POS_SLOT):
+                continue
+            v = float(bv[slot])
+            if key[0] == "var" and key[1] in PENDING_SLOT_NAMES:
+                setattr(state, masks[PENDING_SLOT_NAMES.index(key[1])],
+                        int(max(0.0, v)))
+            elif key[0] == "var":
+                state.V[key[1]] = v
+            elif key[0] == "spl":
+                state.spl[key[1]] = v
+            elif key[0] == "slider":
+                state.sliders[key[1]] = v
+            elif key[0] == "builtin":
+                setattr(state, key[1], v)
+
+
+def device_exec_kernel(program: PluginProgram, snapshot, nch: int,
+                       segment_len: int = 1 << 17,
+                       block_size: int = 512) -> DeviceExecKernel:
+    return DeviceExecKernel(program, snapshot, nch, segment_len,
+                            block_size=block_size)

@@ -47,6 +47,7 @@ class DevgenError(Exception):
 PENDING_SLOT_NAMES = ("__pend_chg__", "__pend_auto__", "__pend_auto_end__")
 MIDI_POS_SLOT = "__midi_pos__"
 MIDI_OUT_CAP = 64  # staged sends per block (drop past this, like the ref queue)
+RAND_POS_SLOT = "__rand_pos__"  # draws consumed from the staged MT19937 pool
 
 
 _dft_mat_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
@@ -121,12 +122,24 @@ class DeviceSection:
     def __init__(self, program: PluginProgram, snapshot, section: str,
                  dynamic_keys: Set[Any], mem_size: int,
                  consts: Optional[Dict[str, float]] = None,
-                 body: Optional[Sequence[Node]] = None):
+                 body: Optional[Sequence[Node]] = None,
+                 force_gmem: bool = False, force_midi_out: bool = False,
+                 rand_pool: int = 0):
+        """force_gmem / force_midi_out: include the gmem segment / MIDI-OUT
+        table in the heap layout even when THIS section doesn't touch them,
+        so several sections (block/slider/sample in the sequential device
+        executor) can step one shared (vars, mem) state."""
         self.P = program
         self.snap = snapshot
         self.section = section
         self.mem_size = int(mem_size)
         self.consts = dict(consts or {})
+        self._force_gmem = bool(force_gmem)
+        self._force_midi_out = bool(force_midi_out)
+        # rand() support: a host-pregenerated MT19937 u32 pool rides the
+        # heap tail; each call consumes pool[cursor] (cursor slot) so the
+        # draw SEQUENCE matches the golden exactly.  0 = rand forbidden.
+        self.rand_cells = int(rand_pool)
         # explicit statement list (e.g. an extracted hop-call body) instead
         # of a named section
         self.body = list(body) if body is not None \
@@ -142,9 +155,10 @@ class DeviceSection:
         self.comm_solo = (not isinstance(host, InstanceComm)
                           or bool(getattr(host, "comm_solo", False)))
         self._validate(self.body)
-        self.uses_gmem = self._detect_gmem(self.body)
+        self.uses_gmem = self._detect_gmem(self.body) or self._force_gmem
         self.uses_midi_in = self._detect_call("midirecv")
-        self.uses_midi_out = self._detect_call("midisend")
+        self.uses_midi_out = self._detect_call("midisend") \
+            or self._force_midi_out
         # gmem maps into the device heap right after plugin mem: all state
         # plumbing (branch merges, loop carries, the coupled pipeline's
         # heap sync) covers it for free; plugin mem addressing clamps at
@@ -157,8 +171,9 @@ class DeviceSection:
         self.midi_out_base = self.mem_size + self.gmem_cells
         self.midi_out_cells = (1 + MIDI_OUT_CAP * 4) \
             if self.uses_midi_out else 0
+        self.rand_base = self.midi_out_base + self.midi_out_cells
         self.total_mem = self.mem_size + self.gmem_cells \
-            + self.midi_out_cells
+            + self.midi_out_cells + self.rand_cells
 
         # slot table: dynamic vars + every specialized-fn param (params are
         # assigned per call; functions are non-reentrant, so one slot each)
@@ -172,7 +187,7 @@ class DeviceSection:
         # pending slider masks (sliderchange/slider_automate from @block
         # retrigger @slider, ref: dsp_jsfx_aot.py:5788-5804): pseudo vars
         # the fused pipeline polls to fire the device @slider section
-        for nm in PENDING_SLOT_NAMES + (MIDI_POS_SLOT,):
+        for nm in PENDING_SLOT_NAMES + (MIDI_POS_SLOT, RAND_POS_SLOT):
             self.slots[("var", nm)] = len(self.slots)
         self.n_vars = len(self.slots)
 
@@ -196,11 +211,8 @@ class DeviceSection:
         "msg_advertise", "msg_subscribe", "msg_peer_count", "msg_peer_id",
         "comm_join", "instance_id", "instance_set_name",
         "file_string", "file_read", "file_write",
-        "sample_read", "sample_read2", "sample_get", "sample_len",
-        "sample_channels", "sample_srate", "sample_peak", "sample_rms",
-        "time", "time_precise",
-        "get_host_placement", "export_buffer_to_project", "freembuf",
-        "__memtop", "mem_set_values", "mem_get_values", "atomic_setifequal",
+        "get_host_placement", "export_buffer_to_project",
+        "mem_set_values", "mem_get_values", "atomic_setifequal",
         "stack_push", "stack_pop", "stack_peek", "stack_exch",
     })
 
@@ -220,6 +232,8 @@ class DeviceSection:
                                 scan([self.P.fn_defs[f].body])
                         elif f in self._COMM_FNS and self.comm_solo:
                             pass  # folds inert at trace time (_comm_call)
+                        elif f == "rand" and self.rand_cells > 0:
+                            pass  # staged-pool draws (_rand_call)
                         elif f in self._FORBIDDEN:
                             raise DevgenError(
                                 f"@{self.section} uses {f}() — not "
@@ -492,6 +506,9 @@ class DeviceSection:
     # 6922 merges OOM at 127 GB, ERBTilt's 562 compile fine) — reject at
     # trace time so the build falls back honestly
     _MERGE_BUDGET = 2048
+    # adaptive static-while unroll: past this many branch merges the
+    # unroll attempt is abandoned and the loop traces as a lax.while_loop
+    _UNROLL_MERGE_BUDGET = 2048
 
     def _merged(self, cond, then_fn, else_fn):
         """Run both arms on state copies; merge state + value.
@@ -1001,16 +1018,37 @@ class DeviceSection:
                 return 0.0
             # static predicate: unroll at trace time while it stays static
             # (trim/energy scans over folded state); transition to a traced
-            # loop the moment it becomes data-dependent
+            # loop the moment it becomes data-dependent.  The unroll is
+            # ADAPTIVE: once its traced-branch expansion passes a budget the
+            # pre-loop state is restored and the whole loop re-traces as ONE
+            # lax.while_loop body — Sample.jsfx's 16-voice x ~1400-line
+            # voice while() would otherwise unroll to 65k+ branch merges
+            # (observed) and an uncompilable program.
+            saved = (self.vars, self.mem, dict(self._known),
+                     self._merge_dirty, self._n_merges,
+                     self._n_fallback_merges,
+                     len(self._merge_log)
+                     if self._merge_log is not None else 0)
+            m0 = self._n_merges
+            bailed = False
             guard = 1 << 17
             while isinstance(p0, float) and SC.truthy(p0):
                 guard -= 1
                 if guard < 0:
                     raise DevgenError("static while() too long to unroll")
+                if self._n_merges - m0 > self._UNROLL_MERGE_BUDGET:
+                    bailed = True
+                    break
                 self.ex(n.body, scope)
                 p0 = self.ex(n.pred, scope)
-            if isinstance(p0, float):
+            if not bailed and isinstance(p0, float):
                 return 0.0
+            if bailed:
+                (self.vars, self.mem, self._known, self._merge_dirty,
+                 self._n_merges, self._n_fallback_merges, log0) = saved
+                if self._merge_log is not None:
+                    del self._merge_log[log0:]
+                p0 = jnp.float64(1.0)  # predicate was statically true
         carry0 = (self.vars, self.mem, p0)
         kept = self._loop_kept_known([n.body, n.pred], scope)
 
@@ -1249,6 +1287,24 @@ class DeviceSection:
                 host = getattr(self.snap, "host", None)
                 return float(getattr(host, "instance_id_value", 0.0))
             return 0.0
+        if f == "rand" and self.rand_cells > 0:
+            return self._rand_call(n.args, scope)
+        if f in self._POOL_FNS:
+            return self._pool_call(f, n.args, scope)
+        if f == "__memtop":
+            return float(self.P.memtop)
+        if f == "freembuf":
+            for a in n.args:
+                self.ex(a, scope)
+            return 0.0
+        if f in ("time", "time_precise"):
+            # deterministic virtual clock (host-advanced; static per render)
+            host = getattr(self.snap, "host", None)
+            v = float(host.now(f == "time_precise")) if host is not None \
+                else 0.0
+            if n.args:
+                self._store_lv(n.args[0], v, scope, f)
+            return v
         if f in self._GMEM_FNS:
             return self._gmem_call(f, n.args, scope)
         if f in ("sliderchange", "slider_automate"):
@@ -1265,7 +1321,6 @@ class DeviceSection:
         chars f64[H, maxlen]).  Strings are immutable in all executors so
         a snapshot at build time is the complete truth."""
         if self._str_tab is None:
-            jnp = self._jnp
             items = sorted((int(h), s or "") for h, s in
                            getattr(self.snap, "strings_by_handle",
                                    {}).items())
@@ -1278,8 +1333,10 @@ class DeviceSection:
             for r, (_h, s) in enumerate(items):
                 for i, ch in enumerate(s):
                     chars[r, i] = float(ord(ch))
-            self._str_tab = (jnp.asarray(handles), jnp.asarray(lengths),
-                             jnp.asarray(chars))
+            # cache NUMPY arrays: converting here would capture trace-local
+            # constants (tracers) when first called under jit and leak them
+            # into later traces
+            self._str_tab = (handles, lengths, chars)
         return self._str_tab
 
     def _str_gather(self, f: str, vals):
@@ -1287,7 +1344,8 @@ class DeviceSection:
         by exact handle match, zero for unknown handles / out-of-range
         indices — the golden-host semantics (shadow/state.py:130-138)."""
         jnp = self._jnp
-        handles, lengths, chars = self._str_tables()
+        handles, lengths, chars = (jnp.asarray(a)
+                                   for a in self._str_tables())
         h = EM.to_i64(self._arr(vals[0]))
         idx = jnp.searchsorted(handles, h)
         idx_c = jnp.clip(idx, 0, handles.shape[0] - 1)
@@ -1299,6 +1357,284 @@ class DeviceSection:
         inb = ok & (i >= 0) & (i < EM.to_i64(ln))
         ch = chars[idx_c, jnp.clip(i, 0, chars.shape[1] - 1)]
         return jnp.where(inb, ch, 0.0)
+
+    from ..ir.analyses import FUNSETS as _FUNSETS
+    _POOL_FNS = _FUNSETS.POOL_ALL
+    _POOL_SETUP = frozenset({"sample_pool_from_slot", "sample_pool_commit",
+                             "sample_pool_set_mode",
+                             "sample_pool_set_budget_mb"})
+
+    def _store_lv(self, tgt: Node, val, scope, fn: str) -> None:
+        """Write a value to an out-param lvalue (Name or mem[])."""
+        if isinstance(tgt, Name):
+            key = scope.get(tgt.ident) or _env_key(tgt.ident)
+            if key[0] == "builtin":
+                raise DevgenError(f"{fn}: out-arg writes builtin {key[1]}")
+            self._write_slot(key, val)
+            return
+        if isinstance(tgt, Mem):
+            if isinstance(tgt.base, Name) and tgt.base.ident == "gmem":
+                self._gmem_set(self.ex(tgt.index, scope), val)
+                return
+            a = self._mem_addr(self.ex(tgt.base, scope),
+                               self.ex(tgt.index, scope))
+            self._mem_set(a, val)
+            return
+        raise DevgenError(f"{fn}: out-arg must be an lvalue")
+
+    def _pool_call(self, fn: str, args: Sequence[Node], scope):
+        """sample_* pool API at trace time.
+
+        The pool is host-side state; with NO loaded generation every call
+        is inert/constant (reads return 0, queries their empty-pool
+        values — exactly the golden host's behavior), so the whole API
+        folds.  A LOADED pool would need device gathers over the packed
+        generation buffer — rejected honestly until that lands."""
+        host = getattr(self.snap, "host", None)
+        pool = getattr(host, "pool", None)
+        gen = getattr(pool, "generation", None) if pool is not None else None
+        loaded = bool(gen is not None and getattr(gen, "entries", None))
+        if fn in self._POOL_SETUP:
+            if loaded:
+                raise DevgenError(
+                    f"{fn} with a loaded sample pool — a device section "
+                    "cannot re-commit generations (host golden handles "
+                    "pool mutation)")
+            files = getattr(host, "files", None)
+            if files is not None and any(files.slots.values()):
+                raise DevgenError(
+                    f"{fn} with populated file slots — pool setup would "
+                    "load at trace time (host golden handles it)")
+        if loaded:
+            return self._pool_gather_call(fn, args, scope)
+        if fn in ("sample_read2", "sample_read2_interp") and len(args) == 5:
+            for a in args[:3]:
+                self.ex(a, scope)
+            self._store_lv(args[3], 0.0, scope, fn)
+            self._store_lv(args[4], 0.0, scope, fn)
+            return 0.0
+        if fn == "sample_preview_read" and len(args) == 6:
+            for a in args[:3]:
+                self.ex(a, scope)
+            for a in args[3:]:
+                self._store_lv(a, 0.0, scope, fn)
+            return 0.0
+        if fn == "sample_name" and len(args) >= 2:
+            self.ex(args[0], scope)
+            for a in args[2:]:
+                self.ex(a, scope)
+            return 0.0
+        vals = [self.ex(a, scope) for a in args]
+        if host is None:
+            return 0.0
+        if all(isinstance(v, float) for v in vals):
+            try:
+                return float(host.sample_pool_call(self.snap, fn,
+                                                   list(vals)))
+            except Exception:  # noqa: BLE001 — inert like the stub host
+                return 0.0
+        # traced args over an EMPTY pool: reads/queries are 0
+        return 0.0
+
+    _pool_tab = None
+
+    def _pool_tables(self):
+        """Packed device view of the LOADED pool generation: per-sid
+        metadata tables (row 0 = invalid sid) + ONE concatenated
+        frame-major f32 data buffer + packed preview bins.  A generation
+        is immutable for the life of a render (the async pipeline swaps
+        whole generations, ref: DspJsfxSamplePool.cpp:96-150), so a
+        build-time snapshot is the complete truth.  Cached as NUMPY so
+        repeated traces (lax.scan traces its body twice) never leak
+        trace-local constants."""
+        if self._pool_tab is None:
+            gen = self.snap.host.pool.generation
+            maxsid = max(gen.entries)
+            offs = np.zeros(maxsid + 1, np.int64)
+            frm = np.zeros(maxsid + 1, np.int64)
+            nchs = np.zeros(maxsid + 1, np.int64)
+            meta = np.zeros((maxsid + 1, 3), np.float64)  # srate, peak, rms
+            pv_off = np.zeros(maxsid + 1, np.int64)
+            pv_bins = np.zeros(maxsid + 1, np.int64)
+            datas, pvs = [], []
+            cur = pcur = 0
+            for sid in sorted(gen.entries):
+                e = gen.entries[sid]
+                offs[sid], frm[sid] = cur, e.data.shape[0]
+                nchs[sid] = e.data.shape[1]
+                meta[sid] = (float(e.srate), e.peak, e.rms)
+                datas.append(np.asarray(e.data, np.float32).reshape(-1))
+                cur += e.data.size
+                pv_off[sid], pv_bins[sid] = pcur, len(e.preview)
+                pvs.append(np.asarray(e.preview, np.float64).reshape(-1))
+                pcur += e.preview.size
+            self._pool_tab = {
+                "maxsid": maxsid, "offs": offs, "frm": frm, "nch": nchs,
+                "meta": meta, "pv_off": pv_off, "pv_bins": pv_bins,
+                "data": (np.concatenate(datas) if cur
+                         else np.zeros(1, np.float32)),
+                "pv": (np.concatenate(pvs) if pcur
+                       else np.zeros(3, np.float64)),
+                "order": np.asarray(gen.order or [0], np.int64),
+                "n_order": len(gen.order),
+            }
+        return self._pool_tab
+
+    def _pool_sid_ok(self, sid):
+        """(sid_clipped_i64, valid_mask) for a traced sample id."""
+        jnp = self._jnp
+        t = self._pool_tables()
+        sid_i = EM.to_i64(self._arr(sid))
+        ok = (sid_i >= 1) & (sid_i <= t["maxsid"])
+        return jnp.clip(sid_i, 0, t["maxsid"]), ok
+
+    def _pool_read_scalar(self, sid, ch, frame):
+        """sample_read semantics on device (services.py:284-299): python
+        round() (half-even) frame index, truncated+clamped channel,
+        non-finite frame treated as 0, out-of-range -> 0.0."""
+        jnp = self._jnp
+        t = self._pool_tables()
+        sc, ok = self._pool_sid_ok(sid)
+        n_fr = jnp.asarray(t["frm"])[sc]
+        n_ch = jnp.asarray(t["nch"])[sc]
+        fr = self._arr(frame)
+        fr = jnp.where(jnp.isfinite(fr), fr, 0.0)
+        f = jnp.round(fr).astype(jnp.int64)
+        c = jnp.clip(EM.to_i64(self._arr(ch)), 0, jnp.maximum(n_ch - 1, 0))
+        ok = ok & (n_fr > 0) & (n_ch > 0) & (f >= 0) & (f < n_fr)
+        data = jnp.asarray(t["data"])
+        idx = jnp.asarray(t["offs"])[sc] + f * n_ch + c
+        val = data[jnp.clip(idx, 0, data.shape[0] - 1)].astype(jnp.float64)
+        return jnp.where(ok, val, 0.0)
+
+    def _pool_read_interp(self, sid, ch, phase):
+        jnp = self._jnp
+        ph = self._arr(phase)
+        ph = jnp.where(jnp.isfinite(ph), ph, 0.0)
+        base = jnp.floor(ph)
+        frac = ph - base
+        x0 = self._pool_read_scalar(sid, ch, base)
+        x1 = self._pool_read_scalar(sid, ch, base + 1.0)
+        return x0 + (x1 - x0) * frac
+
+    def _pool_gather_call(self, fn: str, args: Sequence[Node], scope):
+        """Loaded-pool API on device: metadata/read calls become gathers
+        over the packed generation buffer; generation-static pool-level
+        queries fold to constants (exactly the golden host's values,
+        services.py:349-404)."""
+        jnp = self._jnp
+        host = self.snap.host
+        t = self._pool_tables()
+
+        if fn in ("sample_export_mem", "sample_export_mem2"):
+            raise DevgenError(
+                f"{fn} with a loaded pool — device heap export not "
+                "implemented (host golden handles it)")
+
+        if fn in ("sample_read2", "sample_read2_interp") and len(args) == 5:
+            self.ex(args[0], scope)  # pool handle (side effects only)
+            sid = self.ex(args[1], scope)
+            ph = self._arr(self.ex(args[2], scope))
+            sc, oks = self._pool_sid_ok(sid)
+            n_fr = jnp.asarray(t["frm"])[sc]
+            n_ch = jnp.asarray(t["nch"])[sc]
+            # hard sample-boundary rule (services.py:309-320 read2)
+            ok = (oks & (n_fr > 0) & (n_ch > 0) & jnp.isfinite(ph)
+                  & (ph >= 0.0) & (ph <= (n_fr - 1).astype(jnp.float64)))
+            rd = (self._pool_read_interp if fn.endswith("interp")
+                  else self._pool_read_scalar)
+            l_val = rd(sid, 0.0, ph)
+            r_raw = rd(sid, 1.0, ph)
+            r_val = jnp.where(n_ch >= 2, r_raw, l_val)
+            self._store_lv(args[3], jnp.where(ok, l_val, 0.0), scope, fn)
+            self._store_lv(args[4], jnp.where(ok, r_val, 0.0), scope, fn)
+            return jnp.where(ok, 1.0, 0.0)
+
+        if fn == "sample_preview_read" and len(args) == 6:
+            self.ex(args[0], scope)
+            sid = self.ex(args[1], scope)
+            b = EM.to_i64(self._arr(self.ex(args[2], scope)))
+            sc, oks = self._pool_sid_ok(sid)
+            bins = jnp.asarray(t["pv_bins"])[sc]
+            ok = oks & (b >= 0) & (b < bins)
+            pv = jnp.asarray(t["pv"])
+            base = jnp.asarray(t["pv_off"])[sc] + jnp.clip(b, 0) * 3
+            for k in range(3):
+                v = pv[jnp.clip(base + k, 0, pv.shape[0] - 1)]
+                self._store_lv(args[3 + k], jnp.where(ok, v, 0.0),
+                               scope, fn)
+            return jnp.where(ok, 1.0, 0.0)
+
+        if fn == "sample_name" and len(args) >= 2:
+            # golden: emitted as sample_pool_call('sample_name', ...)
+            # which has no dispatch case -> 0.0 (shadow/pyexec.py:750-757)
+            self.ex(args[0], scope)
+            for a in args[2:]:
+                self.ex(a, scope)
+            return 0.0
+
+        vals = [self.ex(a, scope) for a in args]
+        if all(isinstance(v, float) for v in vals):
+            # static args against a static generation: the host's answer
+            # is a render-constant — keep it foldable
+            try:
+                return float(host.sample_pool_call(self.snap, fn,
+                                                   list(vals)))
+            except Exception:  # noqa: BLE001 — inert like the stub host
+                return 0.0
+
+        if fn in ("sample_pool_state", "sample_pool_selected",
+                  "sample_pool_loaded", "sample_pool_failed",
+                  "sample_pool_ram_mb", "sample_pool_generation"):
+            return float(host.sample_pool_call(self.snap, fn, [0.0]))
+        if fn == "sample_get" and len(vals) >= 2:
+            i = EM.to_i64(self._arr(vals[1]))
+            ok = (i >= 0) & (i < t["n_order"])
+            order = jnp.asarray(t["order"])
+            return jnp.where(
+                ok, order[jnp.clip(i, 0, order.shape[0] - 1)]
+                .astype(jnp.float64), 0.0)
+        if fn in ("sample_len", "sample_channels", "sample_srate",
+                  "sample_peak", "sample_rms",
+                  "sample_preview_bins") and len(vals) >= 2:
+            sc, ok = self._pool_sid_ok(vals[1])
+            if fn == "sample_len":
+                v = jnp.asarray(t["frm"])[sc].astype(jnp.float64)
+            elif fn == "sample_channels":
+                v = jnp.asarray(t["nch"])[sc].astype(jnp.float64)
+            elif fn == "sample_preview_bins":
+                v = jnp.asarray(t["pv_bins"])[sc].astype(jnp.float64)
+            else:
+                col = {"sample_srate": 0, "sample_peak": 1,
+                       "sample_rms": 2}[fn]
+                v = jnp.asarray(t["meta"])[sc, col]
+            return jnp.where(ok, v, 0.0)
+        if fn in ("sample_read", "sample_read_interp") and len(vals) >= 4:
+            rd = (self._pool_read_interp if fn.endswith("interp")
+                  else self._pool_read_scalar)
+            return rd(vals[1], vals[2], vals[3])
+        raise DevgenError(f"loaded-pool call {fn} not supported on device")
+
+    def _rand_call(self, args: Sequence[Node], scope):
+        """rand(limit): u32 * (1/4294967295) * max(floor(limit), 1) with
+        the u32 gathered from the staged pool (semantics/scalar.py:359).
+        The cursor keeps counting past capacity (reads clamp); the render
+        wrapper checks it at writeback and rejects exhausted pools."""
+        jnp = self._jnp
+        lim = self.ex(args[0], scope) if args else 1.0
+        cur = self._arr(self._read_slot(("var", RAND_POS_SLOT)))
+        idx = EM.to_i64(cur)
+        draw = self.mem[self.rand_base
+                        + jnp.clip(idx, 0, self.rand_cells - 1)]
+        self._write_slot(("var", RAND_POS_SLOT), cur + 1.0)
+        if isinstance(lim, float):
+            top = SC.eel_floor(lim)
+            if not top >= 1.0:
+                top = 1.0
+            return draw * ((1.0 / 4294967295.0) * top)
+        top = jnp.floor(self._arr(lim))
+        top = jnp.where(top >= 1.0, top, 1.0)
+        return draw * (1.0 / 4294967295.0) * top
 
     def _slider_pending_call(self, f: str, args: Sequence[Node], scope):
         """sliderchange/slider_automate: OR the mask into the pending

@@ -2430,12 +2430,20 @@ class SpecializedSampleKernel:
 
         return run
 
-    def _coupled_run(self, T: int):
+    def _coupled_run(self, T: int, gmem_mode: Optional[str] = None):
         """Unjitted fused block/sample pipeline: lax.scan over blocks; each
         step runs the device-compiled @block, gathers the control row from
         device state, then the vectorized B-sample segment — the whole
         render is ONE XLA program (the reference interleaves host @block
-        interpretation with the sample loop per block)."""
+        interpretation with the sample loop per block).
+
+        gmem_mode (producer/consumer pipelines across mesh lanes,
+        block-synchronous like the in-process bus):
+          "emit":    the run also returns the gmem heap tail AFTER each
+                     block as a [rows, cells] stream,
+          "consume": the run takes a staged [rows, cells] stream written
+                     into the gmem tail BEFORE each block,
+          "both":    consume then emit."""
         import jax
         import jax.numpy as jnp
 
@@ -2459,6 +2467,12 @@ class SpecializedSampleKernel:
         pend_slots = [dev.slots[("var", nm)] for nm in PENDING_SLOT_NAMES]
         use_midi = dev.uses_midi_in
         use_mout = dev.uses_midi_out
+        g_emit = gmem_mode in ("emit", "both")
+        g_consume = gmem_mode in ("consume", "both")
+        if (g_emit or g_consume) and not dev.uses_gmem:
+            raise SpecializeError("gmem stream requested but @block has "
+                                  "no gmem use")
+        g_base, g_cells = dev.gmem_base, dev.gmem_cells
         mo_base, mo_cells = dev.midi_out_base, dev.midi_out_cells
         mpos_slot = dev.slots[("var", MIDI_POS_SLOT)]
         inter = [k for k in self.carried_vars if k in dev.slots]
@@ -2476,6 +2490,8 @@ class SpecializedSampleKernel:
         def make_step(devsec, segf):
             def step(carry, xs):
                 (svec, rings), bvars, bmem = carry
+                xs = list(xs)
+                gin_b = xs.pop() if g_consume else None
                 if use_midi:
                     xblk, randblk, mev_b, mn_b = xs
                     midi_blk = (mev_b, mn_b)
@@ -2484,6 +2500,10 @@ class SpecializedSampleKernel:
                 else:
                     xblk, randblk = xs
                     midi_blk = None
+                if gin_b is not None:
+                    # staged upstream gmem (block-synchronous shared view)
+                    bmem = jax.lax.dynamic_update_slice(bmem, gin_b,
+                                                        (g_base,))
                 # sample state -> device view (@block sees the state as of
                 # the end of the previous block, reference ordering)
                 if len(inter):
@@ -2524,46 +2544,82 @@ class SpecializedSampleKernel:
                     row = row.at[i].set(bmem[a])
                 (svec, rings), y = segf((svec, rings),
                                         (xblk, row[None, :], randblk))
-                out = y if not use_mout \
-                    else (y, bmem[mo_base:mo_base + mo_cells])
-                return ((svec, rings), bvars, bmem), out
+                out = (y,)
+                if use_mout:
+                    out = out + (bmem[mo_base:mo_base + mo_cells],)
+                if g_emit:
+                    out = out + (jax.lax.dynamic_slice(
+                        bmem, (g_base,), (g_cells,)),)
+                return ((svec, rings), bvars, bmem), \
+                    out[0] if len(out) == 1 else out
             return step
 
-        def run(carry, x32, ctrl, rand, mev=None, mn=None):
+        def run(carry, x32, ctrl, rand, mev=None, mn=None, gin=None):
             # ctrl rows unused (device-sourced); mev/mn = per-block staged
-            # MIDI planes [rows, K, 4], [rows] when @block midirecvs
+            # MIDI planes [rows, K, 4], [rows] when @block midirecvs;
+            # gin = staged upstream gmem stream [rows, cells]
             x64 = x32.astype(jnp.float64)
             ys = []
             mouts = []
+            gouts = []
+
+            def split(out, blocky: bool):
+                if not (use_mout or g_emit):
+                    return out
+                outs = list(out)
+                y = outs.pop(0)
+                if use_mout:
+                    mo = outs.pop(0)
+                    mouts.append(mo if blocky else mo[None, :])
+                if g_emit:
+                    go = outs.pop(0)
+                    gouts.append(go if blocky else go[None, :])
+                return y
+
             if nfull:
                 xin = x64[:, :nfull * B].reshape(nch, nfull, B).transpose(
                     1, 0, 2)
                 rin = rand[:nfull * B].reshape(nfull, B, n_rand)
                 xs = (xin, rin, mev[:nfull], mn[:nfull]) if use_midi \
                     else (xin, rin)
+                if g_consume:
+                    xs = xs + (gin[:nfull],)
                 carry, yb = jax.lax.scan(make_step(dev, seg), carry, xs)
-                if use_mout:
-                    yb, mo_full = yb
-                    mouts.append(mo_full)
+                yb = split(yb, blocky=True)
                 ys.append(yb.transpose(1, 0, 2).reshape(nch, nfull * B))
             if rem:
                 xs_r = (x64[:, nfull * B:], rand[nfull * B:])
                 if use_midi:
                     xs_r = xs_r + (mev[nfull], mn[nfull])
+                if g_consume:
+                    xs_r = xs_r + (gin[nfull],)
                 carry, y_r = make_step(dev_rem, seg_rem)(carry, xs_r)
-                if use_mout:
-                    y_r, mo_r = y_r
-                    mouts.append(mo_r[None, :])
+                y_r = split(y_r, blocky=False)
                 ys.append(y_r)
             y = jnp.concatenate(ys, axis=1) if len(ys) > 1 else ys[0]
             yout = y.astype(jnp.float32)
+            outs = (yout, carry)
             if use_mout:
                 mo = (jnp.concatenate(mouts, axis=0) if len(mouts) > 1
                       else mouts[0]) if mouts else jnp.zeros((0, mo_cells))
-                return yout, carry, mo
-            return yout, carry
+                outs = outs + (mo,)
+            if g_emit:
+                go = (jnp.concatenate(gouts, axis=0) if len(gouts) > 1
+                      else gouts[0]) if gouts else jnp.zeros((0, g_cells))
+                outs = outs + (go,)
+            return outs
 
         return run
+
+    def coupled_gmem_pipeline(self, T: int, mode: str):
+        """Unjitted coupled run with per-block gmem streams for
+        producer→consumer pipelines across mesh lanes ("emit" returns a
+        [rows, cells] stream; "consume" takes one; "both").  The caller
+        composes lanes (vmap/shard_map) and resolves the streams with
+        collectives — block-synchronous like the in-process bus."""
+        if not self.coupled:
+            raise SpecializeError("gmem pipeline needs a coupled @block")
+        return self._coupled_run(T, gmem_mode=mode)
 
     # -- discovery loop ------------------------------------------------------
 
@@ -3536,18 +3592,26 @@ class SpecializedSampleKernel:
         return ctrl
 
     def control_trajectory(self, n_blocks: int, rem_block: int = 0,
-                           midi=None):
+                           midi=None, resume=False):
         """Interpret the @block/@slider trajectory on the host; returns the
         control matrix [n_blocks(+1 if rem), n_ctrl] and keeps the final
         control-state for writeback.  midi events route into each block's
-        queue (host-side midirecv, the uncoupled path)."""
+        queue (host-side midirecv, the uncoupled path).
+
+        resume=True continues from the previous render's final control
+        state (@block counters/envelopes persist across renders like the
+        reference's long-lived state struct); the kernel tracks ONE
+        resumable stream — pair each resumed carry with its own kernel."""
         from ..shadow import compile_shadow
         from ..shadow.state import MidiEvent
 
         if self._traj_plugin is None:
             self._traj_plugin = compile_shadow(self.P)
         plug = self._traj_plugin
-        plug.state = self.snap.clone()
+        src = self.last_control_state if (resume and
+                                          self.last_control_state is not None) \
+            else self.snap
+        plug.state = src.clone()
         st = plug.state
         ev_sorted = sorted(midi or [], key=lambda e: e[0])
 
@@ -3777,7 +3841,7 @@ class SpecializedSampleKernel:
         if self.has_block and not self.coupled:
             if midi or not fresh:
                 ctrl = self.control_trajectory(n_full_blocks, rem_block,
-                                               midi=midi)
+                                               midi=midi, resume=not fresh)
             else:
                 ctrl = self.cached_trajectory(n_full_blocks, rem_block)
         else:

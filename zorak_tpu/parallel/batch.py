@@ -222,34 +222,34 @@ def catalog_stacked_render(renderers: Dict[str, "BatchRenderer"],
     # sweeps pay zero host->device transfer (the dev tunnel's per-render
     # upload otherwise dominates the catalog wall)
     ekey = ("entries", T)
-    entries = None if plan is None else plan.get(ekey)
-    if entries is None:
-        entries = {}
-        x_dev: Dict[int, object] = {}
-        for slug, r in renderers.items():
-            kern = r.kernel
-            L = min(kern.L, max(kern.B, (T // kern.B) * kern.B))
-            raw = _raw_render(kern, T, L)
-            n_full = T // kern.B
-            rem = T - n_full * kern.B
-            if kern.has_block and not kern.coupled:
-                ctrl = kern.cached_trajectory(n_full, rem)
-            else:
-                rows = n_full + (1 if rem else 0)
-                ctrl = np.zeros((rows, len(kern.ctrl_order)),
-                                dtype=np.float64)
-            rand = kern._rand_streams(T, reset=True)
-            nch = kern.nch
-            if nch not in x_dev:
-                xf = x[:nch] if x.shape[0] >= nch else np.broadcast_to(
-                    x[:1], (nch, T))
-                x_dev[nch] = jax.device_put(
-                    np.ascontiguousarray(xf, np.float32))
-            entries[slug] = (raw, (
-                jax.device_put(kern.initial_carry()), x_dev[nch],
-                jax.device_put(ctrl), jax.device_put(rand)))
-        if plan is not None:
-            plan[ekey] = entries
+    xkey = ("xdev", T)
+    entries = {} if plan is None else plan.setdefault(ekey, {})
+    x_dev: Dict[int, object] = {} if plan is None \
+        else plan.setdefault(xkey, {})
+    for slug, r in renderers.items():
+        if slug in entries:
+            continue
+        kern = r.kernel
+        L = min(kern.L, max(kern.B, (T // kern.B) * kern.B))
+        raw = _raw_render(kern, T, L)
+        n_full = T // kern.B
+        rem = T - n_full * kern.B
+        if kern.has_block and not kern.coupled:
+            ctrl = kern.cached_trajectory(n_full, rem)
+        else:
+            rows = n_full + (1 if rem else 0)
+            ctrl = np.zeros((rows, len(kern.ctrl_order)),
+                            dtype=np.float64)
+        rand = kern._rand_streams(T, reset=True)
+        nch = kern.nch
+        if nch not in x_dev:
+            xf = x[:nch] if x.shape[0] >= nch else np.broadcast_to(
+                x[:1], (nch, T))
+            x_dev[nch] = jax.device_put(
+                np.ascontiguousarray(xf, np.float32))
+        entries[slug] = (raw, (
+            jax.device_put(kern.initial_carry()), x_dev[nch],
+            jax.device_put(ctrl), jax.device_put(rand)))
 
     if groups is None:
         heavy = [s for s in entries

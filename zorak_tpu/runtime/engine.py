@@ -11,7 +11,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -89,16 +89,22 @@ class PluginInstance:
       (:3777-3960's parameter/FILES persistence, offline flavor).
     """
 
+    IDLE_MODES = ("auto", "input_driven", "event_driven", "free_running",
+                  "always_awake")
+
     def __init__(self, program: PluginProgram, srate: float = 48000.0,
                  sliders: Optional[Dict[int, float]] = None,
                  string_sliders: Optional[Dict[int, str]] = None,
                  segment_len: int = DEFAULT_SEGMENT_LEN,
                  prefer: str = "auto", oversample: int = 1,
-                 smart_idle: str = "always_awake",
+                 smart_idle: str = "auto",
                  idle_threshold: float = 1e-6,
+                 idle_hold_ms: float = 250.0,
                  host=None):
         if oversample not in (1, 2, 4, 8):
             raise ValueError("oversample factor must be 1, 2, 4, or 8")
+        if smart_idle not in self.IDLE_MODES:
+            raise ValueError(f"smart_idle must be one of {self.IDLE_MODES}")
         self.program = program
         self.srate = float(srate)
         self.oversample = int(oversample)
@@ -108,7 +114,10 @@ class PluginInstance:
         self.segment_len = segment_len
         self.smart_idle = smart_idle
         self.idle_threshold = float(idle_threshold)
+        self.idle_hold_ms = float(idle_hold_ms)
         self.nch = max(1, program.io_channels["process"])
+        self.recent_files: List[str] = []
+        self.import_recipes: List[str] = []   # ImportRecipe JSON blobs
         self.shadow = make_initialized_shadow(
             program, self.engine_rate, self.sliders, self.string_sliders,
             host=host)
@@ -116,37 +125,136 @@ class PluginInstance:
         self.kernel = None
         self.engine = "cpu-shadow"
         self.spec_error: Optional[str] = None
-        if prefer in ("auto", "tpu"):
+        if prefer in ("auto", "tpu", "devexec"):
             try:
+                if prefer == "devexec":
+                    raise SpecializeError("devexec requested")
                 self.kernel = specialize_sample_kernel(
                     program, self.shadow.state, self.nch,
                     segment_len=segment_len, block_size=512)
                 self.engine = "tpu-vector"
             except SpecializeError as exc:
                 self.spec_error = str(exc)
-                if prefer == "tpu":
-                    raise
+                # sequential device executor: whole plugin stepped on the
+                # TPU — the middle path when time-vectorization rejects
+                try:
+                    from ..lowering.devexec import DeviceExecKernel
+
+                    self.kernel = DeviceExecKernel(
+                        program, self.shadow.state, self.nch,
+                        segment_len=segment_len, block_size=512)
+                    self.engine = "tpu-devexec"
+                except (SpecializeError, Exception) as exc2:  # noqa: BLE001
+                    if prefer in ("tpu", "devexec"):
+                        raise SpecializeError(
+                            f"{self.spec_error}; devexec: {exc2}") from None
+
+    # -- smart idle ----------------------------------------------------------
+
+    def infer_idle_mode(self) -> str:
+        """Topology inference for smart_idle='auto'
+        (ref: JSFXJuceProcessor.cpp:6374-6392 inferSmartIdleModeFromTopology):
+        audio inputs -> input_driven; MIDI/file wake sources ->
+        event_driven; outputs only -> free_running; else always_awake."""
+        has_sample = bool(self.program.sections.get("sample"))
+        if has_sample and self.nch > 0:
+            return "input_driven"
+        src = getattr(self.program, "source", "") or ""
+        has_midi = "midirecv" in src
+        has_files = bool(getattr(self.shadow.state.host, "files", None)
+                         and self.shadow.state.host.files.slots)
+        if has_midi or has_files:
+            return "event_driven"
+        if has_sample:
+            return "free_running"
+        return "always_awake"
+
+    @property
+    def effective_idle_mode(self) -> str:
+        mode = self.smart_idle
+        if mode == "auto":
+            mode = self.infer_idle_mode()
+        # runtime override var, like the reference's za_idle_mode hook
+        # (ref: JSFXJuceProcessor.cpp:6452-6453)
+        ov = self.shadow.state.V.get("za_idle_mode")
+        if ov is not None:
+            idx = int(ov)
+            if 0 <= idx < len(self.IDLE_MODES):
+                mode = self.IDLE_MODES[idx]
+                if mode == "auto":
+                    mode = self.infer_idle_mode()
+        return mode
+
+    def _sleep_eligible(self, mode: str) -> bool:
+        # (ref: JSFXJuceProcessor.cpp:6369-6372)
+        if mode not in ("input_driven", "event_driven"):
+            return False
+        if float(self.shadow.state.V.get("za_keep_awake", 0.0)):
+            return False
+        return True
 
     # -- state persistence ---------------------------------------------------
 
     def save_state(self) -> Dict:
+        """Serializable instance state: parameters + FILES (slot paths and
+        selection) + import recipes + recents, the offline mirror of the
+        reference's getStateInformation blob
+        (ref: src/JSFXJuceProcessor.cpp:3777-3879)."""
+        files = {}
+        svc = getattr(self.shadow.state.host, "files", None)
+        if svc is not None:
+            for slot, entries in sorted(svc.slots.items()):
+                paths = [e.path for e in entries if e.path]
+                if paths:
+                    files[int(slot)] = {"paths": paths}
         return {
             "sliders": {d.index0: self.shadow.state.sliders[d.index0]
                         for d in self.program.slider_decls if not d.is_string},
             "string_sliders": dict(self.string_sliders),
             "oversample": self.oversample,
             "smart_idle": self.smart_idle,
+            "files": files,
+            "import_recipes": list(self.import_recipes),
+            "recent_files": list(self.recent_files[-10:]),  # kMaxRecentFiles
         }
 
     def load_state(self, blob: Dict) -> None:
         for idx0, val in (blob.get("sliders") or {}).items():
             self.shadow.state.sliders[int(idx0)] = float(val)
+        self.smart_idle = blob.get("smart_idle", self.smart_idle)
+        self.import_recipes = list(blob.get("import_recipes") or ())
+        self.recent_files = list(blob.get("recent_files") or ())
+        svc = getattr(self.shadow.state.host, "files", None)
+        if svc is not None:
+            for slot, entry in (blob.get("files") or {}).items():
+                have = {e.path for e in svc.slots.get(int(slot), ())}
+                for p in entry.get("paths", ()):
+                    if p not in have and Path(p).exists():
+                        svc.load_slot(int(slot), p)
+                        self.note_recent_file(p)
         self.shadow.run_slider()
         if self.kernel is not None:
             # control state changed: respecialize against the new snapshot
             self.kernel = specialize_sample_kernel(
                 self.program, self.shadow.state, self.nch,
                 segment_len=self.segment_len)
+
+    def note_recent_file(self, path: str) -> None:
+        p = str(path)
+        if p in self.recent_files:
+            self.recent_files.remove(p)
+        self.recent_files.append(p)
+        del self.recent_files[:-10]
+
+    def load_file(self, slot: int, source, srate: Optional[float] = None,
+                  name: str = "") -> None:
+        """Load audio into a file slot (and the recents list)."""
+        svc = getattr(self.shadow.state.host, "files", None)
+        if svc is None:
+            raise RuntimeError("instance host has no file service")
+        svc.load_slot(int(slot), source, srate=srate, name=name)
+        if isinstance(source, (str, Path)):
+            self.note_recent_file(str(source))
 
     def render(self, x: np.ndarray, block_size: int = 512,
                fetch_audio: bool = True, sync_state: bool = True,
@@ -178,9 +286,13 @@ class PluginInstance:
             # scale host-rate offsets to the engine rate (the shadow loop
             # does the same per event)
             kern_midi = [(int(e[0]) * F, e[1], e[2], e[3]) for e in midi]
+        mode = self.effective_idle_mode
         use_kernel = (self.kernel is not None
-                      and (not midi or kern_midi is not None)
-                      and self.smart_idle == "always_awake")
+                      and (not midi or kern_midi is not None))
+        if use_kernel and self._sleep_eligible(mode):
+            return self._render_vector_gated(
+                x, x_eng, kern_midi, mode, t_start=time.perf_counter(),
+                fetch_audio=fetch_audio, sync_state=sync_state)
         if not use_kernel:
             return self._render_shadow(x, x_eng, block_size, midi, t_start=time.perf_counter())
 
@@ -221,6 +333,93 @@ class PluginInstance:
             details={"spec_error": self.spec_error} if self.spec_error else {},
         )
 
+    def _render_vector_gated(self, x_host: np.ndarray, x_eng: np.ndarray,
+                             kern_midi, mode: str, t_start: float,
+                             fetch_audio: bool = True,
+                             sync_state: bool = True) -> RenderResult:
+        """Sleep-eligible smart idle ON the vector path: awake spans render
+        through the TPU kernel with carry continuity (@block state frozen
+        across sleeping gaps, like the reference skipping process calls);
+        sleeping blocks emit silence.  Output-tail activity extends spans
+        so decaying reverbs are not cut (ref: JSFXJuceProcessor.cpp:3742-
+        3764 outputActive resetting the quiet window)."""
+        kern = self.kernel
+        B = kern.B
+        T = x_eng.shape[1]
+        nb = (T + B - 1) // B
+        hold = max(1, int(round(self.idle_hold_ms / 1000.0
+                                * self.engine_rate / B)))
+        thr = self.idle_threshold
+
+        wake = np.zeros(nb, dtype=bool)
+        if mode == "input_driven":
+            pad = np.zeros((x_eng.shape[0], nb * B - T), dtype=x_eng.dtype)
+            blocks = np.abs(np.concatenate([x_eng, pad], axis=1)
+                            .reshape(x_eng.shape[0], nb, B))
+            wake |= blocks.max(axis=(0, 2)) > thr
+        for ev in kern_midi or ():
+            wake[min(nb - 1, int(ev[0]) // B)] = True
+
+        awake = np.zeros(nb, dtype=bool)
+        last_wake = -1  # the instance starts awake (quiet window empty)
+        for b in range(nb):
+            if wake[b]:
+                last_wake = b
+            awake[b] = (b - last_wake) <= hold
+
+        y = np.zeros_like(x_eng)
+        carry = None
+        midi_out: List = []
+        ev_all = sorted(kern_midi or [], key=lambda e: e[0])
+
+        def render_span(b0: int, b1: int, carry):
+            s0, s1 = b0 * B, min(b1 * B, T)
+            span_midi = [(e[0] - s0, e[1], e[2], e[3])
+                         for e in ev_all if s0 <= e[0] < s1] or None
+            ys, carry = kern.render(x_eng[:, s0:s1], carry=carry,
+                                    midi=span_midi)
+            y[:, s0:s1] = ys
+            for mo in kern.last_midi_out:
+                midi_out.append((s0 + mo[0], mo[1], mo[2], mo[3]))
+            return carry
+
+        b = 0
+        while b < nb:
+            if not awake[b]:
+                b += 1
+                continue
+            e = b
+            while e < nb and awake[e]:
+                e += 1
+            carry = render_span(b, e, carry)
+            # output-tail extension: keep rendering while the final block
+            # is still audible and the next blocks would have slept
+            while e < nb and not awake[e]:
+                tail = y[:, max(0, min(e * B, T) - B):min(e * B, T)]
+                if tail.size == 0 or np.abs(tail).max() <= thr:
+                    break
+                e2 = min(e + hold, nb)
+                carry = render_span(e, e2, carry)
+                awake[e:e2] = True
+                e = e2
+            b = e
+        F = self.oversample
+        if sync_state and carry is not None:
+            kern.writeback(carry, self.shadow.state)
+        y_host = downsample_box(y, F) if F > 1 else y
+        wall = time.perf_counter() - t_start
+        audio_seconds = x_host.shape[1] / self.srate
+        return RenderResult(
+            audio=y_host if fetch_audio else None, srate=self.srate,
+            engine=self.engine, wall_seconds=wall,
+            realtime_factor=(audio_seconds / wall) if wall > 0
+            else float("inf"),
+            state=self.shadow.state,
+            details={"idle_mode": mode,
+                     "awake_blocks": int(awake.sum()), "blocks": nb,
+                     "midi_out": [(o // F, a, bb, c)
+                                  for (o, a, bb, c) in midi_out]})
+
     # -- shadow block loop (midi / smart idle / fallback) ---------------------
 
     def _render_shadow(self, x_host: np.ndarray, x_eng: np.ndarray,
@@ -239,6 +438,9 @@ class PluginInstance:
         quiet_blocks = 0
         thr = self.idle_threshold
         bs = block_size * F
+        mode = self.effective_idle_mode
+        hold_blocks = max(1, int(round(self.idle_hold_ms / 1000.0
+                                       * self.engine_rate / bs)))
 
         for start in range(0, total, bs):
             stop = min(start + bs, total)
@@ -257,17 +459,16 @@ class PluginInstance:
                 woke_by_midi = True
 
             block_in = x_eng[:, start:stop]
-            if self.smart_idle == "input_driven":
-                loud = bool(np.any(np.abs(block_in) > thr))
+            if self._sleep_eligible(mode):
+                # wake sources (ref: JSFXJuceProcessor.cpp:3693-3717):
+                # input above threshold (input_driven), incoming MIDI
+                loud = (mode == "input_driven"
+                        and bool(np.any(np.abs(block_in) > thr)))
                 if loud or woke_by_midi:
                     asleep = False
                     quiet_blocks = 0
-                else:
-                    quiet_blocks += 1
-                    if quiet_blocks > 4:  # grace period like the host's decay
-                        asleep = True
                 if asleep:
-                    y_eng[:, start:stop] = 0.0  # outputs cleared while asleep
+                    y_eng[:, start:stop] = 0.0  # cleared while asleep
                     continue
 
             self.shadow.process_block(block_in, y_eng[:, start:stop])
@@ -275,6 +476,20 @@ class PluginInstance:
                 midi_out.append((host_start + ev.offset // F,
                                  ev.b1, ev.b2, ev.b3))
             st.midi_out = []
+
+            if self._sleep_eligible(mode) and not (
+                    woke_by_midi or (mode == "input_driven" and bool(
+                        np.any(np.abs(block_in) > thr)))):
+                # quiet window counts only while the OUTPUT is quiet too —
+                # tails keep the instance awake (ref: :3742-3764)
+                out_active = bool(
+                    np.any(np.abs(y_eng[:, start:stop]) > thr))
+                if out_active:
+                    quiet_blocks = 0
+                else:
+                    quiet_blocks += 1
+                    if quiet_blocks > hold_blocks:
+                        asleep = True
 
         y = downsample_box(y_eng, F) if F > 1 else y_eng
         wall = time.perf_counter() - t_start

@@ -40,6 +40,8 @@ class LoadedAudio:
     audio: np.ndarray          # [channels, frames] float64
     srate: float
     name: str = ""
+    path: str = ""             # source path when loaded from disk (persisted
+                               # in save_state, ref: JSFXJuceProcessor.cpp:3784)
 
     @property
     def frames(self) -> int:
@@ -82,7 +84,7 @@ class FileSlotService:
 
             audio, rate = wavio.read_wav(source)
             entry = LoadedAudio(np.asarray(audio, np.float64), float(rate),
-                                name or Path(source).name)
+                                name or Path(source).name, str(source))
         else:
             entry = LoadedAudio(np.asarray(source, np.float64),
                                 float(srate or 48000.0), name)

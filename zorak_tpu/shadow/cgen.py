@@ -716,8 +716,14 @@ void jsfx_process_block(ZState* S, const float* const* in,
     if (nch > 64) nch = 64;
     S->samplesblock = (double)n;
     jsfx_block(S);
-    if (S->pend_change | S->pend_automate | S->pend_automate_end)
+    if (S->pend_change | S->pend_automate | S->pend_automate_end) {
         jsfx_slider(S);
+        /* the host consumes (publishes + clears) the pending masks each
+           block (ref: JSFXJuceProcessor.cpp:5667-5737) */
+        S->pend_change = 0;
+        S->pend_automate = 0;
+        S->pend_automate_end = 0;
+    }
     if (!HAS_SAMPLE) return;
     for (int i = 0; i < n; i++) {
         for (int c = 0; c < nch; c++) S->spl[c] = (double)in[c][i];

@@ -204,7 +204,11 @@ def _gfx_call(S, fn, args):
     when one is attached to the host (gfx/interpreter.py)."""
     canvas = getattr(S.host, "gfx", None)
     if canvas is None:
-        return (0.0, 0.0) if fn == "gfx_measurestr" else 0.0
+        if fn == "gfx_measurestr":
+            return (0.0, 0.0)
+        if fn in ("gfx_getpixel", "gfx_getimgdim"):
+            return (0.0, 0.0, 0.0)
+        return 0.0
     return canvas.call(S, fn, args)
 
 
@@ -802,6 +806,20 @@ class _Gen:
             s_w(f"float({r}[0])")
             s_h(f"float({r}[1])")
             return "0.0"
+        if fn in ("gfx_getpixel", "gfx_getimgdim") and len(n.args) >= 2:
+            # out-params: (r,g,b) at gfx_x/gfx_y, or (w,h) of an image
+            lead = 1 if fn == "gfx_getimgdim" else 0
+            first = [self.ex(a) for a in n.args[:lead]]
+            stores = [self._lv_prepare(a, fn) for a in n.args[lead:]]
+            r = self.tmp()
+            self.put(f"{r} = _gfx_call(S, {fn!r}, "
+                     f"[{', '.join(first)}])")
+            self.put(f"if isinstance({r}, tuple):")
+            self.depth += 1
+            for k, store in enumerate(stores):
+                store(f"float({r}[{k}]) if len({r}) > {k} else 0.0")
+            self.depth -= 1
+            return "0.0"
         if fn.startswith("gfx_"):
             # inert in DSP sections; recorded when a UI canvas is attached
             args = [self.ex(a) for a in n.args]
@@ -1090,6 +1108,11 @@ class ShadowPlugin:
         if (S.pending_change_mask or S.pending_automate_mask
                 or S.pending_automate_end_mask):
             self.run_slider()
+            # the host consumes (publishes + clears) the pending masks
+            # each block (ref: JSFXJuceProcessor.cpp:5667-5737)
+            S.pending_change_mask = 0
+            S.pending_automate_mask = 0
+            S.pending_automate_end_mask = 0
 
         if not self.program.has_sample_section:
             return

@@ -11,22 +11,48 @@ import platform
 
 
 def host_fingerprint() -> str:
-    feat = ""
+    # model name/family/stepping matter, not just the flags line: two
+    # hosts with identical cpuinfo flags can still get different LLVM
+    # tuning (prefer-no-scatter/gather), and loading the other host's
+    # XLA:CPU AOT entries then corrupts the process (observed: stale
+    # entries from a migrated container SIGILL/segfault mid-run).
+    keys = ("flags", "Features", "model name", "cpu family", "model",
+            "stepping", "vendor_id")
+    feat = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    feat = line
-                    break
+                k = line.split(":", 1)[0].strip()
+                if k in keys:
+                    feat.append(line.strip())
+                if line.strip() == "" and feat:
+                    break  # first core only
     except OSError:
         pass
-    raw = f"{platform.machine()}|{feat}"
+    raw = f"{platform.machine()}|{'|'.join(feat)}"
     return hashlib.sha1(raw.encode()).hexdigest()[:12]
+
+
+def raise_map_count(target: int = 1 << 20) -> None:
+    """XLA:CPU's ORC JIT maps thousands of sections per big executable;
+    a full catalog sweep in one process exhausts the default
+    vm.max_map_count=65530 (symptom: 'LLVM compilation error: Cannot
+    allocate memory' + munmap ENOMEM, then a segfault).  Raise it when
+    we can (root in this container); harmless no-op otherwise."""
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            cur = int(f.read().strip())
+        if cur < target:
+            with open("/proc/sys/vm/max_map_count", "w") as f:
+                f.write(str(target))
+    except OSError:
+        pass
 
 
 def enable_persistent_cache(min_compile_secs: float = 10.0) -> str:
     import jax
 
+    raise_map_count()
     path = os.path.expanduser(
         f"~/.cache/zorak_tpu/jaxcache-{host_fingerprint()}")
     os.makedirs(path, exist_ok=True)

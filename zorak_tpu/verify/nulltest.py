@@ -271,8 +271,9 @@ def null_test_plugin(program, x: np.ndarray, srate: float = 48000.0,
                      slider_overrides: Optional[Dict[int, float]] = None,
                      compare_state: bool = True, golden: str = "python",
                      compare_mem: bool = False, midi=None,
-                     export_dir=None, name: str = "nulltest") -> NullReport:
-    """Render x through the golden shadow AND the vector TPU kernel; compare.
+                     export_dir=None, name: str = "nulltest",
+                     engine: str = "vector") -> NullReport:
+    """Render x through the golden shadow AND the device kernel; compare.
 
     x: float32 [channels, samples].  golden: "python" (exact reference
     semantics, slow) or "native" (C-compiled, bit-identical, fast).
@@ -280,6 +281,8 @@ def null_test_plugin(program, x: np.ndarray, srate: float = 48000.0,
     compare_mem additionally diffs the whole heap in 1024-double pages
     (ref: JSFXCorrectnessCheck.h:915-1040).  midi: optional
     [(abs_offset, b1, b2, b3)] events fed to both sides.
+    engine: "vector" (the time-vectorizing specializer) or "devexec"
+    (the sequential whole-plugin device executor).
     """
     from ..lowering import specialize_sample_kernel
 
@@ -317,9 +320,16 @@ def null_test_plugin(program, x: np.ndarray, srate: float = 48000.0,
 
     # vectorized render from an identical snapshot
     snap_owner = make_initialized_shadow(program, srate, slider_overrides)
-    kern = specialize_sample_kernel(program, snap_owner.state, nch,
-                                    segment_len=segment_len,
-                                    block_size=block_size)
+    if engine == "devexec":
+        from ..lowering.devexec import DeviceExecKernel
+
+        kern = DeviceExecKernel(program, snap_owner.state, nch,
+                                segment_len=segment_len,
+                                block_size=block_size)
+    else:
+        kern = specialize_sample_kernel(program, snap_owner.state, nch,
+                                        segment_len=segment_len,
+                                        block_size=block_size)
     y_test, carry = kern.render(x, midi=midi if midi else None)
 
     rep = compare_audio(y_ref, y_test)
