@@ -65,7 +65,10 @@ def run_suite_configs(budget_s: float) -> dict:
         if time.time() < t_end:
             from zorak_tpu.kernels.stft import spectral_gate, stft_process
 
-            x = jnp.asarray(rng.randn(n) * 0.25, jnp.float64)
+            # f32 inputs: the kernel pipelines are f32/c64 end-to-end
+            # (TPU f64 is emulated at ~30x cost and buys nothing at the
+            # 1e-5 f32-rounded audio contract)
+            x = jnp.asarray(rng.randn(n) * 0.25, jnp.float32)
 
             @jax.jit
             def run_stft(a):
@@ -79,17 +82,17 @@ def run_suite_configs(budget_s: float) -> dict:
                 lambda: run_stft(x), n / srate)
             log(f"suite stft: {suite['stft2048_overlap_add_rtx']}x")
         if time.time() < t_end:
-            xq = jnp.asarray(rng.randn(n) * 0.02, jnp.float64)
+            xq = jnp.asarray(rng.randn(n) * 0.02, jnp.float32)
             suite["restoration_spectral_gate_rtx"] = timed(
                 lambda: spectral_gate(xq, size=2048), n / srate)
             log(f"suite denoiser: {suite['restoration_spectral_gate_rtx']}x")
         if time.time() < t_end:
             from zorak_tpu.kernels.convolution import partitioned_convolve
 
-            x = jnp.asarray(rng.randn(n) * 0.25, jnp.float64)
+            x = jnp.asarray(rng.randn(n) * 0.25, jnp.float32)
             k = 131072
             ir = jnp.asarray(rng.randn(k) * np.exp(-np.arange(k) / (k / 5)),
-                             jnp.float64)
+                             jnp.float32)
             suite["partitioned_convolution_131072tap_rtx"] = timed(
                 lambda: partitioned_convolve(x, ir, part_size=2048), n / srate)
             log("suite convolution: "

@@ -85,7 +85,7 @@ def main():
     if "stft" in configs:
         from zorak_tpu.kernels.stft import stft_process
 
-        x = jnp.asarray(rng.randn(n) * 0.25, jnp.float64)
+        x = jnp.asarray(rng.randn(n) * 0.25, jnp.float32)
 
         @jax.jit
         def run(a):
@@ -104,7 +104,7 @@ def main():
     if "denoiser" in configs:
         from zorak_tpu.kernels.stft import spectral_gate
 
-        x = jnp.asarray(rng.randn(n) * 0.02, jnp.float64)
+        x = jnp.asarray(rng.randn(n) * 0.02, jnp.float32)
         log("denoiser: compiling")
         rtx = timed_rtx(lambda: spectral_gate(x, size=2048), secs)
         emit("restoration_spectral_gate", rtx)
@@ -112,10 +112,10 @@ def main():
     if "convolution" in configs:
         from zorak_tpu.kernels.convolution import partitioned_convolve
 
-        x = jnp.asarray(rng.randn(n) * 0.25, jnp.float64)
+        x = jnp.asarray(rng.randn(n) * 0.25, jnp.float32)
         k = 131072  # ~2.7s IR
         ir = jnp.asarray(rng.randn(k) * np.exp(-np.arange(k) / (k / 5)),
-                         jnp.float64)
+                         jnp.float32)
         log("convolution: compiling")
         rtx = timed_rtx(lambda: partitioned_convolve(x, ir, part_size=2048),
                         secs)

@@ -45,19 +45,21 @@ def partitioned_convolve(x: jnp.ndarray, ir: jnp.ndarray,
     """
     B = part_size
     N = 2 * B
-    x = jnp.asarray(x, F64)
-    ir = jnp.asarray(ir, F64)
+    # f32/c64 end-to-end: TPU f64 is software-emulated, and the audio
+    # contract compares f32-rounded samples at 1e-5
+    x = jnp.asarray(x, jnp.float32)
+    ir = jnp.asarray(ir, jnp.float32)
     T = x.shape[-1]
     k = ir.shape[-1]
     n_parts = max(1, -(-k // B))
     ir_p = jnp.pad(ir, (0, n_parts * B - k)).reshape(n_parts, B)
-    H = jnp.fft.rfft(ir_p.astype(jnp.float32), N, axis=-1)  # [parts, bins]
+    H = jnp.fft.rfft(ir_p, N, axis=-1)  # [parts, bins]
 
     n_frames = -(-T // B)
     xp = jnp.pad(x, (B, n_frames * B - T))  # leading history block
     # frame f covers input samples [f*B - B, f*B + B) (overlap-save)
     idx = jnp.arange(n_frames)[:, None] * B + jnp.arange(N)[None, :]
-    X = jnp.fft.rfft(xp[idx].astype(jnp.float32), axis=-1)  # [frames, bins]
+    X = jnp.fft.rfft(xp[idx], axis=-1)  # [frames, bins]
 
     # delay-line of spectra: output frame f accumulates X[f - p] * H[p]
     frames_i = jnp.arange(n_frames)[:, None]
@@ -66,6 +68,5 @@ def partitioned_convolve(x: jnp.ndarray, ir: jnp.ndarray,
     valid = src >= 0
     Xd = jnp.where(valid[..., None], X[jnp.clip(src, 0)], 0.0)  # [f, p, bins]
     Y = jnp.einsum("fpb,pb->fb", Xd, H)
-    y = jnp.fft.irfft(Y.astype(jnp.complex64), N,
-                      axis=-1).astype(F64)[:, B:]  # overlap-save tail half
+    y = jnp.fft.irfft(Y.astype(jnp.complex64), N, axis=-1)[:, B:]
     return y.reshape(-1)[:T]
