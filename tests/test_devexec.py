@@ -192,6 +192,20 @@ class TestDeviceExec:
         # the bail kept the trace small: merges ~= one body, not 16x
         assert kern.sample._n_merges < 100
 
+    def test_reduced_heap_grows_on_overflow(self):
+        # the device heap sizes from observed post-@init use (4096 min),
+        # NOT declared maxmem; a dynamic write past it must bump the
+        # high-water slot, rebuild with a doubled heap and replay —
+        # bit-faithful incl. the mem-page compare
+        src = ("@init\nbuf = 100;\nctr = 0;\n"
+               "@sample\n"
+               "n = abs(spl0) > 0.2 ? 3 : 1;\n"
+               "loop(n, buf[ctr] = spl0; ctr += 1; );\n"
+               "spl0 = spl0 * 0.5 + buf[ctr > 3000 ? ctr - 3000 : 0]"
+               " * 0.1;\n")
+        kern = _null(src, noise(1, 6000))
+        assert kern.sample.mem_size > 4096  # grew past the initial floor
+
     def test_engine_falls_back_to_devexec(self):
         from zorak_tpu.runtime.engine import PluginInstance
 

@@ -23,8 +23,8 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 
 from ..ir.program import PluginProgram
-from .devgen import (DeviceSection, DevgenError, MIDI_POS_SLOT,
-                     PENDING_SLOT_NAMES, RAND_POS_SLOT,
+from .devgen import (DeviceSection, DevgenError, MEM_HIWATER_SLOT,
+                     MIDI_POS_SLOT, PENDING_SLOT_NAMES, RAND_POS_SLOT,
                      section_dynamic_keys)
 from .specialize import SpecializeError
 
@@ -34,7 +34,8 @@ class DeviceExecKernel:
 
     def __init__(self, program: PluginProgram, snapshot, nch: int,
                  segment_len: int = 1 << 17, block_size: int = 512,
-                 rand_pool: int = 1 << 18):
+                 rand_pool: int = 1 << 18,
+                 heap_size: Optional[int] = None):
         import jax
 
         self.P = program
@@ -42,6 +43,7 @@ class DeviceExecKernel:
         self.nch = int(nch)
         self.B = int(block_size)
         self.engine = "devexec"
+        self._rand_pool_req = int(rand_pool)
         if not program.sections.get("sample"):
             raise SpecializeError("no @sample section")
 
@@ -49,39 +51,76 @@ class DeviceExecKernel:
                      if program.sections.get(s))
         self._dyn = section_dynamic_keys(program, secs)
 
-        top = int(getattr(snapshot, "mem_used", 0))
-        top = max(top, int(program.memtop or 0))
-        size = 1 << max(12, int(top - 1).bit_length() if top > 1 else 12)
+        # heap sizing: declared maxmem (8-32M cells) is the CAP, not the
+        # working set — a maxmem-sized heap carried through per-sample
+        # while_loops costs two full copies per iteration when XLA cannot
+        # alias the carry.  Start from observed post-@init use with 2x
+        # headroom; dynamic writes track a high-water mark and the render
+        # retries with a doubled heap on overflow (reduced_heap mode).
+        top = int(program.memtop or 0)
+        used = int(getattr(snapshot, "mem_used", 0))
+        self._full_size = 1 << max(12, int(top - 1).bit_length()
+                                   if top > 1 else 12)
+        if heap_size is not None:
+            size = min(int(heap_size), self._full_size)
+        else:
+            size = min(self._full_size,
+                       1 << max(12, (2 * max(used, 1) - 1).bit_length()))
 
-        # layout union probe (cheap: construction only scans the AST)
-        try:
-            probe = {s: DeviceSection(program, snapshot, s, self._dyn, size,
-                                      consts={"samplesblock": float(self.B)},
-                                      rand_pool=rand_pool)
-                     for s in secs}
-        except DevgenError as exc:
-            raise SpecializeError(f"device executor: {exc}") from None
-        self._any_gmem = any(p.uses_gmem for p in probe.values())
-        self._any_mout = any(p.uses_midi_out for p in probe.values())
-        self.uses_rand = any(p._detect_call("rand") for p in probe.values())
-        self._rand_cap = int(rand_pool) if self.uses_rand else 0
-        self._rng_state = None
-        self._rng_prestate = None
+        probe = None
+        while True:
+            try:
+                # layout union probe (construction only scans the AST)
+                if probe is None:
+                    probe = {s: DeviceSection(
+                        program, snapshot, s, self._dyn, size,
+                        consts={"samplesblock": float(self.B)},
+                        rand_pool=rand_pool) for s in secs}
+                    self._any_gmem = any(p.uses_gmem
+                                         for p in probe.values())
+                    self._any_mout = any(p.uses_midi_out
+                                         for p in probe.values())
+                    self.uses_rand = any(p._detect_call("rand")
+                                         for p in probe.values())
+                    self._rand_cap = (int(rand_pool) if self.uses_rand
+                                      else 0)
+                    self._rng_state = None
+                    self._rng_prestate = None
 
-        def build(section, nblk):
-            return DeviceSection(
-                program, snapshot, section, self._dyn, size,
-                consts={"samplesblock": float(nblk)},
-                force_gmem=self._any_gmem, force_midi_out=self._any_mout,
-                rand_pool=self._rand_cap)
+                def build(section, nblk):
+                    return DeviceSection(
+                        program, snapshot, section, self._dyn, size,
+                        consts={"samplesblock": float(nblk)},
+                        force_gmem=self._any_gmem,
+                        force_midi_out=self._any_mout,
+                        rand_pool=self._rand_cap, reduced_heap=True)
 
-        try:
-            self.sample = build("sample", self.B)
-            self.block = build("block", self.B) if "block" in secs else None
-            self.slider = build("slider", self.B) if "slider" in secs \
-                and self.block is not None else None
-        except DevgenError as exc:
-            raise SpecializeError(f"device executor: {exc}") from None
+                self.sample = build("sample", self.B)
+                self.block = (build("block", self.B)
+                              if "block" in secs else None)
+                self.slider = build("slider", self.B) if "slider" in secs \
+                    and self.block is not None else None
+
+                # trace every section now: static heap addresses beyond
+                # the reduced size surface here and climb the size ladder
+                import jax.numpy as jnp
+
+                for sec in (self.block, self.slider, self.sample):
+                    if sec is None:
+                        continue
+                    jax.eval_shape(
+                        sec.step,
+                        jax.ShapeDtypeStruct((sec.n_vars,), jnp.float64),
+                        jax.ShapeDtypeStruct((sec.total_mem,),
+                                             jnp.float64))
+                break
+            except DevgenError as exc:
+                grows = "beyond device heap" in str(exc)
+                if grows and size < self._full_size:
+                    size *= 2
+                    continue
+                raise SpecializeError(
+                    f"device executor: {exc}") from None
         # every section must agree on the shared state layout
         for sec in (self.block, self.slider):
             if sec is not None:
@@ -92,6 +131,7 @@ class DeviceExecKernel:
             [self.sample.slots[("spl", c)] for c in range(self.nch)],
             np.int64)
         self._rpos = self.sample.slots[("var", RAND_POS_SLOT)]
+        self._hw = self.sample.slots[("var", MEM_HIWATER_SLOT)]
         self._pend = [self.sample.slots[("var", nm)]
                       for nm in PENDING_SLOT_NAMES]
         self._mpos = self.sample.slots[("var", MIDI_POS_SLOT)]
@@ -100,18 +140,6 @@ class DeviceExecKernel:
         self.coupled = True          # device @block (engine introspection)
         self.rand_gated = False
         self.n_rand = 0
-
-        # eval-shape the sample step now so unsupported bodies reject at
-        # build time, not at first render
-        import jax.numpy as jnp
-
-        try:
-            jax.eval_shape(
-                self.sample.step,
-                jax.ShapeDtypeStruct((self.sample.n_vars,), jnp.float64),
-                jax.ShapeDtypeStruct((self.sample.total_mem,), jnp.float64))
-        except DevgenError as exc:
-            raise SpecializeError(f"device executor @sample: {exc}") from None
 
     # -- carries --------------------------------------------------------------
 
@@ -148,13 +176,14 @@ class DeviceExecKernel:
                     self.P, self.snap, "sample", self._dyn, samp.mem_size,
                     consts={"samplesblock": float(rem)},
                     force_gmem=self._any_gmem, force_midi_out=self._any_mout,
-                    rand_pool=self._rand_cap)
+                    rand_pool=self._rand_cap, reduced_heap=True)
                 blk_r = DeviceSection(
                     self.P, self.snap, "block", self._dyn, samp.mem_size,
                     consts={"samplesblock": float(rem)},
                     force_gmem=self._any_gmem,
                     force_midi_out=self._any_mout,
-                    rand_pool=self._rand_cap) if blk is not None \
+                    rand_pool=self._rand_cap,
+                    reduced_heap=True) if blk is not None \
                     else None
                 sld_r = sld
             except DevgenError as exc:  # pragma: no cover - build checked
@@ -265,28 +294,77 @@ class DeviceExecKernel:
     def render_device(self, x: np.ndarray, carry=None, midi=None):
         nch, T = x.shape
         assert nch == self.nch
-        fresh = carry is None
-        if carry is None:
-            carry = self.initial_carry()
-        if self.uses_rand:
-            carry = self._stage_rand_pool(carry, fresh)
-        self.last_midi_out = []
-        if midi and not self.accepts_midi:
-            raise SpecializeError(
-                "MIDI events supplied but this kernel has no @block "
-                "midirecv path")
-        if self.accepts_midi:
-            mev, mn = self._midi_planes(midi, T)
-            fn = self._render_fn(T, midi_k=mev.shape[1])
-            out = fn(carry, np.ascontiguousarray(x, np.float32), mev, mn)
-        else:
-            fn = self._render_fn(T)
-            out = fn(carry, np.ascontiguousarray(x, np.float32))
-        if len(out) == 3:
-            y_dev, carry, mo = out
-            self.last_midi_out = self._decode_midi_out(np.asarray(mo))
-            return y_dev, carry
-        return out
+        carry_in = carry
+        rng_save = (self._rng_state, self._rng_prestate)
+        while True:
+            fresh = carry is None
+            if carry is None:
+                carry = self.initial_carry()
+            if self.uses_rand:
+                carry = self._stage_rand_pool(carry, fresh)
+            self.last_midi_out = []
+            if midi and not self.accepts_midi:
+                raise SpecializeError(
+                    "MIDI events supplied but this kernel has no @block "
+                    "midirecv path")
+            if self.accepts_midi:
+                mev, mn = self._midi_planes(midi, T)
+                fn = self._render_fn(T, midi_k=mev.shape[1])
+                out = fn(carry, np.ascontiguousarray(x, np.float32),
+                         mev, mn)
+            else:
+                fn = self._render_fn(T)
+                out = fn(carry, np.ascontiguousarray(x, np.float32))
+            if len(out) == 3:
+                y_dev, carry, mo = out
+            else:
+                y_dev, carry = out
+                mo = None
+            # reduced-heap overflow check: a dynamic write at/beyond
+            # mem_size was dropped — the render is invalid; double the
+            # heap and replay from this render's input state
+            hw = float(np.asarray(carry[0][self._hw]))
+            if hw < self.sample.mem_size:
+                if mo is not None:
+                    self.last_midi_out = self._decode_midi_out(
+                        np.asarray(mo))
+                return y_dev, carry
+            if self.sample.mem_size >= self._full_size:
+                raise SpecializeError(
+                    f"device heap overflow (write at {int(hw)} with "
+                    f"maxmem-sized heap {self.sample.mem_size})")
+            old = self
+            bigger = DeviceExecKernel(
+                self.P, self.snap, self.nch, block_size=self.B,
+                rand_pool=self._rand_pool_req,
+                heap_size=max(self.sample.mem_size * 2,
+                              1 << (int(hw).bit_length())))
+            carry = (None if carry_in is None
+                     else bigger._migrate_carry(old, carry_in))
+            self.__dict__.update(bigger.__dict__)
+            self._rng_state, self._rng_prestate = rng_save
+            carry_in = carry
+
+    def _migrate_carry(self, old: "DeviceExecKernel", carry):
+        """Re-layout an old kernel's (vars, mem) carry onto this kernel's
+        larger heap (grown region zero-filled, heap-tail regions moved to
+        their new bases).  Slot tables are size-independent."""
+        bv, bm = carry
+        bv = np.array(bv, dtype=np.float64, copy=True)
+        bm = np.asarray(bm, dtype=np.float64)
+        o, n = old.sample, self.sample
+        out = np.zeros(n.total_mem, dtype=np.float64)
+        out[:o.mem_size] = bm[:o.mem_size]
+        if o.gmem_cells:
+            out[n.gmem_base:n.gmem_base + o.gmem_cells] = \
+                bm[o.gmem_base:o.gmem_base + o.gmem_cells]
+        if o.midi_out_cells:
+            out[n.midi_out_base:n.midi_out_base + o.midi_out_cells] = \
+                bm[o.midi_out_base:o.midi_out_base + o.midi_out_cells]
+        if o.rand_cells:
+            out[n.rand_base:n.rand_base + o.rand_cells] = \
+                bm[o.rand_base:o.rand_base + o.rand_cells]
+        return (bv, out)
 
     def render(self, x: np.ndarray, carry=None, midi=None):
         y_dev, carry = self.render_device(x, carry, midi=midi)
@@ -379,7 +457,8 @@ class DeviceExecKernel:
             if key[0] == "param":
                 continue
             if key[0] == "var" and key[1] in (MIDI_POS_SLOT,
-                                              RAND_POS_SLOT):
+                                              RAND_POS_SLOT,
+                                              MEM_HIWATER_SLOT):
                 continue
             v = float(bv[slot])
             if key[0] == "var" and key[1] in PENDING_SLOT_NAMES:

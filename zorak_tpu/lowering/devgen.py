@@ -48,6 +48,13 @@ PENDING_SLOT_NAMES = ("__pend_chg__", "__pend_auto__", "__pend_auto_end__")
 MIDI_POS_SLOT = "__midi_pos__"
 MIDI_OUT_CAP = 64  # staged sends per block (drop past this, like the ref queue)
 RAND_POS_SLOT = "__rand_pos__"  # draws consumed from the staged MT19937 pool
+# reduced-heap mode: high-water mark of dynamic plugin-heap WRITE
+# addresses; the render wrapper checks it and rebuilds with a larger
+# heap when a write landed at/beyond mem_size (write dropped, render
+# discarded) — lets the device heap size from OBSERVED use instead of
+# the declared maxmem (8-32M cells), which otherwise dominates
+# while-loop carry traffic
+MEM_HIWATER_SLOT = "__mem_hiwater__"
 
 
 _dft_mat_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
@@ -124,7 +131,7 @@ class DeviceSection:
                  consts: Optional[Dict[str, float]] = None,
                  body: Optional[Sequence[Node]] = None,
                  force_gmem: bool = False, force_midi_out: bool = False,
-                 rand_pool: int = 0):
+                 rand_pool: int = 0, reduced_heap: bool = False):
         """force_gmem / force_midi_out: include the gmem segment / MIDI-OUT
         table in the heap layout even when THIS section doesn't touch them,
         so several sections (block/slider/sample in the sequential device
@@ -140,6 +147,7 @@ class DeviceSection:
         # heap tail; each call consumes pool[cursor] (cursor slot) so the
         # draw SEQUENCE matches the golden exactly.  0 = rand forbidden.
         self.rand_cells = int(rand_pool)
+        self.reduced_heap = bool(reduced_heap)
         # explicit statement list (e.g. an extracted hop-call body) instead
         # of a named section
         self.body = list(body) if body is not None \
@@ -187,7 +195,10 @@ class DeviceSection:
         # pending slider masks (sliderchange/slider_automate from @block
         # retrigger @slider, ref: dsp_jsfx_aot.py:5788-5804): pseudo vars
         # the fused pipeline polls to fire the device @slider section
-        for nm in PENDING_SLOT_NAMES + (MIDI_POS_SLOT, RAND_POS_SLOT):
+        names = PENDING_SLOT_NAMES + (MIDI_POS_SLOT, RAND_POS_SLOT)
+        if self.reduced_heap:
+            names = names + (MEM_HIWATER_SLOT,)
+        for nm in names:
             self.slots[("var", nm)] = len(self.slots)
         self.n_vars = len(self.slots)
 
@@ -426,16 +437,32 @@ class DeviceSection:
         b = jnp.float64(base) if isinstance(base, float) else base
         i = jnp.float64(idx) if isinstance(idx, float) else idx
         a = EM.to_i64(b + i + 1.0e-5)
+        if self.reduced_heap:
+            # raw (>=0) address: reads fill 0 past mem_size, writes drop
+            # and bump the high-water slot so the render wrapper can
+            # rebuild with a larger heap
+            return jnp.maximum(a, 0)
         return jnp.clip(a, 0, self.mem_size - 1)
 
     def _mem_get(self, a):
         if isinstance(a, int):
             return self.mem[a]
+        if self.reduced_heap:
+            jnp = self._jnp
+            return jnp.where(a < self.mem_size,
+                             self.mem[jnp.minimum(a, self.mem_size - 1)],
+                             jnp.float64(0.0))
         return self.mem[a]
 
-    def _mem_set(self, a, v, drop: bool = False):
+    def _mem_set(self, a, v, drop: bool = False, heap: bool = False):
         jnp = self._jnp
         vv = jnp.float64(v) if isinstance(v, float) else v
+        if heap and self.reduced_heap and not isinstance(a, int):
+            hw = ("var", MEM_HIWATER_SLOT)
+            cur = self._arr(self._read_slot(hw))
+            self._write_slot(hw, jnp.maximum(cur, a.astype(jnp.float64)))
+            a = jnp.where(a < self.mem_size, a, self.total_mem)
+            drop = True
         if drop:
             self.mem = self.mem.at[a].set(vv, mode="drop")
         else:
@@ -1206,7 +1233,7 @@ class DeviceSection:
                 cur = self._mem_get(a)
                 out = EM.BINARY[_COMPOUND_OPS[n.op]](self._arr(cur),
                                                      self._arr(rhs))
-            self._mem_set(a, out)
+            self._mem_set(a, out, heap=True)
             return out
         if isinstance(tgt, CallExpr) and tgt.func in ("slider", "spl") \
                 and len(tgt.args) == 1:
@@ -1378,7 +1405,7 @@ class DeviceSection:
                 return
             a = self._mem_addr(self.ex(tgt.base, scope),
                                self.ex(tgt.index, scope))
-            self._mem_set(a, val)
+            self._mem_set(a, val, heap=True)
             return
         raise DevgenError(f"{fn}: out-arg must be an lvalue")
 
@@ -1872,7 +1899,7 @@ class DeviceSection:
         if isinstance(node, Mem):
             b = self.ex(node.base, scope)
             i = self.ex(node.index, scope)
-            self._mem_set(self._mem_addr(b, i), value)
+            self._mem_set(self._mem_addr(b, i), value, heap=True)
             return
         raise DevgenError("unsupported out-parameter lvalue")
 
