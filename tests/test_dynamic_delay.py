@@ -78,3 +78,44 @@ class TestDynamicReads:
         except SpecializeError as exc:
             pytest.skip(f"DPT not vectorizable yet: {exc}")
         assert rep.audio_passed, rep.summary()
+
+
+class TestRingRingCycles:
+    SRC = ("@init\nbufA = 0; bufB = 4096;\n"
+           "@sample\n"
+           "ia += 1; ia >= 1024 ? ia = 0;\n"
+           "ib += 1; ib >= 1024 ? ib = 0;\n"
+           "ra = ia - 600; ra < 0 ? ra += 1024;\n"
+           "rb = ib - 700; rb < 0 ? rb += 1024;\n"
+           "bufA[ia] = spl0 * 0.5 + bufB[rb] * 0.4;\n"
+           "bufB[ib] = spl0 * 0.3 + bufA[ra] * 0.45;\n"
+           "spl0 = bufA[ra] * 0.5 + bufB[rb] * 0.5;\n")
+
+    def test_cycle_breaks_via_time_blocked_segments(self):
+        # mutually-coupled delay lines (A reads B's 700-sample-old output
+        # while B reads A's 600-sample-old output): vectorizable once the
+        # segment shrinks below the minimum coupling delay — the retry
+        # ladder must land on L=512 and null-test bit-exact
+        prog = compile_plugin_source(self.SRC)
+        snap = make_initialized_shadow(prog, 48000.0, None)
+        kern = specialize_sample_kernel(prog, snap.state, 1,
+                                        segment_len=1 << 14)
+        assert kern.L == 512  # shrunk from 16384 to the coupling bound
+        rep = null_test_plugin(prog, noise(1, 5000), segment_len=1 << 14)
+        assert rep.passed, rep.summary()
+
+    def test_unbreakable_cycle_still_rejects(self):
+        # 1-sample mutual coupling cannot be time-blocked (min delay <
+        # one block) — must reject honestly, not loop
+        src = ("@init\nbufA = 0; bufB = 256;\n"
+               "@sample\n"
+               "i += 1; i >= 64 ? i = 0;\n"
+               "p = i - 1; p < 0 ? p += 64;\n"
+               "bufA[i] = spl0 + bufB[p] * 0.4;\n"
+               "bufB[i] = spl0 - bufA[p] * 0.3;\n"
+               "spl0 = bufA[p];\n")
+        prog = compile_plugin_source(src)
+        snap = make_initialized_shadow(prog, 48000.0, None)
+        with pytest.raises(SpecializeError):
+            specialize_sample_kernel(prog, snap.state, 1,
+                                     segment_len=1 << 14)

@@ -108,11 +108,16 @@ class DeviceExecKernel:
                 for sec in (self.block, self.slider, self.sample):
                     if sec is None:
                         continue
+                    kw = {}
+                    if sec.uses_midi_in:
+                        kw["midi"] = (
+                            jax.ShapeDtypeStruct((1, 4), jnp.float64),
+                            jax.ShapeDtypeStruct((), jnp.float64))
                     jax.eval_shape(
                         sec.step,
                         jax.ShapeDtypeStruct((sec.n_vars,), jnp.float64),
                         jax.ShapeDtypeStruct((sec.total_mem,),
-                                             jnp.float64))
+                                             jnp.float64), **kw)
                 break
             except DevgenError as exc:
                 grows = "beyond device heap" in str(exc)

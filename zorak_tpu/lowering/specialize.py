@@ -65,6 +65,16 @@ class _SettledRetry(Exception):
         self.violations = violations
 
 
+class _SegmentRetry(Exception):
+    """Internal: ring-ring delay cycles break when the segment shrinks to
+    the minimum cross-ring coupling delay (time-blocked scans) — rebuild
+    the kernel with this segment length."""
+
+    def __init__(self, segment_len: int):
+        super().__init__(f"segment retry {segment_len}")
+        self.segment_len = int(segment_len)
+
+
 class SpecializeError(Exception):
     """Raised when @sample uses features outside the vectorizable subset."""
 
@@ -3002,9 +3012,13 @@ class SpecializedSampleKernel:
         # current-segment source (delay shorter than the longest segment;
         # reads reaching only into carry history are cycle-free)
         if sym.ring_writes:
-            redges: Dict[Tuple[int, int], Set[Tuple[int, int]]] = {}
+            # edge R1 -> R2 carries the MINIMUM coupling delay; a cycle
+            # whose edges all reach back >= some D can be broken by
+            # shrinking the segment to L <= D (time-blocked scans: the
+            # other ring's values then always come from carry history)
+            redges: Dict[Tuple[int, int], Dict[Tuple[int, int], int]] = {}
             for region, ws in sym.ring_writes.items():
-                rdeps: Set[Tuple[int, int]] = set()
+                rdeps: Dict[Tuple[int, int], int] = {}
                 stack_n = [w.value for w in ws
                            if isinstance(w.value, GNode)]
                 seen_n2: Set[int] = set()
@@ -3017,7 +3031,8 @@ class SpecializedSampleKernel:
                                    if isinstance(a, GNode))
                     if nd.kind == "dynringref" \
                             and nd.meta["region"] in sym.ring_writes:
-                        rdeps.add(nd.meta["region"])
+                        # audio-dependent tap: delay unknowable -> 0
+                        rdeps[nd.meta["region"]] = 0
                     elif nd.kind == "ringref" \
                             and nd.meta["region"] in sym.ring_writes:
                         r2 = nd.meta["region"]
@@ -3032,7 +3047,8 @@ class SpecializedSampleKernel:
                                 for u in sym.ring_writes[r2]):
                             delay = w2.mod
                         if delay < self.L:
-                            rdeps.add(r2)
+                            rdeps[r2] = min(rdeps.get(r2, delay),
+                                            int(delay))
                 redges[region] = rdeps
 
             color: Dict[Tuple[int, int], int] = {}
@@ -3048,9 +3064,19 @@ class SpecializedSampleKernel:
 
             for r in redges:
                 if color.get(r) is None and not rdfs(r):
+                    # time-blocked retry: the shortest edge bounds the
+                    # largest cycle-free segment.  Conservative (uses the
+                    # global min, not just cycle edges); iterating
+                    # converges since L strictly shrinks.
+                    dmin = min((d for deps in redges.values()
+                                for d in deps.values()), default=0)
+                    l_new = (dmin // self.B) * self.B
+                    if l_new >= self.B and l_new < self.L:
+                        raise _SegmentRetry(l_new)
                     raise SpecializeError(
                         "cyclic delay-line coupling between ring buffers "
-                        "within one segment — not vectorizable yet")
+                        "within one segment — not vectorizable yet "
+                        f"(min coupling delay {dmin} < block {self.B})")
 
         # cross-variable cycles (v depends on prev(w), w on prev(v)) are fine:
         # prev() only needs the other var's solved stream shifted by one — but a
@@ -4034,5 +4060,14 @@ class SpecializedSampleKernel:
 def specialize_sample_kernel(program: PluginProgram, snapshot, nch: int,
                              segment_len: int = 1 << 17,
                              block_size: int = 512) -> SpecializedSampleKernel:
-    return SpecializedSampleKernel(program, snapshot, nch, segment_len,
-                                   block_size=block_size)
+    # time-blocked scans: ring-ring delay cycles break when the segment
+    # shrinks below the minimum cross-ring coupling delay — each retry
+    # strictly shrinks L, so this terminates
+    for _ in range(12):
+        try:
+            return SpecializedSampleKernel(program, snapshot, nch,
+                                           segment_len,
+                                           block_size=block_size)
+        except _SegmentRetry as r:
+            segment_len = r.segment_len
+    raise SpecializeError("segment-shrink retry did not converge")

@@ -252,10 +252,14 @@ def catalog_stacked_render(renderers: Dict[str, "BatchRenderer"],
             jax.device_put(ctrl), jax.device_put(rand)))
 
     if groups is None:
-        heavy = [s for s in entries
-                 if renderers[s].kernel.coupled
-                 or renderers[s].kernel._hop is not None]
-        light = [s for s in entries if s not in heavy]
+        # group from THIS call's renderers — a shared plan's entries
+        # cache holds every slug ever staged, including ones not being
+        # rendered now
+        heavy = [s for s in renderers if s in entries
+                 and (renderers[s].kernel.coupled
+                      or renderers[s].kernel._hop is not None)]
+        light = [s for s in renderers
+                 if s in entries and s not in heavy]
         # bound each fused program's size: one 14-plugin program
         # SIGKILLed the remote TPU compiler
         groups = [light[i:i + 5] for i in range(0, len(light), 5)]
