@@ -120,13 +120,22 @@ def run_suite_configs(budget_s: float) -> dict:
             for grp in groups:
                 if time.time() > t_end:
                     break
-                try:
-                    outs, _ = catalog_stacked_render(
-                        {s: renderers[s] for s in grp}, xc, plan=plan)
-                    jax.block_until_ready(list(outs.values()))
-                    warmed.append(grp)
-                except Exception as exc:  # noqa: BLE001
-                    log(f"suite catalog: group {grp} failed: {exc}")
+                # one retry per group: the tunnel's remote compile server
+                # occasionally drops mid-compile (connection refused) and
+                # recovers; successful compiles are banked in the
+                # persistent cache either way
+                for attempt in (0, 1):
+                    try:
+                        outs, _ = catalog_stacked_render(
+                            {s: renderers[s] for s in grp}, xc, plan=plan)
+                        jax.block_until_ready(list(outs.values()))
+                        warmed.append(grp)
+                        break
+                    except Exception as exc:  # noqa: BLE001
+                        log(f"suite catalog: group {grp} failed: {exc}")
+                        if attempt or time.time() > t_end:
+                            break
+                        time.sleep(30.0)
             if warmed:
                 sel = {s: renderers[s] for g in warmed for s in g}
                 t0 = time.perf_counter()

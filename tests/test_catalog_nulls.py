@@ -22,7 +22,7 @@ RUN_SLOW = os.environ.get("RUN_SLOW") == "1"
 
 # fused/coupled pipelines whose compile is minutes-scale per slider config
 HEAVY = {"TSEQ", "ERBTilt", "DOT", "SpectralStabilizer", "CMD",
-         "PsychoConvolver", "Roomalizer"}
+         "PsychoConvolver", "Roomalizer", "Contour"}
 
 
 def _vectorizable_specs():

@@ -192,6 +192,25 @@ class TestDeviceExec:
         # the bail kept the trace small: merges ~= one body, not 16x
         assert kern.sample._n_merges < 100
 
+    def test_fft_at_traced_base(self):
+        # fft_real at a data-dependent base pointer: the WDL FFT family
+        # must run through the dynamic-slice path (Sample.jsfx's decrust
+        # passes its fft buffers through vars the trace cannot fold)
+        src = ("@init\nbufA = 1024; bufB = 2048;\nacc = 0;\n"
+               "@sample\n"
+               "sel = spl0 > 0 ? bufA : bufB;\n"
+               "sel[w] = spl0;\n"
+               "w += 1;\n"
+               "w >= 64 ? (\n"
+               "  w = 0;\n"
+               "  fft_real(sel, 64);\n"
+               "  fft_permute(sel, 16);\n"
+               "  acc = sel[0] * 0.01 + sel[2] * 0.005;\n"
+               "  j = 0; loop(64, sel[j] = 0; j += 1;);\n"
+               ");\n"
+               "spl0 = spl0 * 0.5 + acc * 0.001;\n")
+        _null(src, noise(1, 2000))
+
     def test_reduced_heap_grows_on_overflow(self):
         # the device heap sizes from observed post-@init use (4096 min),
         # NOT declared maxmem; a dynamic write past it must bump the

@@ -2061,9 +2061,11 @@ class DeviceSection:
             dest = self.ex(args[0], scope)
             size = self.ex(args[1], scope)
             src = None
-        if not isinstance(size, float) or not isinstance(dest, float) \
+        if not isinstance(size, float):
+            raise DevgenError(f"{which} with non-static size")
+        if not isinstance(dest, float) \
                 or (src is not None and not isinstance(src, float)):
-            raise DevgenError(f"{which} with non-static base/size")
+            return self._fft_call_dyn(which, dest, src, size)
         jnp = self._jnp
         sz = FO._round_index(size)
         da = max(0, FO._round_index(dest))
@@ -2082,10 +2084,15 @@ class DeviceSection:
             sa = max(0, FO._round_index(src))
             if (n <= 0 or n > FO.PAGE_DOUBLES // 2
                     or not FO._same_page(da, 2 * n)
-                    or not FO._same_page(sa, 2 * n)
-                    or da + 2 * n > self.mem_size
-                    or sa + 2 * n > self.mem_size):
+                    or not FO._same_page(sa, 2 * n)):
                 return 0.0  # WDL guard: silent no-op
+            if da + 2 * n > self.mem_size or sa + 2 * n > self.mem_size:
+                if self.reduced_heap:
+                    # the golden grows its heap for this call
+                    raise DevgenError(
+                        f"{which}: static mem address beyond device heap "
+                        f"({self.mem_size})")
+                return 0.0
             dr, di = load_complex(da, n)
             sr, si = load_complex(sa, n)
             store_complex(da, dr * sr - di * si, dr * si + di * sr)
@@ -2097,7 +2104,14 @@ class DeviceSection:
             span = 2 * sz
         else:
             span = sz
-        if not FO._same_page(da, span) or da + span > self.mem_size:
+        if not FO._same_page(da, span):
+            return 0.0
+        if da + span > self.mem_size:
+            if self.reduced_heap:
+                # the golden grows its heap for this call
+                raise DevgenError(
+                    f"{which}: static mem address beyond device heap "
+                    f"({self.mem_size})")
             return 0.0
         if which in ("fft", "ifft", "fft_real", "ifft_real") \
                 and sz > self._DFT_MAX:
@@ -2150,4 +2164,115 @@ class DeviceSection:
             # irfft(R, n) * 2n  ==  2 * unnormalized hermitian IDFT
             self._mark_mem_dirty()
             self.mem = self.mem.at[da:da + sz].set(2.0 * xr)
+        return 0.0
+
+    def _fft_call_dyn(self, which: str, dest, src, size: float):
+        """WDL FFT family at a TRACED base pointer (static size): the mem
+        span moves through lax.dynamic_slice/dynamic_update_slice, the
+        WDL page guard becomes a traced select (silent no-op semantics
+        preserved), and in reduced-heap mode a base reaching past the
+        heap bumps the high-water slot so the render rebuilds bigger
+        (the golden grows its heap for the same call)."""
+        import jax
+
+        from ..runtime import fftops as FO
+
+        jnp = self._jnp
+        sz = FO._round_index(size)
+        if which in ("fft", "ifft", "fft_permute", "fft_ipermute"):
+            span = 2 * sz
+        elif which == "convolve_c":
+            span = 2 * sz
+        else:
+            span = sz
+        if which == "convolve_c":
+            if sz <= 0 or sz > FO.PAGE_DOUBLES // 2:
+                return 0.0
+        elif not FO._pow2_ok(sz):
+            return 0.0
+        if which in ("fft", "ifft", "fft_real", "ifft_real") \
+                and sz > self._DFT_MAX:
+            raise DevgenError(f"{which} size {sz} beyond device DFT bound")
+        if span > self.mem_size:
+            raise DevgenError(
+                f"{which} span {span} beyond device heap ({self.mem_size})")
+
+        P = FO.PAGE_DOUBLES
+
+        def base_ok(b):
+            page = (b // P) == ((b + span - 1) // P)
+            ok_sz = (b + span) <= self.mem_size
+            if self.reduced_heap:
+                hw = ("var", MEM_HIWATER_SLOT)
+                cur = self._arr(self._read_slot(hw))
+                bump = jnp.where(page & ~ok_sz,
+                                 (b + span - 1).astype(jnp.float64), -1.0)
+                self._write_slot(hw, jnp.maximum(cur, bump))
+            return page & ok_sz
+
+        da = jnp.maximum(EM.to_i64(self._arr(dest)), 0)
+        ok = base_ok(da)
+        if which == "convolve_c":
+            sa = jnp.maximum(EM.to_i64(self._arr(src)), 0)
+            ok = ok & base_ok(sa)
+            safe_s = jnp.where(ok, sa, 0)
+        safe = jnp.where(ok, da, 0)
+        buf = jax.lax.dynamic_slice(self.mem, (safe,), (span,))
+
+        if which == "convolve_c":
+            sbuf = jax.lax.dynamic_slice(self.mem, (safe_s,), (span,))
+            d = buf.reshape(sz, 2)
+            s = sbuf.reshape(sz, 2)
+            dr, di = d[:, 0], d[:, 1]
+            sr, si = s[:, 0], s[:, 1]
+            new = jnp.stack([dr * sr - di * si, dr * si + di * sr],
+                            axis=1).reshape(-1)
+        elif which == "fft":
+            c = buf.reshape(sz, 2)
+            xr, xi = self._dft(c[:, 0], c[:, 1], sz, inverse=False)
+            ip = jnp.asarray(FO.iperm_table(sz))
+            new = jnp.stack([xr[ip], xi[ip]], axis=1).reshape(-1)
+        elif which == "ifft":
+            c = buf.reshape(sz, 2)
+            p = jnp.asarray(FO.perm_table(sz))
+            xr, xi = self._dft(c[:, 0][p], c[:, 1][p], sz, inverse=True)
+            new = jnp.stack([xr, xi], axis=1).reshape(-1)
+        elif which == "fft_permute":
+            c = buf.reshape(sz, 2)
+            p = jnp.asarray(FO.perm_table(sz))
+            new = jnp.stack([c[:, 0][p], c[:, 1][p]], axis=1).reshape(-1)
+        elif which == "fft_ipermute":
+            c = buf.reshape(sz, 2)
+            ip = jnp.asarray(FO.iperm_table(sz))
+            new = jnp.stack([c[:, 0][ip], c[:, 1][ip]],
+                            axis=1).reshape(-1)
+        elif which == "fft_real":
+            half = sz // 2
+            zero = jnp.zeros_like(buf)
+            Rr, Ri = self._dft(buf, zero, sz, inverse=False)
+            Rr, Ri = 2.0 * Rr[:half + 1], 2.0 * Ri[:half + 1]
+            nat_r = Rr[:half]
+            nat_i = Ri[:half].at[0].set(Rr[half])
+            ip = jnp.asarray(FO.iperm_table(half))
+            new = jnp.stack([nat_r[ip], nat_i[ip]], axis=1).reshape(-1)
+        elif which == "ifft_real":
+            half = sz // 2
+            c = buf.reshape(half, 2)
+            p = jnp.asarray(FO.perm_table(half))
+            nr, ni = c[:, 0][p], c[:, 1][p]
+            Rr = jnp.concatenate([nr / 2.0, ni[:1] / 2.0])
+            Ri = jnp.concatenate([ni / 2.0, jnp.zeros((1,))])
+            Rr = Rr.at[0].set(nr[0] / 2.0)
+            Ri = Ri.at[0].set(0.0)
+            Ri = Ri.at[half].set(0.0)
+            fr = jnp.concatenate([Rr, Rr[1:half][::-1]])
+            fi = jnp.concatenate([Ri, -Ri[1:half][::-1]])
+            xr, _xi = self._dft(fr, fi, sz, inverse=True)
+            new = 2.0 * xr
+        else:  # pragma: no cover
+            raise DevgenError(f"unknown fft call {which}")
+
+        upd = jnp.where(ok, new, buf)
+        self._mark_mem_dirty()
+        self.mem = jax.lax.dynamic_update_slice(self.mem, upd, (safe,))
         return 0.0
