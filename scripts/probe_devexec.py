@@ -1,0 +1,36 @@
+"""Probe: run a catalog plugin through the sequential device executor
+(CPU-forced) and null-test a short render vs the Python golden.
+
+Usage: python scripts/probe_devexec.py <slug-substr> [T] [block]
+"""
+import sys
+import time
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+
+from zorak_tpu.catalog import discover
+from zorak_tpu.verify.nulltest import null_test_plugin
+
+specs = {s.slug: s for s in discover("/root/reference")}
+slug = sys.argv[1] if len(sys.argv) > 1 else "texture"
+T = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
+B = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+cand = [k for k in specs if slug.lower() in k.lower()]
+print("candidates:", cand, flush=True)
+spec = specs[cand[0]]
+prog = spec.load_program()
+
+rng = np.random.default_rng(7)
+x = (rng.standard_normal((2, T)) * 0.25).astype(np.float32)
+
+t0 = time.time()
+rep = null_test_plugin(prog, x, 48000.0, block_size=B,
+                       compare_state=True, compare_mem=True,
+                       golden="native", engine="devexec")
+print(f"elapsed {time.time()-t0:.1f}s", flush=True)
+print(rep.summary())
+print("PASSED" if rep.passed else "FAILED")
