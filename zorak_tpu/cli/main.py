@@ -203,6 +203,55 @@ spl1 *= g;
 """
 
 
+def cmd_help(args) -> int:
+    """Render a plugin's embedded README help — the offline form of the
+    reference editor's '?' markdown panel (ref: src/PluginMarkdownHelp.h:
+    28-59 source selection + fallback, :830-859 title from the README).
+    Adds a generated Controls reference from the slider metadata, like
+    the editor's control surface."""
+    from ..utils.mdtext import NO_README_FALLBACK, render_markdown
+
+    ansi = sys.stdout.isatty() and not args.plain
+    found = False
+    for s in _specs(args):
+        found = True
+        md = s.help_markdown() or NO_README_FALLBACK
+        if args.raw:
+            print(md, end="" if md.endswith("\n") else "\n")
+            continue
+        print(render_markdown(md, width=args.width, ansi=ansi), end="")
+        if s.plugin_type == "jsfx" and not args.no_controls:
+            try:
+                prog = s.load_program()
+            except Exception:  # noqa: BLE001 — help must not hard-fail
+                continue
+            rows = []
+            for d in prog.slider_decls:
+                if d.hidden:
+                    continue
+                if d.is_string or d.is_choice:
+                    rng = "choice" if d.is_choice else "text"
+                else:
+                    rng = f"{d.lo:g}..{d.hi:g}" \
+                        if d.lo is not None and d.hi is not None else ""
+                    if d.default is not None:
+                        rng += f" (default {d.default:g})"
+                lbl = d.label or ""
+                if d.tooltip:
+                    lbl += f" — {d.tooltip}"
+                rows.append((f"slider{d.index0 + 1}", lbl, rng))
+            if rows:
+                ctl = ["", "## Controls", ""]
+                ctl += [f"- `{n}` — {lbl}" + (f" `{rng}`" if rng else "")
+                        for n, lbl, rng in rows]
+                print(render_markdown("\n".join(ctl), width=args.width,
+                                      ansi=ansi), end="")
+    if not found:
+        print("no matching plugin", file=sys.stderr)
+        return 2
+    return 0
+
+
 def cmd_new_plugin(args) -> int:
     """Scaffold a catalog leaf (ref: scripts/new_plugin.py)."""
     import json as _json
@@ -269,6 +318,17 @@ def main(argv=None) -> int:
     p.add_argument("--srate", type=float, default=48000.0)
     p.add_argument("--json", action="store_true")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("help")
+    common(p)
+    p.add_argument("--raw", action="store_true",
+                   help="print the raw embedded markdown")
+    p.add_argument("--plain", action="store_true",
+                   help="disable ANSI styling")
+    p.add_argument("--width", type=int, default=78)
+    p.add_argument("--no-controls", action="store_true",
+                   help="omit the generated Controls reference")
+    p.set_defaults(fn=cmd_help)
 
     p = sub.add_parser("new-plugin")
     p.add_argument("--catalog", required=True,
