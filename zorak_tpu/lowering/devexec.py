@@ -67,11 +67,22 @@ class DeviceExecKernel:
             size = min(self._full_size,
                        1 << max(12, (2 * max(used, 1) - 1).bit_length()))
 
+        import os
+        import sys
+        import time as _time
+
+        def _dbg(msg: str) -> None:
+            if os.environ.get("ZORAK_DEVEXEC_DEBUG"):
+                print(f"[devexec +{_time.time() - _t0:7.1f}s] {msg}",
+                      file=sys.stderr, flush=True)
+
+        _t0 = _time.time()
         probe = None
         while True:
             try:
                 # layout union probe (construction only scans the AST)
                 if probe is None:
+                    _dbg(f"probe build (heap {size})")
                     probe = {s: DeviceSection(
                         program, snapshot, s, self._dyn, size,
                         consts={"samplesblock": float(self.B)},
@@ -95,6 +106,7 @@ class DeviceExecKernel:
                         force_midi_out=self._any_mout,
                         rand_pool=self._rand_cap, reduced_heap=True)
 
+                _dbg(f"section builds (heap {size})")
                 self.sample = build("sample", self.B)
                 self.block = (build("block", self.B)
                               if "block" in secs else None)
@@ -108,6 +120,7 @@ class DeviceExecKernel:
                 for sec in (self.block, self.slider, self.sample):
                     if sec is None:
                         continue
+                    _dbg(f"trace {sec.section} (heap {size})")
                     kw = {}
                     if sec.uses_midi_in:
                         kw["midi"] = (
@@ -118,11 +131,23 @@ class DeviceExecKernel:
                         jax.ShapeDtypeStruct((sec.n_vars,), jnp.float64),
                         jax.ShapeDtypeStruct((sec.total_mem,),
                                              jnp.float64), **kw)
+                _dbg("build done")
                 break
             except DevgenError as exc:
                 grows = "beyond device heap" in str(exc)
                 if grows and size < self._full_size:
-                    size *= 2
+                    _dbg(f"heap ladder: {exc}")
+                    # the message carries the offending static address —
+                    # jump the ladder straight there (each retry re-traces
+                    # every section; doubling blind is minutes per step on
+                    # the multi-kLoC plugins)
+                    import re as _re
+
+                    m = _re.search(r"address (\d+)", str(exc))
+                    need = int(m.group(1)) if m else 0
+                    size = min(self._full_size,
+                               max(size * 2,
+                                   1 << max(12, (need - 1).bit_length())))
                     continue
                 raise SpecializeError(
                     f"device executor: {exc}") from None

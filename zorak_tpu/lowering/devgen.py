@@ -1964,7 +1964,7 @@ class DeviceSection:
             n_items = min(want, max(0, len(inter) - h.cursor))
             if n_items:
                 if dst + n_items > self.mem_size:
-                    raise DevgenError("file_mem beyond device heap")
+                    raise DevgenError(f"file_mem: static mem address {dst + n_items} beyond device heap")
                 chunk = np.asarray(inter[h.cursor:h.cursor + n_items],
                                    dtype=np.float64)
                 self._mark_mem_dirty()
@@ -1988,7 +1988,7 @@ class DeviceSection:
         if isinstance(dest, float):
             a = SC.blob_address(dest)
             if a + ln > self.mem_size:
-                raise DevgenError("memset beyond device heap")
+                raise DevgenError(f"memset: static mem address {a + ln} beyond device heap")
             self._mark_mem_dirty()
             self.mem = self.mem.at[a:a + ln].set(fill)
         else:
@@ -2015,7 +2015,7 @@ class DeviceSection:
         if isinstance(src, float):
             sa = SC.blob_address(src)
             if sa + ln > self.mem_size:
-                raise DevgenError("memcpy src beyond device heap")
+                raise DevgenError(f"memcpy: static mem address {sa + ln} beyond device heap")
             chunk = self.mem[sa:sa + ln]
         else:
             sa = jnp.clip(EM.to_i64(src + 1.0e-5), 0, self.mem_size - ln)
@@ -2023,7 +2023,7 @@ class DeviceSection:
         if isinstance(dest, float):
             da = SC.blob_address(dest)
             if da + ln > self.mem_size:
-                raise DevgenError("memcpy dest beyond device heap")
+                raise DevgenError(f"memcpy: static mem address {da + ln} beyond device heap")
             self._mark_mem_dirty()
             self.mem = self.mem.at[da:da + ln].set(chunk)
         else:
@@ -2090,8 +2090,8 @@ class DeviceSection:
                 if self.reduced_heap:
                     # the golden grows its heap for this call
                     raise DevgenError(
-                        f"{which}: static mem address beyond device heap "
-                        f"({self.mem_size})")
+                        f"{which}: static mem address {da + 2 * n} "
+                        f"beyond device heap ({self.mem_size})")
                 return 0.0
             dr, di = load_complex(da, n)
             sr, si = load_complex(sa, n)
@@ -2110,8 +2110,8 @@ class DeviceSection:
             if self.reduced_heap:
                 # the golden grows its heap for this call
                 raise DevgenError(
-                    f"{which}: static mem address beyond device heap "
-                    f"({self.mem_size})")
+                    f"{which}: static mem address {da + span} beyond "
+                    f"device heap ({self.mem_size})")
             return 0.0
         if which in ("fft", "ifft", "fft_real", "ifft_real") \
                 and sz > self._DFT_MAX:
