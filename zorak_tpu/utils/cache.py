@@ -53,8 +53,12 @@ def enable_persistent_cache(min_compile_secs: float = 10.0) -> str:
     import jax
 
     raise_map_count()
-    path = os.path.expanduser(
-        f"~/.cache/zorak_tpu/jaxcache-{host_fingerprint()}")
+    # TPU executables are serialized device programs — valid regardless of
+    # which host the container lands on, so key them by backend name only.
+    # XLA:CPU AOT output is host-feature-specific (see host_fingerprint).
+    backend = jax.default_backend()
+    key = host_fingerprint() if backend == "cpu" else backend
+    path = os.path.expanduser(f"~/.cache/zorak_tpu/jaxcache-{key}")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
