@@ -39,6 +39,18 @@ from ..ir.symbols import dollar_const, slider_index, spl_index
 from ..semantics import scalar as SC
 from . import eelmath as EM
 
+import os as _os
+import sys as _sys
+import time as _time
+
+_DEVGEN_DEBUG = bool(_os.environ.get("ZORAK_DEVEXEC_DEBUG"))
+
+
+def _trace_note(msg: str) -> None:
+    if _DEVGEN_DEBUG:
+        print(f"[devgen trace] {msg}", file=_sys.stderr, flush=True)
+
+
 
 class DevgenError(Exception):
     """Section uses a construct the device executor does not support."""
@@ -329,8 +341,13 @@ class DeviceSection:
         # starts from a pristine cursor state (loads are self-contained
         # within one @block invocation — open/read/close)
         self._files = self._fresh_file_service()
-        for stmt in self.body:
+        t_last = _time.time()
+        for si, stmt in enumerate(self.body):
             self.ex(stmt)
+            if _DEVGEN_DEBUG and _time.time() - t_last > 30.0:
+                t_last = _time.time()
+                _trace_note(f"@{self.section} stmt {si + 1}/"
+                            f"{len(self.body)} (merges {self._n_merges})")
         return self.vars, self.mem
 
     def _fresh_file_service(self):
@@ -976,7 +993,9 @@ class DeviceSection:
                 if trip > (1 << 16):
                     raise DevgenError("file-reading loop too long to unroll")
                 last: Any = 0.0
-                for _ in range(trip):
+                for _it in range(trip):
+                    if _it and _it % 8192 == 0:
+                        _trace_note(f"file-loop unroll {_it}/{trip}")
                     last = self.ex(n.body, scope)
                 return last
             if trip <= 8:
@@ -1031,6 +1050,8 @@ class DeviceSection:
                 guard -= 1
                 if guard < 0:
                     raise DevgenError("file-reading while() too long")
+                if guard % 8192 == 0:
+                    _trace_note(f"file-while unroll (guard {guard})")
                 self.ex(n.body, scope)
                 p0 = self.ex(n.pred, scope)
             if isinstance(p0, float):
@@ -1063,6 +1084,9 @@ class DeviceSection:
                 guard -= 1
                 if guard < 0:
                     raise DevgenError("static while() too long to unroll")
+                if guard % 8192 == 0:
+                    _trace_note(f"static-while unroll (guard {guard}, "
+                                f"merges {self._n_merges})")
                 if self._n_merges - m0 > self._UNROLL_MERGE_BUDGET:
                     bailed = True
                     break
