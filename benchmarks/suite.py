@@ -54,6 +54,8 @@ def main():
     ap.add_argument("--seconds", type=float, default=60.0)
     ap.add_argument("--catalog", default="/root/reference")
     ap.add_argument("--configs", default="ddt,stft,denoiser,convolution,catalog")
+    ap.add_argument("--files", type=int, default=4,
+                    help="files-axis width for catalog_files")
     args = ap.parse_args()
 
     import jax
@@ -125,7 +127,7 @@ def main():
         from zorak_tpu.parallel import build_catalog_renderers, \
             catalog_batch_render
 
-        short = int(min(secs, 10.0) * srate)
+        short = int(min(secs, 30.0) * srate)
         x = (rng.randn(2, short) * 0.25).astype(np.float32)
         log("catalog: specializing kernels")
         renderers, skipped = build_catalog_renderers(args.catalog,
@@ -158,6 +160,37 @@ def main():
         wall = time.perf_counter() - t0
         emit("catalog_sweep_stacked", len(outs) * short / srate / wall,
              {"plugins_vectorized": len(outs), "dispatches": nd})
+
+    if "catalog_files" in configs:
+        # BASELINE config 5: whole catalog x N files vmapped on one chip —
+        # the files axis multiplies audio-seconds per dispatch, amortizing
+        # tunnel latency AND filling the chip (independent lanes)
+        from zorak_tpu.parallel import build_catalog_renderers
+
+        F = int(args.files)
+        short = int(min(secs, 30.0) * srate)
+        xf = (rng.randn(F, 2, short) * 0.25).astype(np.float32)
+        log(f"catalog_files: specializing ({F} files)")
+        renderers, skipped = build_catalog_renderers(args.catalog,
+                                                     segment_len=1 << 16)
+        # heavy coupled pipelines stay out: per-file carries vmap but the
+        # per-sample scan dominates and the F-fold compile is minutes each
+        light = {s: r for s, r in renderers.items()
+                 if not r.kernel.coupled and r.kernel._hop is None}
+        log(f"catalog_files: warmup ({len(light)} plugins)")
+        outs = {}
+        for slug, r in light.items():
+            xi = xf[:, : r.nch]
+            outs[slug] = r.render_files(xi)
+        jax.block_until_ready(list(outs.values()))
+        log("catalog_files: timed render")
+        t0 = time.perf_counter()
+        for slug, r in light.items():
+            outs[slug] = r.render_files(xf[:, : r.nch])
+        jax.block_until_ready(list(outs.values()))
+        wall = time.perf_counter() - t0
+        emit("catalog_files_batch", len(light) * F * short / srate / wall,
+             {"plugins": len(light), "files": F})
 
     if "coupled" in configs:
         # fused block/sample plugins at a larger host block (a host's

@@ -3628,11 +3628,21 @@ class SpecializedSampleKernel:
         state (@block counters/envelopes persist across renders like the
         reference's long-lived state struct); the kernel tracks ONE
         resumable stream — pair each resumed carry with its own kernel."""
-        from ..shadow import compile_shadow
         from ..shadow.state import MidiEvent
 
         if self._traj_plugin is None:
-            self._traj_plugin = compile_shadow(self.P)
+            # the C golden interprets @block 10-50x faster than pyexec and
+            # is bit-identical by contract (tests/test_native_shadow.py);
+            # host-side trajectory interpretation is THE wall of catalog
+            # sweeps (2,813 blocks per 30 s render x ~20 plugins)
+            try:
+                from ..shadow import compile_native_shadow
+
+                self._traj_plugin = compile_native_shadow(self.P)
+            except Exception:  # noqa: BLE001 — gcc absent / codegen gap
+                from ..shadow import compile_shadow
+
+                self._traj_plugin = compile_shadow(self.P)
         plug = self._traj_plugin
         src = self.last_control_state if (resume and
                                           self.last_control_state is not None) \
