@@ -101,7 +101,10 @@ def run_suite_configs(budget_s: float) -> dict:
             from zorak_tpu.parallel import (build_catalog_renderers,
                                             catalog_stacked_render)
 
-            short = int(10.0 * srate)
+            # 30 s per plugin: the sweep wall is tunnel dispatch + host
+            # overhead (near T-independent once staged on device), so a
+            # longer input raises aggregate audio-seconds ~linearly
+            short = int(30.0 * srate)
             xc = (rng.randn(2, short) * 0.25).astype(np.float32)
             log("suite catalog: specializing")
             renderers, skipped = build_catalog_renderers(

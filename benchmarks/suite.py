@@ -133,8 +133,13 @@ def main():
         renderers, skipped = build_catalog_renderers(args.catalog,
                                                      segment_len=1 << 16)
         log("catalog: compiling (warmup render)")
-        outs, _ = catalog_batch_render(args.catalog, x, renderers=renderers)
-        jax.block_until_ready(list(outs.values()))
+        outs = {}
+        for slug, r in renderers.items():
+            log(f"catalog: warmup {slug}")
+            xi = x[None, : r.nch] if x.shape[0] >= r.nch else \
+                np.broadcast_to(x[None, :1], (1, r.nch, x.shape[1]))
+            outs[slug] = r.render_files(np.ascontiguousarray(xi))
+            jax.block_until_ready(outs[slug])
         # timed pass: kernels specialized AND compiled; render only
         log("catalog: timed render")
         t0 = time.perf_counter()
