@@ -175,6 +175,10 @@ class DeviceSection:
         self.comm_solo = (not isinstance(host, InstanceComm)
                           or bool(getattr(host, "comm_solo", False)))
         self._validate(self.body)
+        # memoized transitive node weights per user function (see
+        # _node_weight; drives the unroll-vs-fori decision)
+        self._fn_weights: Dict[str, int] = {}
+        self._merge_hist: Dict[Any, int] = {}
         self.uses_gmem = self._detect_gmem(self.body) or self._force_gmem
         self.uses_midi_in = self._detect_call("midirecv")
         self.uses_midi_out = self._detect_call("midisend") \
@@ -326,6 +330,8 @@ class DeviceSection:
         self.midi = midi
         self._n_merges = 0
         self._n_fallback_merges = 0
+        # debug: merge counts keyed by source position of the branch node
+        self._merge_hist: Dict[Any, int] = {}
         # write-log branch merging: while tracing a branch arm, scalar
         # heap writes append here so the merge applies them cell-masked
         # instead of where-ing the whole heap (CMD's 6922 merges x 4M
@@ -348,6 +354,11 @@ class DeviceSection:
                 t_last = _time.time()
                 _trace_note(f"@{self.section} stmt {si + 1}/"
                             f"{len(self.body)} (merges {self._n_merges})")
+        if _DEVGEN_DEBUG and self._merge_hist:
+            top = sorted(self._merge_hist.items(), key=lambda kv: -kv[1])
+            _trace_note(f"@{self.section} merge sources (top 12 of "
+                        f"{len(top)}, total {self._n_merges}): "
+                        + ", ".join(f"{p}:{c}" for p, c in top[:12]))
         return self.vars, self.mem
 
     def _fresh_file_service(self):
@@ -554,7 +565,7 @@ class DeviceSection:
     # unroll attempt is abandoned and the loop traces as a lax.while_loop
     _UNROLL_MERGE_BUDGET = 2048
 
-    def _merged(self, cond, then_fn, else_fn):
+    def _merged(self, cond, then_fn, else_fn, src=None):
         """Run both arms on state copies; merge state + value.
 
         Heap merging is write-log based when both arms only performed
@@ -565,6 +576,8 @@ class DeviceSection:
         per merge is what blows the compile up at CMD scale)."""
         jnp = self._jnp
         self._n_merges += 1
+        if _DEVGEN_DEBUG and src is not None:
+            self._merge_hist[src] = self._merge_hist.get(src, 0) + 1
         if self._n_merges > (self._MERGE_BUDGET << 5):
             raise DevgenError(
                 "traced-branch merge count exceeds the fused-program "
@@ -981,6 +994,40 @@ class DeviceSection:
         wslots = {self.slots[k] for k in written if k in self.slots}
         return {s: v for s, v in self._known.items() if s not in wslots}
 
+    # short static loops unroll for trace-time folding — UNLESS the body
+    # is big: re-tracing a large body per iteration multiplies the traced
+    # program (Texture's loop(beam_width, ...) over candidate_weight
+    # re-traced the ~150-line weight stack 160x -> a 7 MB StableHLO module
+    # the remote TPU compile helper OOM-kills).  Past this node-weight x
+    # trip product the loop lowers as lax.fori_loop (body traced once).
+    _UNROLL_WEIGHT_BUDGET = 2048
+
+    def _node_weight(self, root: Node) -> int:
+        """Approximate traced size of a subtree: AST nodes, with calls to
+        user functions expanded once each (memoized, cycle-guarded)."""
+        from ..frontend.astnodes import walk
+
+        cache = self._fn_weights
+
+        def fn_weight(fname: str, stack: frozenset) -> int:
+            if fname in cache:
+                return cache[fname]
+            if fname in stack:
+                return 0
+            w = weigh(self.P.fn_defs[fname].body, stack | {fname})
+            cache[fname] = w
+            return w
+
+        def weigh(node, stack: frozenset) -> int:
+            w = 0
+            for x in walk(node):
+                w += 1
+                if isinstance(x, CallExpr) and x.func in self.P.fn_defs:
+                    w += fn_weight(x.func, stack)
+            return w
+
+        return weigh(root, frozenset())
+
     def _loop(self, n: LoopExpr, scope):
         import jax
 
@@ -998,7 +1045,9 @@ class DeviceSection:
                         _trace_note(f"file-loop unroll {_it}/{trip}")
                     last = self.ex(n.body, scope)
                 return last
-            if trip <= 8:
+            if trip <= 8 and (self._has_file_ops(n.body)
+                              or trip * self._node_weight(n.body)
+                              <= self._UNROLL_WEIGHT_BUDGET):
                 last: Any = 0.0
                 for _ in range(trip):
                     last = self.ex(n.body, scope)
@@ -1159,7 +1208,7 @@ class DeviceSection:
                 taken = n.then if SC.truthy(c) else n.other
                 return self.ex(taken, scope)
             return self._merged(c, lambda: self.ex(n.then, scope),
-                                lambda: self.ex(n.other, scope))
+                                lambda: self.ex(n.other, scope), src=n.pos)
         if isinstance(n, Asn):
             return self._assign(n, scope)
         if isinstance(n, CallExpr):
@@ -1182,7 +1231,7 @@ class DeviceSection:
             self._merged(
                 c, lambda: self.ex(n.then, scope),
                 (lambda: self.ex(n.other, scope))
-                if n.other is not None else None)
+                if n.other is not None else None, src=n.pos)
             return 0.0
         if isinstance(n, WhileStmt):
             return self._while(n, scope)
@@ -1206,11 +1255,12 @@ class DeviceSection:
         # traced lhs: the rhs arm runs under a state merge (it may assign)
         if n.op == "&&":
             return self._merged(
-                a, lambda: self._bool_val(self.ex(n.rhs, scope)), None)
+                a, lambda: self._bool_val(self.ex(n.rhs, scope)), None,
+                src=n.pos)
         inv = EM.eel_not(a)
         return self._merged(
             inv, lambda: self._bool_val(self.ex(n.rhs, scope)),
-            lambda: 1.0)
+            lambda: 1.0, src=n.pos)
 
     def _bool_val(self, v):
         if isinstance(v, float):
