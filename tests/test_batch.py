@@ -62,3 +62,28 @@ class TestBatch:
         assert len(outs) >= 6, (sorted(outs), skipped)
         for slug, y in outs.items():
             assert np.all(np.isfinite(np.asarray(y))), slug
+
+    def test_faust_in_stacked_sweep(self, reference_root):
+        """The Faust five ride the catalog sweep as native JAX modules
+        (ref plugins: plugins/Dynamics/GTS/src/*.dsp and siblings) and
+        must match a direct module render exactly."""
+        import jax.numpy as jnp
+
+        from zorak_tpu.models import get_faust_module
+        from zorak_tpu.parallel import (build_catalog_renderers,
+                                        catalog_stacked_render)
+
+        x = (np.random.RandomState(5).randn(2, 3000) * 0.25).astype(np.float32)
+        rend, skipped = build_catalog_renderers(str(reference_root),
+                                                only="GTS")
+        assert "GTS" in rend, skipped
+        outs, _ = catalog_stacked_render(rend, x)
+        y = np.asarray(outs["GTS"])
+        mod = get_faust_module("GTS")
+        yref = np.asarray(mod.render(jnp.asarray(x, jnp.float64),
+                                     mod.values(), 48000.0))
+        assert y.shape == yref.shape
+        assert np.allclose(y, yref.astype(np.float32), atol=1e-6)
+        # render_files (the unstacked path) agrees too
+        yf = np.asarray(rend["GTS"].render_files(x[None]))
+        assert np.allclose(yf[0], y, atol=1e-6)

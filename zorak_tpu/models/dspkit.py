@@ -212,7 +212,7 @@ def fir(x, taps):
 
     Runs as an XLA convolution so long kernels hit the conv/MXU path.
     """
-    taps = jnp.asarray(taps, F64)
+    taps = jnp.asarray(taps, jnp.asarray(x).dtype)
     k = taps.shape[-1]
     lead = x.shape[:-1]
     xf = x.reshape((-1, 1, x.shape[-1]))

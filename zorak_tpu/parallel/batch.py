@@ -182,19 +182,82 @@ def render_batch(program: PluginProgram, x_files: np.ndarray,
         x_files, mesh=mesh)
 
 
+class _FaustKernelShim:
+    """Just enough kernel surface for the stacked-render group planner
+    (Faust modules are light: no coupled pipeline, no hop section)."""
+    coupled = False
+    _hop = None
+    has_block = False
+
+
+class FaustBatchRenderer:
+    """Faust-family catalog entry: a native JAX module (models/faustmods)
+    rendered whole-T — functional, no carried segment state — exposing the
+    same render_files / stacked-entry surface as BatchRenderer so the
+    catalog sweep covers the full plugin set, not just the JSFX family."""
+
+    is_faust = True
+
+    def __init__(self, slug: str, srate: float = 48000.0):
+        from ..models import get_faust_module
+
+        mod = get_faust_module(slug)
+        if mod is None:
+            raise SpecializeError(f"no Faust module for {slug}")
+        self.mod = mod
+        self.slug = slug
+        self.srate = float(srate)
+        self.nch = int(mod.n_in)
+        self.values = mod.values()
+        self.kernel = _FaustKernelShim()
+        self._fns: Dict[Tuple[int, int], object] = {}
+
+    def raw_render(self, T: int):
+        import jax.numpy as jnp
+
+        mod, v, sr = self.mod, self.values, self.srate
+
+        def run(x32):
+            # module contract is f64 (matches the NumPy goldens); output
+            # rides the sweep as f32 like every other catalog entry
+            y = mod.render(jnp.asarray(x32, jnp.float64), v, sr)
+            return jnp.asarray(y, jnp.float32), None
+
+        return run
+
+    def render_files(self, x: np.ndarray):
+        import jax
+        import jax.numpy as jnp
+
+        nf, nch, T = x.shape
+        assert nch == self.nch
+        fn = self._fns.get((nf, T))
+        if fn is None:
+            raw = self.raw_render(T)
+            fn = jax.jit(jax.vmap(lambda a: raw(a)[0]))
+            self._fns[(nf, T)] = fn
+        return fn(jnp.asarray(np.ascontiguousarray(x, np.float32)))
+
+
 def build_catalog_renderers(catalog_root: str, srate: float = 48000.0,
                             only: str = "", segment_len: int = 1 << 16):
     """Specialize every vectorizable catalog plugin once.
 
-    Returns ({slug: BatchRenderer}, {slug: fallback reason}) so callers
-    can render (and time) repeatedly without paying re-specialization."""
+    Returns ({slug: renderer}, {slug: fallback reason}) so callers can
+    render (and time) repeatedly without paying re-specialization.  JSFX
+    plugins get BatchRenderer (the time-vectorized kernel); the Faust
+    five get FaustBatchRenderer (native JAX modules)."""
     from ..catalog import discover, select
 
     renderers: Dict[str, BatchRenderer] = {}
     skipped: Dict[str, str] = {}
     for spec in select(discover(catalog_root), only):
         if spec.plugin_type != "jsfx":
-            skipped[spec.slug] = "faust (use models registry)"
+            try:
+                renderers[spec.slug] = FaustBatchRenderer(
+                    spec.slug, srate=srate)
+            except SpecializeError as exc:
+                skipped[spec.slug] = str(exc)
             continue
         try:
             renderers[spec.slug] = BatchRenderer(
@@ -228,6 +291,15 @@ def catalog_stacked_render(renderers: Dict[str, "BatchRenderer"],
         else plan.setdefault(xkey, {})
     for slug, r in renderers.items():
         if slug in entries:
+            continue
+        if getattr(r, "is_faust", False):
+            nch = r.nch
+            if nch not in x_dev:
+                xf = x[:nch] if x.shape[0] >= nch else np.broadcast_to(
+                    x[:1], (nch, T))
+                x_dev[nch] = jax.device_put(
+                    np.ascontiguousarray(xf, np.float32))
+            entries[slug] = (r.raw_render(T), (x_dev[nch],))
             continue
         kern = r.kernel
         L = min(kern.L, max(kern.B, (T // kern.B) * kern.B))
