@@ -39,6 +39,40 @@ def emit(value: float, extra: dict) -> None:
     print(json.dumps(out), flush=True)
 
 
+def wait_device_healthy(budget_s: float) -> bool:
+    """Probe the chip with a tiny dispatch until it answers.
+
+    A failed/killed remote compile (oversized program) can leave the
+    device UNAVAILABLE for minutes — it recovers by itself.  Round-2's
+    artifact lost the whole catalog section to one wedged window, so
+    every section boundary re-probes instead of assuming health."""
+    import jax
+    import jax.numpy as jnp
+
+    t_end = time.time() + budget_s
+    while True:
+        ok = {}
+
+        def probe():
+            try:
+                x = jnp.full((8,), 3.0)
+                ok["v"] = float(jax.block_until_ready(x.sum()))
+            except Exception as exc:  # noqa: BLE001
+                ok["err"] = str(exc)[:120]
+
+        import threading
+        th = threading.Thread(target=probe, daemon=True)
+        th.start()
+        th.join(timeout=60.0)
+        if ok.get("v") == 24.0:
+            return True
+        log(f"device probe failed ({ok.get('err', 'timeout')}); "
+            f"waiting for recovery")
+        if time.time() > t_end:
+            return False
+        time.sleep(30.0)
+
+
 def run_suite_configs(budget_s: float) -> dict:
     """BASELINE.json configs beyond DDT (stft / denoiser / convolution /
     catalog sweep), time-bounded; results ride in the bench artifact the
@@ -101,6 +135,8 @@ def run_suite_configs(budget_s: float) -> dict:
             from zorak_tpu.parallel import (build_catalog_renderers,
                                             catalog_stacked_render)
 
+            wait_device_healthy(min(300.0, max(0.0, t_end - time.time())))
+
             # 30 s per plugin: the sweep wall is tunnel dispatch + host
             # overhead (near T-independent once staged on device), so a
             # longer input raises aggregate audio-seconds ~linearly
@@ -135,10 +171,16 @@ def run_suite_configs(budget_s: float) -> dict:
                         warmed.append(grp)
                         break
                     except Exception as exc:  # noqa: BLE001
-                        log(f"suite catalog: group {grp} failed: {exc}")
+                        log(f"suite catalog: group {grp} failed: "
+                            f"{str(exc)[:160]}")
                         if attempt or time.time() > t_end:
                             break
-                        time.sleep(30.0)
+                        if "UNAVAILABLE" in str(exc) \
+                                or "device error" in str(exc):
+                            wait_device_healthy(
+                                max(0.0, t_end - time.time()))
+                        else:
+                            time.sleep(30.0)
             if warmed:
                 sel = {s: renderers[s] for g in warmed for s in g}
                 t0 = time.perf_counter()
@@ -177,6 +219,7 @@ def main() -> int:
         return 1
 
     log(f"devices: {jax.devices()}")
+    wait_device_healthy(300.0)
     program = load_plugin_file(DDT_PATH)
     shadow = make_initialized_shadow(program, SRATE)
     kern = specialize_sample_kernel(program, shadow.state, 2, segment_len=SEG)

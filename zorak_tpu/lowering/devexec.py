@@ -126,8 +126,11 @@ class DeviceExecKernel:
                         kw["midi"] = (
                             jax.ShapeDtypeStruct((1, 4), jnp.float64),
                             jax.ShapeDtypeStruct((), jnp.float64))
+                    # cached_step: this trace primes the pjit cache the
+                    # render jit replays from — the devgen Python trace
+                    # (minutes on the multi-kLoC plugins) runs once
                     jax.eval_shape(
-                        sec.step,
+                        sec.cached_step,
                         jax.ShapeDtypeStruct((sec.n_vars,), jnp.float64),
                         jax.ShapeDtypeStruct((sec.total_mem,),
                                              jnp.float64), **kw)
@@ -166,6 +169,7 @@ class DeviceExecKernel:
                       for nm in PENDING_SLOT_NAMES]
         self._mpos = self.sample.slots[("var", MIDI_POS_SLOT)]
         self._render_fns: Dict[Tuple[int, int], Any] = {}
+        self._rem_cache: Dict[int, Any] = {}
         self.last_midi_out: List[Tuple[int, int, int, int]] = []
         self.coupled = True          # device @block (engine introspection)
         self.rand_gated = False
@@ -181,6 +185,30 @@ class DeviceExecKernel:
         return bool(self.block is not None and self.block.uses_midi_in)
 
     # -- render ---------------------------------------------------------------
+
+    def _rem_sections(self, rem: int):
+        """Remainder-block sections (samplesblock=rem), cached per rem so
+        distinct render lengths sharing a remainder re-use one devgen
+        trace (each trace is minutes on the multi-kLoC plugins)."""
+        secs = self._rem_cache.get(rem)
+        if secs is None:
+            samp_r = DeviceSection(
+                self.P, self.snap, "sample", self._dyn,
+                self.sample.mem_size,
+                consts={"samplesblock": float(rem)},
+                force_gmem=self._any_gmem, force_midi_out=self._any_mout,
+                rand_pool=self._rand_cap, reduced_heap=True)
+            blk_r = DeviceSection(
+                self.P, self.snap, "block", self._dyn,
+                self.sample.mem_size,
+                consts={"samplesblock": float(rem)},
+                force_gmem=self._any_gmem,
+                force_midi_out=self._any_mout,
+                rand_pool=self._rand_cap,
+                reduced_heap=True) if self.block is not None else None
+            secs = (samp_r, blk_r)
+            self._rem_cache[rem] = secs
+        return secs
 
     def _make_run(self, T: int, midi_k: int = 1):
         import jax
@@ -202,19 +230,7 @@ class DeviceExecKernel:
 
         if rem:
             try:
-                samp_r = DeviceSection(
-                    self.P, self.snap, "sample", self._dyn, samp.mem_size,
-                    consts={"samplesblock": float(rem)},
-                    force_gmem=self._any_gmem, force_midi_out=self._any_mout,
-                    rand_pool=self._rand_cap, reduced_heap=True)
-                blk_r = DeviceSection(
-                    self.P, self.snap, "block", self._dyn, samp.mem_size,
-                    consts={"samplesblock": float(rem)},
-                    force_gmem=self._any_gmem,
-                    force_midi_out=self._any_mout,
-                    rand_pool=self._rand_cap,
-                    reduced_heap=True) if blk is not None \
-                    else None
+                samp_r, blk_r = self._rem_sections(rem)
                 sld_r = sld
             except DevgenError as exc:  # pragma: no cover - build checked
                 raise SpecializeError(f"device executor: {exc}") from None
@@ -224,7 +240,7 @@ class DeviceExecKernel:
             def body(c, x_t):
                 bv, bm = c
                 bv = bv.at[spl_in].set(x_t)
-                bv, bm = sampsec.step(bv, bm)
+                bv, bm = sampsec.cached_step(bv, bm)
                 return (bv, bm), bv[spl_in]
 
             return jax.lax.scan(body, carry, xblk)
@@ -236,13 +252,13 @@ class DeviceExecKernel:
                     bv = bv.at[mpos].set(0.0)
                 if use_mout:
                     bm = bm.at[mo_base:mo_base + mo_cells].set(0.0)
-                bv, bm = blksec.step(bv, bm, midi=midi_blk)
+                bv, bm = blksec.cached_step(bv, bm, midi=midi_blk)
                 if sldsec is not None:
                     p = bv[self._pend[0]] + bv[self._pend[1]] \
                         + bv[self._pend[2]]
 
                     def rerun(a):
-                        v, m = sldsec.step(a[0], a[1])
+                        v, m = sldsec.cached_step(a[0], a[1])
                         # host consumes the masks each block
                         # (ref: JSFXJuceProcessor.cpp:5667-5737)
                         return v.at[pend].set(0.0), m

@@ -178,6 +178,12 @@ class DeviceSection:
         # memoized transitive node weights per user function (see
         # _node_weight; drives the unroll-vs-fori decision)
         self._fn_weights: Dict[str, int] = {}
+        # cached_step(): step() behind an inner jit boundary so the
+        # Python trace of the section body runs ONCE per shape signature
+        # (multi-kLoC plugins pay minutes per trace; devexec otherwise
+        # re-pays it at build eval_shape, again at render jit, and again
+        # per remainder build)
+        self._step_jit = None
         self._merge_hist: Dict[Any, int] = {}
         self.uses_gmem = self._detect_gmem(self.body) or self._force_gmem
         self.uses_midi_in = self._detect_call("midirecv")
@@ -360,6 +366,21 @@ class DeviceSection:
                         f"{len(top)}, total {self._n_merges}): "
                         + ", ".join(f"{p}:{c}" for p, c in top[:12]))
         return self.vars, self.mem
+
+    def cached_step(self, vars_vec, mem, midi=None):
+        """step() behind a jax.jit boundary.  Inside an outer trace the
+        call lowers to one pjit eqn whose jaxpr comes from the pjit
+        tracing cache, so the (expensive, pure-Python) devgen trace of
+        the section body runs once per shape signature instead of once
+        per enclosing jit trace.  XLA inlines the call, so the compiled
+        program is identical to inlining step() directly."""
+        import jax
+
+        if self._step_jit is None:
+            self._step_jit = jax.jit(self.step)
+        if midi is None:
+            return self._step_jit(vars_vec, mem)
+        return self._step_jit(vars_vec, mem, midi=midi)
 
     def _fresh_file_service(self):
         from ..runtime.services import FileSlotService

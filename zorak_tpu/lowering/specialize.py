@@ -2383,7 +2383,7 @@ class SpecializedSampleKernel:
                     hmem, rings[(origin, mod)], (origin,))
             if len(cells):
                 hmem = hmem.at[cell_ad].set(svec[cell_sv])
-            hvars, hmem = hop.step(hvars, hmem)
+            hvars, hmem = hop.cached_step(hvars, hmem)
             rings = {r: jax.lax.dynamic_slice(hmem, (r[0],), (r[1],))
                      for r in regions}
             if len(cells):
@@ -2525,7 +2525,7 @@ class SpecializedSampleKernel:
                     bmem = bmem.at[cell_ad].set(svec[cell_sv])
                 if use_mout:
                     bmem = bmem.at[mo_base:mo_base + mo_cells].set(0.0)
-                bvars, bmem = devsec.step(bvars, bmem, midi=midi_blk)
+                bvars, bmem = devsec.cached_step(bvars, bmem, midi=midi_blk)
                 if devslider is not None:
                     # @block retriggered @slider: re-run it on device and
                     # clear the pending masks (ref: dsp_jsfx_aot.py:5788)
@@ -2534,7 +2534,7 @@ class SpecializedSampleKernel:
 
                     def _rerun(args):
                         bv, bm = args
-                        bv, bm = devslider.step(bv, bm)
+                        bv, bm = devslider.cached_step(bv, bm)
                         bv = bv.at[jnp.asarray(pend_slots)].set(0.0)
                         return bv, bm
 
