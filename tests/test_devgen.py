@@ -246,3 +246,99 @@ spl0 = spl0;
         v, _ = dev.step(jnp.asarray(dev.initial_vars()),
                         jnp.asarray(dev.initial_mem()))
         assert float(v[dev.slots[("var", "hh")]]) == 6.0
+
+
+class TestPredicatedBranches:
+    """If-conversion: traced branch arms run speculatively with
+    predicate-masked heap writes (one scatter per write, no whole-heap
+    merges).  Parity vs the golden is the contract; these cases pin the
+    hazards predication introduces (garbage addresses / loop trips /
+    while predicates in untaken arms, bulk ops under a predicate)."""
+
+    def _both(self, body, n_blocks=4):
+        return run_both("@init\nctr = 0;\n@block\nctr += 1;\n" + body)
+
+    def test_traced_mem_writes_both_arms(self):
+        assert_parity(*self._both("""
+odd = ctr % 2;
+odd ? (mem[10 + ctr] = ctr; tag = 1;)
+    : (mem[40 + ctr] = -ctr; tag = 2;);
+"""))
+
+    def test_nested_branches(self):
+        assert_parity(*self._both("""
+a = ctr % 2; b = ctr % 3;
+a ? (
+  b ? mem[ctr] = 7 : (mem[ctr] = 9; u = ctr;);
+  v = u + 1;
+) : (
+  b ? (w = w + 1; mem[100] = w;);
+);
+"""))
+
+    def test_untaken_arm_garbage_address(self):
+        # the untaken arm computes a wild address; the masked write must
+        # drop it (index redirected out of bounds), leaving mem intact
+        assert_parity(*self._both("""
+neg = -(ctr % 2);
+neg ? (j = neg * 987654321; j[0] = 5;) : (mem[3] = ctr;);
+check = mem[3];
+"""))
+
+    def test_bulk_ops_under_predicate(self):
+        assert_parity(*self._both("""
+src = 200; dst = 300;
+i = 0; loop(16, src[i] = ctr * 10 + i; i += 1;);
+(ctr % 2) ? (
+  memcpy(dst, src, 16);
+  memset(400, ctr, 8);
+);
+probe = mem[300] + mem[407];
+"""))
+
+    def test_while_loop_in_untaken_arm(self):
+        # while() inside an arm: the loop predicate must be masked by the
+        # branch predicate or an untaken arm's garbage state spins forever
+        assert_parity(*self._both("""
+go = ctr % 2;
+go ? (
+  n = ctr * 3; i = 0; acc = 0;
+  while (i < n) ( acc += i; i += 1; );
+  mem[50] = acc;
+) : (
+  mem[60] = ctr;
+);
+"""))
+
+    def test_dynamic_loop_in_arm(self):
+        assert_parity(*self._both("""
+k = ctr % 3;
+k ? (
+  i = 0;
+  loop(k * 5, mem[70 + i] = i + ctr; i += 1;);
+);
+"""))
+
+    def test_fft_under_predicate(self):
+        assert_parity(*self._both("""
+buf = 512;
+i = 0; loop(64, buf[i] = sin(i * 0.3 + ctr); i += 1;);
+(ctr % 2) ? (
+  fft_real(buf, 64);
+  fft_ipermute(buf, 32);
+);
+probe = mem[512] + mem[513];
+"""))
+
+    def test_value_of_branch_expression(self):
+        assert_parity(*self._both("""
+x = (ctr % 2) ? (mem[5] = ctr; ctr * 2.0) : (ctr - 1.0);
+y = x + mem[5];
+"""))
+
+    def test_logical_ops_with_assigning_rhs(self):
+        assert_parity(*self._both("""
+a = (ctr % 2) && (t1 = ctr; mem[80] = t1; 1);
+b = (ctr % 2) || (t2 = ctr * 3; mem[81] = t2; 0);
+s = t1 + t2 + mem[80] + mem[81];
+"""))

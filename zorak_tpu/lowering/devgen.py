@@ -335,15 +335,18 @@ class DeviceSection:
         self.mem = mem
         self.midi = midi
         self._n_merges = 0
-        self._n_fallback_merges = 0
         # debug: merge counts keyed by source position of the branch node
         self._merge_hist: Dict[Any, int] = {}
-        # write-log branch merging: while tracing a branch arm, scalar
-        # heap writes append here so the merge applies them cell-masked
-        # instead of where-ing the whole heap (CMD's 6922 merges x 4M
-        # cells OOMed the XLA CPU pipeline at 127 GB)
-        self._merge_log = None
-        self._merge_dirty = False
+        # predicated execution (if-conversion): inside a traced branch arm
+        # this holds the conjunction of the enclosing branch predicates.
+        # Heap writes mask themselves against it (index redirected to the
+        # out-of-bounds dropland when inactive), so a branch merge never
+        # re-applies or where-merges the heap at all — one scatter per
+        # original write regardless of nesting depth.  Texture's @sample
+        # previously lowered to 16.6k scatters (17 MB of StableHLO, past
+        # the remote TPU compile helper's kill cap) mostly from per-merge
+        # write re-application; vars stay cheap whole-vector wheres.
+        self._pred = None
         # trace-time constant overlay: slots assigned a static value read
         # back static until a traced write / branch divergence / loop body
         # invalidates them (lets file handles, reload flags and local
@@ -512,18 +515,34 @@ class DeviceSection:
             self._write_slot(hw, jnp.maximum(cur, a.astype(jnp.float64)))
             a = jnp.where(a < self.mem_size, a, self.total_mem)
             drop = True
+        if self._pred is not None:
+            # predicated write: redirect the index out of bounds when the
+            # enclosing branch arm is inactive — the scatter drops it
+            a = jnp.where(self._pred, a, self.total_mem)
+            drop = True
         if drop:
             self.mem = self.mem.at[a].set(vv, mode="drop")
         else:
             self.mem = self.mem.at[a].set(vv)
-        if self._merge_log is not None:
-            self._merge_log.append((a, vv, drop))
 
-    def _mark_mem_dirty(self):
-        """A heap mutation the merge log cannot express: the enclosing
-        branch merge falls back to a whole-heap where."""
-        if self._merge_log is not None:
-            self._merge_dirty = True
+    def _mem_bulk(self, start, chunk):
+        """Contiguous heap write [start, start+len(chunk)); start is a
+        static int or a traced i64 pre-clamped by the caller.  Under a
+        branch predicate the chunk is value-masked against the current
+        region so an untaken arm leaves the heap bit-identical."""
+        import jax
+
+        jnp = self._jnp
+        n = int(chunk.shape[0])
+        if self._pred is not None:
+            old = (self.mem[start:start + n] if isinstance(start, int)
+                   else jax.lax.dynamic_slice(self.mem, (start,), (n,)))
+            chunk = jnp.where(self._pred, chunk, old)
+        if isinstance(start, int):
+            self.mem = self.mem.at[start:start + n].set(chunk)
+        else:
+            self.mem = jax.lax.dynamic_update_slice(
+                self.mem, chunk, (start,))
 
     # -- gmem (attached shared segment, block-synchronous HBM view) ----------
 
@@ -587,14 +606,17 @@ class DeviceSection:
     _UNROLL_MERGE_BUDGET = 2048
 
     def _merged(self, cond, then_fn, else_fn, src=None):
-        """Run both arms on state copies; merge state + value.
+        """Predicated branch execution (if-conversion).
 
-        Heap merging is write-log based when both arms only performed
-        loggable (scalar/fancy) writes: each logged write re-applies
-        cell-masked onto the pre-branch heap.  Bulk mutations (memcpy,
-        fft stores, ...) mark the arm dirty and fall back to a whole-heap
-        where — those count against the merge budget (a whole-heap where
-        per merge is what blows the compile up at CMD scale)."""
+        Both arms run SPECULATIVELY on shared state under a branch
+        predicate: heap writes self-mask against the predicate stack (see
+        _mem_set/_mem_bulk), so the merged heap materializes in place —
+        no write re-application, no whole-heap wheres.  An arm's heap
+        writes are value-invisible to the other arm (a masked write
+        leaves the old value wherever the arm is inactive), which gives
+        exactly the sequential branch semantics.  Vars stay copy-based:
+        a whole-vector where per merge is one cheap op, and it preserves
+        arm-local static-constant folding (_known)."""
         jnp = self._jnp
         self._n_merges += 1
         if _DEVGEN_DEBUG and src is not None:
@@ -603,31 +625,26 @@ class DeviceSection:
             raise DevgenError(
                 "traced-branch merge count exceeds the fused-program "
                 "compile budget")
-        saved = (self.vars, self.mem)
+        m = EM.truthy_mask(cond)
+        outer = self._pred
+        saved_vars = self.vars
         files0 = self._clone_files()
         fp0 = self._file_fingerprint()
         known0 = dict(self._known)
-        outer_log = self._merge_log
-        outer_dirty = self._merge_dirty
 
-        self._merge_log = t_log = []
-        self._merge_dirty = False
+        self._pred = m if outer is None else outer & m
         tval = then_fn() if then_fn is not None else 0.0
-        t_state = (self.vars, self.mem)
-        t_dirty = self._merge_dirty
+        t_vars = self.vars
         fp_t = self._file_fingerprint()
         t_known = self._known
-        self.vars, self.mem = saved
+        self.vars = saved_vars
         self._files, files_t = files0, self._files
         self._known = dict(known0)
-        self._merge_log = e_log = []
-        self._merge_dirty = False
+        not_m = ~m
+        self._pred = not_m if outer is None else outer & not_m
         eval_ = else_fn() if else_fn is not None else 0.0
-        e_state = (self.vars, self.mem)
-        e_dirty = self._merge_dirty
         fp_e = self._file_fingerprint()
-        self._merge_log = outer_log
-        self._merge_dirty = outer_dirty
+        self._pred = outer
         # a slot stays statically known only if both arms agree on it
         self._known = {s: v for s, v in t_known.items()
                        if s in self._known and self._known[s] == v}
@@ -639,31 +656,8 @@ class DeviceSection:
                 "file cursor state diverges across a data-dependent branch")
         if fp_t != fp0:
             self._files = files_t
-        m = EM.truthy_mask(cond)
-        self.vars = (t_state[0] if t_state[0] is e_state[0]
-                     else jnp.where(m, t_state[0], e_state[0]))
-        if t_state[1] is e_state[1]:
-            self.mem = t_state[1]
-        elif not (t_dirty or e_dirty) \
-                and len(t_log) + len(e_log) <= 128:
-            # cell-masked reapplication of each arm's writes in order
-            self.mem = saved[1]
-            for idx, vv, drop in e_log:
-                cur = self.mem[jnp.clip(idx, 0, self.total_mem - 1)] \
-                    if not isinstance(idx, int) else self.mem[idx]
-                self._mem_set(idx, jnp.where(m, cur, vv), drop=drop)
-            for idx, vv, drop in t_log:
-                cur = self.mem[jnp.clip(idx, 0, self.total_mem - 1)] \
-                    if not isinstance(idx, int) else self.mem[idx]
-                self._mem_set(idx, jnp.where(m, vv, cur), drop=drop)
-        else:
-            self._n_fallback_merges += 1
-            if self._n_fallback_merges > self._MERGE_BUDGET:
-                raise DevgenError(
-                    "traced-branch merge volume exceeds the fused-program "
-                    "compile budget")
-            self._mark_mem_dirty()
-            self.mem = jnp.where(m, t_state[1], e_state[1])
+        self.vars = (t_vars if t_vars is self.vars
+                     else jnp.where(m, t_vars, self.vars))
         if isinstance(tval, float) and isinstance(eval_, float) \
                 and tval == eval_:
             return tval
@@ -884,8 +878,7 @@ class DeviceSection:
                     vals = self._varr(rhs)
                     if getattr(vals, "ndim", 0) == 0:
                         vals = jnp.full((trip,), vals, dtype=jnp.float64)
-                    self._mark_mem_dirty()
-                    self.mem = self.mem.at[a].set(vals)
+                    self._mem_set(a, vals)
                 else:
                     raise _Reject
             # cross-iteration hazard check: every (read, write) index pair
@@ -1097,8 +1090,11 @@ class DeviceSection:
             v = jnp.float64(v) if isinstance(v, float) else v
             return (self.vars, self.mem, v)
 
+        if self._pred is not None:
+            # speculative arm: a garbage traced trip must not spin the
+            # loop (and a static trip need not run at all when inactive)
+            trip_val = jnp.where(self._pred, trip_val, 0)
         carry0 = (self.vars, self.mem, jnp.float64(0.0))
-        self._mark_mem_dirty()
         self.vars, self.mem, last = jax.lax.fori_loop(
             0, trip_val, body, carry0)
         self._known = dict(kept)
@@ -1143,10 +1139,7 @@ class DeviceSection:
             # voice while() would otherwise unroll to 65k+ branch merges
             # (observed) and an uncompilable program.
             saved = (self.vars, self.mem, dict(self._known),
-                     self._merge_dirty, self._n_merges,
-                     self._n_fallback_merges,
-                     len(self._merge_log)
-                     if self._merge_log is not None else 0)
+                     self._n_merges)
             m0 = self._n_merges
             bailed = False
             guard = 1 << 17
@@ -1165,16 +1158,16 @@ class DeviceSection:
             if not bailed and isinstance(p0, float):
                 return 0.0
             if bailed:
-                (self.vars, self.mem, self._known, self._merge_dirty,
-                 self._n_merges, self._n_fallback_merges, log0) = saved
-                if self._merge_log is not None:
-                    del self._merge_log[log0:]
+                (self.vars, self.mem, self._known, self._n_merges) = saved
                 p0 = jnp.float64(1.0)  # predicate was statically true
         carry0 = (self.vars, self.mem, p0)
         kept = self._loop_kept_known([n.body, n.pred], scope)
+        pred = self._pred
 
         def cond(c):
-            return EM.truthy_mask(c[2])
+            t = EM.truthy_mask(c[2])
+            # speculative arm: a garbage predicate must not spin the loop
+            return t if pred is None else t & pred
 
         def body(c):
             self.vars, self.mem, _p = c
@@ -1184,7 +1177,6 @@ class DeviceSection:
             p = jnp.float64(p) if isinstance(p, float) else p
             return (self.vars, self.mem, p)
 
-        self._mark_mem_dirty()
         self.vars, self.mem, _ = jax.lax.while_loop(cond, body, carry0)
         self._known = dict(kept)
         return 0.0
@@ -1900,15 +1892,13 @@ class DeviceSection:
                 if nln > 0:
                     fv = jnp.full((nln,), self._arr(fillv),
                                   dtype=jnp.float64)
-                    self._mark_mem_dirty()
-                    self.mem = self.mem.at[base + d0:base + d0 + nln].set(fv)
+                    self._mem_bulk(base + d0, fv)
                 return float(max(0, nln))
             nln = max(0, int(cnt + 1.0e-5))
             if 0 < nln <= G:
                 fv = jnp.full((nln,), self._arr(fillv), dtype=jnp.float64)
                 d = base + jnp.clip(self._gmem_index(vals[0]), 0, G - nln)
-                self._mark_mem_dirty()
-                self.mem = jax.lax.dynamic_update_slice(self.mem, fv, (d,))
+                self._mem_bulk(d, fv)
             return float(nln)
         if f == "gmem_put" and len(args) == 3:
             m = vals[1]
@@ -1925,13 +1915,10 @@ class DeviceSection:
                 d0 = max(0, int(vals[0] + 1.0e-5))
                 k = min(nln, G - d0)
                 if k > 0:
-                    self._mark_mem_dirty()
-                    self.mem = self.mem.at[base + d0:base + d0 + k].set(
-                        chunk[:k])
+                    self._mem_bulk(base + d0, chunk[:k])
                 return float(max(0, k))
             d = base + jnp.clip(self._gmem_index(vals[0]), 0, G - nln)
-            self._mark_mem_dirty()
-            self.mem = jax.lax.dynamic_update_slice(self.mem, chunk, (d,))
+            self._mem_bulk(d, chunk)
             return float(nln)
         if f == "gmem_get" and len(args) == 3:
             m = vals[0]
@@ -1947,14 +1934,11 @@ class DeviceSection:
                 g0 = max(0, int(vals[1] + 1.0e-5))
                 k = min(nln, G - g0)
                 if k > 0:
-                    self._mark_mem_dirty()
-                    self.mem = self.mem.at[mi:mi + k].set(
-                        self.mem[base + g0:base + g0 + k])
+                    self._mem_bulk(mi, self.mem[base + g0:base + g0 + k])
                 return float(max(0, k))
             g = base + jnp.clip(self._gmem_index(vals[1]), 0, G - nln)
             chunk = jax.lax.dynamic_slice(self.mem, (g,), (nln,))
-            self._mark_mem_dirty()
-            self.mem = self.mem.at[mi:mi + nln].set(chunk)
+            self._mem_bulk(mi, chunk)
             return float(nln)
         if f == "gmem_copy" and len(args) == 3:
             if not all(isinstance(v, float) for v in vals):
@@ -1964,9 +1948,8 @@ class DeviceSection:
             nln = max(0, int(vals[2] + 1.0e-5))
             nln = min(nln, G - max(d, sidx))
             if nln > 0:
-                self._mark_mem_dirty()
-                self.mem = self.mem.at[base + d:base + d + nln].set(
-                    self.mem[base + sidx:base + sidx + nln])
+                self._mem_bulk(base + d,
+                               self.mem[base + sidx:base + sidx + nln])
             return float(max(0, nln))
         raise DevgenError(f"{f}: unsupported arity")
 
@@ -2062,9 +2045,7 @@ class DeviceSection:
                     raise DevgenError(f"file_mem: static mem address {dst + n_items} beyond device heap")
                 chunk = np.asarray(inter[h.cursor:h.cursor + n_items],
                                    dtype=np.float64)
-                self._mark_mem_dirty()
-                self.mem = self.mem.at[dst:dst + n_items].set(
-                    self._jnp.asarray(chunk))
+                self._mem_bulk(dst, self._jnp.asarray(chunk))
                 h.cursor += n_items
             return float(n_items)
         raise DevgenError(f"file builtin {f} not supported")
@@ -2084,15 +2065,11 @@ class DeviceSection:
             a = SC.blob_address(dest)
             if a + ln > self.mem_size:
                 raise DevgenError(f"memset: static mem address {a + ln} beyond device heap")
-            self._mark_mem_dirty()
-            self.mem = self.mem.at[a:a + ln].set(fill)
+            self._mem_bulk(a, fill)
         else:
-            import jax
-
             a = jnp.clip(EM.to_i64(dest + 1.0e-5), 0,
                          self.mem_size - ln)
-            self._mark_mem_dirty()
-            self.mem = jax.lax.dynamic_update_slice(self.mem, fill, (a,))
+            self._mem_bulk(a, fill)
         return dest
 
     def _memcpy(self, args, scope):
@@ -2119,12 +2096,10 @@ class DeviceSection:
             da = SC.blob_address(dest)
             if da + ln > self.mem_size:
                 raise DevgenError(f"memcpy: static mem address {da + ln} beyond device heap")
-            self._mark_mem_dirty()
-            self.mem = self.mem.at[da:da + ln].set(chunk)
+            self._mem_bulk(da, chunk)
         else:
             da = jnp.clip(EM.to_i64(dest + 1.0e-5), 0, self.mem_size - ln)
-            self._mark_mem_dirty()
-            self.mem = jax.lax.dynamic_update_slice(self.mem, chunk, (da,))
+            self._mem_bulk(da, chunk)
         return dest
 
     _DFT_MAX = 4096  # f64 DFT-matmul bound (matrices are n^2 doubles)
@@ -2167,8 +2142,7 @@ class DeviceSection:
 
         def store_complex(base, re, im):
             inter = jnp.stack([re, im], axis=1).reshape(-1)
-            self._mark_mem_dirty()
-            self.mem = self.mem.at[base:base + inter.shape[0]].set(inter)
+            self._mem_bulk(base, inter)
 
         def load_complex(base, n):
             buf = self.mem[base:base + 2 * n].reshape(n, 2)
@@ -2257,8 +2231,7 @@ class DeviceSection:
             fi = jnp.concatenate([Ri, -Ri[1:half][::-1]])
             xr, _xi = self._dft(fr, fi, sz, inverse=True)
             # irfft(R, n) * 2n  ==  2 * unnormalized hermitian IDFT
-            self._mark_mem_dirty()
-            self.mem = self.mem.at[da:da + sz].set(2.0 * xr)
+            self._mem_bulk(da, 2.0 * xr)
         return 0.0
 
     def _fft_call_dyn(self, which: str, dest, src, size: float):
@@ -2368,6 +2341,5 @@ class DeviceSection:
             raise DevgenError(f"unknown fft call {which}")
 
         upd = jnp.where(ok, new, buf)
-        self._mark_mem_dirty()
-        self.mem = jax.lax.dynamic_update_slice(self.mem, upd, (safe,))
+        self._mem_bulk(safe, upd)
         return 0.0
