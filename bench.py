@@ -132,46 +132,42 @@ def run_suite_configs(budget_s: float) -> dict:
             log("suite convolution: "
                 f"{suite['partitioned_convolution_131072tap_rtx']}x")
         if time.time() < t_end:
-            from zorak_tpu.parallel import (build_catalog_renderers,
-                                            catalog_stacked_render)
+            from zorak_tpu.parallel import build_catalog_renderers
 
             wait_device_healthy(min(300.0, max(0.0, t_end - time.time())))
 
             # 30 s per plugin: the sweep wall is tunnel dispatch + host
             # overhead (near T-independent once staged on device), so a
-            # longer input raises aggregate audio-seconds ~linearly
+            # longer input raises aggregate audio-seconds ~linearly.
+            # Plugins render SEQUENTIALLY (one single-plugin program
+            # each): multi-plugin stacked programs at this T exceed the
+            # remote TPU compiler's memory cap, and a SIGKILLed compile
+            # wedges the device for many minutes (it ate two artifacts).
             short = int(30.0 * srate)
             xc = (rng.randn(2, short) * 0.25).astype(np.float32)
             log("suite catalog: specializing")
             renderers, skipped = build_catalog_renderers(
                 "/root/reference", segment_len=1 << 16)
-            # group-incremental warmup with a per-group clock check: a
-            # cold compile cache must not blow the artifact deadline —
-            # plugins warmed in time are measured, the rest reported
-            heavy = [s for s in renderers
-                     if renderers[s].kernel.coupled
-                     or renderers[s].kernel._hop is not None]
-            light = [s for s in renderers if s not in heavy]
-            groups = [light[i:i + 5] for i in range(0, len(light), 5)]
-            groups += [[s] for s in heavy]
-            plan: dict = {}
-            warmed: list = []
-            for grp in groups:
+            # per-plugin warmup with a clock check: a cold compile cache
+            # must not blow the artifact deadline — plugins warmed in
+            # time are measured, the rest reported
+            warmed: dict = {}
+            for slug, r in renderers.items():
                 if time.time() > t_end:
                     break
-                # one retry per group: the tunnel's remote compile server
-                # occasionally drops mid-compile (connection refused) and
-                # recovers; successful compiles are banked in the
-                # persistent cache either way
+                xi = xc[None, : r.nch] if xc.shape[0] >= r.nch else \
+                    np.broadcast_to(xc[None, :1], (1, r.nch, short))
+                xi = np.ascontiguousarray(xi)
+                # one retry: the tunnel's remote compile server
+                # occasionally drops mid-compile and recovers; compiles
+                # are banked in the persistent cache either way
                 for attempt in (0, 1):
                     try:
-                        outs, _ = catalog_stacked_render(
-                            {s: renderers[s] for s in grp}, xc, plan=plan)
-                        jax.block_until_ready(list(outs.values()))
-                        warmed.append(grp)
+                        jax.block_until_ready(r.render_files(xi))
+                        warmed[slug] = (r, xi)
                         break
                     except Exception as exc:  # noqa: BLE001
-                        log(f"suite catalog: group {grp} failed: "
+                        log(f"suite catalog: {slug} failed: "
                             f"{str(exc)[:160]}")
                         if attempt or time.time() > t_end:
                             break
@@ -182,20 +178,16 @@ def run_suite_configs(budget_s: float) -> dict:
                         else:
                             time.sleep(30.0)
             if warmed:
-                sel = {s: renderers[s] for g in warmed for s in g}
                 t0 = time.perf_counter()
-                outs, nd = catalog_stacked_render(sel, xc, groups=warmed,
-                                                  plan=plan)
-                jax.block_until_ready(list(outs.values()))
+                outs = [r.render_files(xi) for r, xi in warmed.values()]
+                jax.block_until_ready(outs)
                 wall = time.perf_counter() - t0
                 suite["catalog_sweep_rtx"] = round(
-                    len(outs) * short / srate / wall, 1)
-                suite["catalog_plugins_vectorized"] = len(outs)
+                    len(warmed) * short / srate / wall, 1)
+                suite["catalog_plugins_vectorized"] = len(warmed)
                 suite["catalog_plugins_total"] = len(renderers)
-                suite["catalog_dispatches"] = nd
                 log(f"suite catalog: {suite['catalog_sweep_rtx']}x "
-                    f"({len(outs)}/{len(renderers)} plugins, "
-                    f"{nd} dispatches)")
+                    f"({len(warmed)}/{len(renderers)} plugins)")
     except Exception as exc:  # noqa: BLE001 — partial suite beats no suite
         suite["error"] = f"{type(exc).__name__}: {exc}"
         log(f"suite aborted: {suite['error']}")
