@@ -11,6 +11,7 @@ via on-device peak/finite reductions (the dev tunnel's device->host path
 has a large one-time init cost and is not part of the render).
 """
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -163,8 +164,13 @@ def run_suite_configs(budget_s: float) -> dict:
                 # are banked in the persistent cache either way
                 for attempt in (0, 1):
                     try:
-                        jax.block_until_ready(r.render_files(xi))
-                        warmed[slug] = (r, xi)
+                        # stage the input on device ONCE: render_files
+                        # skips conversion for jax.Arrays, so the timed
+                        # sweep pays no per-plugin H2D upload (~11 MB per
+                        # plugin over the dev tunnel otherwise dominates)
+                        xd = jax.device_put(xi)
+                        jax.block_until_ready(r.render_files(xd))
+                        warmed[slug] = (r, xd)
                         break
                     except Exception as exc:  # noqa: BLE001
                         log(f"suite catalog: {slug} failed: "
@@ -211,6 +217,15 @@ def main() -> int:
         return 1
 
     log(f"devices: {jax.devices()}")
+    # the axon tunnel backend can fail init transiently (e.g. a prior
+    # client's connection still draining) and jax then SILENTLY falls
+    # back to CPU — which would record garbage numbers.  Fail loudly so
+    # the caller retries; ZORAK_BENCH_ALLOW_CPU=1 opts into CPU runs.
+    if jax.default_backend() != "tpu" \
+            and not os.environ.get("ZORAK_BENCH_ALLOW_CPU"):
+        log(f"FATAL: backend is {jax.default_backend()}, not tpu; "
+            "refusing to bench on fallback hardware (exit 3)")
+        return 3
     wait_device_healthy(300.0)
     program = load_plugin_file(DDT_PATH)
     shadow = make_initialized_shadow(program, SRATE)
@@ -257,14 +272,17 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             result["err"] = str(exc)
 
-    import os
     import threading
     th = threading.Thread(target=fetch, daemon=True)
     th.start()
     th.join(timeout=max(10.0, (T0 + 540.0) - time.time()))
 
-    # remaining BASELINE configs, bounded so the artifact lands on time
-    suite = run_suite_configs(budget_s=max(0.0, (T0 + 1500.0) - time.time()))
+    # remaining BASELINE configs, bounded so the artifact lands on time.
+    # ZORAK_BENCH_DEADLINE_S widens the window for cache-banking warmup
+    # runs (a cold container pays ~1 h of remote catalog compiles; they
+    # persist in the compile cache for the driver's official run).
+    deadline_s = float(os.environ.get("ZORAK_BENCH_DEADLINE_S", "1500"))
+    suite = run_suite_configs(budget_s=max(0.0, (T0 + deadline_s) - time.time()))
 
     if "ok" in result:
         log(f"audio check: peak={result['peak']:.4f} ok={result['ok']}")

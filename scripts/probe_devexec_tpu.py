@@ -21,6 +21,11 @@ from zorak_tpu.catalog import discover
 from zorak_tpu.verify.nulltest import null_test_plugin
 
 print("devices:", jax.devices(), flush=True)
+if jax.default_backend() != "tpu":
+    # the axon tunnel can fail init transiently and jax silently falls
+    # back to CPU — a "TPU" probe result from XLA:CPU is meaningless
+    print("backend is not tpu; aborting (exit 3)", flush=True)
+    sys.exit(3)
 
 specs = {s.slug: s for s in discover("/root/reference")}
 slug = sys.argv[1] if len(sys.argv) > 1 else "texture"

@@ -35,7 +35,10 @@ def run_both(src, n_blocks=3, mem_size=1 << 16, B=512):
 
 
 def assert_parity(dev, v, m, st):
-    mem_size = m.shape[0]
+    # compare the plugin heap region only: the device vector carries
+    # layout tails (gmem / midi-out / rand pool / the DUS trash cell)
+    mem_size = dev.mem_size
+    m = np.asarray(m)[:mem_size]
     for key, slot in dev.slots.items():
         if key[0] != "var":
             continue

@@ -178,6 +178,16 @@ class DeviceSection:
         # memoized transitive node weights per user function (see
         # _node_weight; drives the unroll-vs-fori decision)
         self._fn_weights: Dict[str, int] = {}
+        # function outlining (program-size dedup): heavy user functions
+        # called from several sites lower ONCE as a jitted subfunction
+        # (func.call in the StableHLO) instead of re-tracing their body
+        # inline at every call site — see _outlined_call
+        self._outline_cache: Dict[Any, Any] = {}
+        self._outline_bad: Set[str] = set()
+        self._outline_w: Dict[str, int] = {}
+        self._outline_safe_memo: Dict[str, bool] = {}
+        self._call_counts: Optional[Dict[str, int]] = None
+        self._fn_writesets: Dict[str, Set[Any]] = {}
         # cached_step(): step() behind an inner jit boundary so the
         # Python trace of the section body runs ONCE per shape signature
         # (multi-kLoC plugins pay minutes per trace; devexec otherwise
@@ -202,8 +212,16 @@ class DeviceSection:
         self.midi_out_cells = (1 + MIDI_OUT_CAP * 4) \
             if self.uses_midi_out else 0
         self.rand_base = self.midi_out_base + self.midi_out_cells
+        # +1: one trailing TRASH cell.  Scalar heap writes lower as
+        # dynamic_update_slice (one compact op) instead of scatter
+        # (an op with a region — ~10x the StableHLO text and a far
+        # heavier TPU lowering; Texture's @sample carried 20k of them,
+        # 17.9 MB, past the remote compile helper's kill cap).  DUS has
+        # no drop mode: dropped writes (inactive branch arms, reduced-
+        # heap overflow) redirect their index to total_mem and DUS's
+        # start-clamp lands them in the trash cell, which nothing reads.
         self.total_mem = self.mem_size + self.gmem_cells \
-            + self.midi_out_cells + self.rand_cells
+            + self.midi_out_cells + self.rand_cells + 1
 
         # slot table: dynamic vars + every specialized-fn param (params are
         # assigned per call; functions are non-reentrant, so one slot each)
@@ -454,8 +472,10 @@ class DeviceSection:
             self._known[slot] = val
         else:
             self._known.pop(slot, None)
-        v = self._jnp.float64(val) if isinstance(val, float) else val
-        self.vars = self.vars.at[slot].set(v)
+        import jax
+
+        v = self._jnp.asarray(val, self.vars.dtype).reshape((1,))
+        self.vars = jax.lax.dynamic_update_slice(self.vars, v, (slot,))
 
     def _read_name(self, ident: str, scope: Dict[str, Any]):
         if ident in scope:
@@ -507,8 +527,12 @@ class DeviceSection:
         return self.mem[a]
 
     def _mem_set(self, a, v, drop: bool = False, heap: bool = False):
+        import jax
+
         jnp = self._jnp
-        vv = jnp.float64(v) if isinstance(v, float) else v
+        vec = getattr(v, "ndim", 0) >= 1 or getattr(a, "ndim", 0) >= 1
+        vv = (jnp.asarray(v, self.mem.dtype) if vec
+              else jnp.asarray(v, self.mem.dtype).reshape((1,)))
         if heap and self.reduced_heap and not isinstance(a, int):
             hw = ("var", MEM_HIWATER_SLOT)
             cur = self._arr(self._read_slot(hw))
@@ -516,14 +540,23 @@ class DeviceSection:
             a = jnp.where(a < self.mem_size, a, self.total_mem)
             drop = True
         if self._pred is not None:
-            # predicated write: redirect the index out of bounds when the
-            # enclosing branch arm is inactive — the scatter drops it
+            # predicated write: redirect the index past the end when the
+            # enclosing branch arm is inactive — dropped either way below
             a = jnp.where(self._pred, a, self.total_mem)
             drop = True
-        if drop:
-            self.mem = self.mem.at[a].set(vv, mode="drop")
-        else:
-            self.mem = self.mem.at[a].set(vv)
+        if vec:
+            # vector writes at (possibly strided) index vectors keep the
+            # scatter path; only the out-of-bounds dropland discards them
+            if drop:
+                self.mem = self.mem.at[a].set(vv, mode="drop")
+            else:
+                self.mem = self.mem.at[a].set(vv)
+            return
+        # scalar writes lower as dynamic_update_slice: one compact op vs
+        # scatter's region (~10x the StableHLO text, heavier TPU lowering).
+        # DUS clamps start to [0, total_mem-1]; dropped writes (index
+        # redirected to total_mem) land in the trailing trash cell
+        self.mem = jax.lax.dynamic_update_slice(self.mem, vv, (a,))
 
     def _mem_bulk(self, start, chunk):
         """Contiguous heap write [start, start+len(chunk)); start is a
@@ -1953,12 +1986,185 @@ class DeviceSection:
             return float(max(0, nln))
         raise DevgenError(f"{f}: unsupported arity")
 
+    # -- function outlining (program-size dedup) ------------------------------
+    #
+    # Inline tracing replicates a function body at EVERY call site; on the
+    # multi-kLoC catalog plugins (Texture: 7k LoC, dozens of helpers hit
+    # from loops) that multiplies the StableHLO into the remote TPU
+    # compile helper's kill zone.  Heavy functions called from several
+    # sites instead lower ONCE as a jitted subfunction over the full
+    # (vars, mem, pred, dyn-args) state — call sites become func.calls to
+    # one shared private function.  Static args specialize the body (one
+    # outline per static signature), so constant folding inside is kept.
+
+    _OUTLINE_MIN_WEIGHT = 24
+
+    def _outline_counts(self) -> Dict[str, int]:
+        """Static call-site appearance counts per user function over the
+        section body plus every reachable function body."""
+        from ..frontend.astnodes import walk
+
+        counts: Dict[str, int] = {}
+        seen: Set[str] = set()
+        pending: List[str] = []
+
+        def scan(nodes) -> None:
+            for st in nodes:
+                for x in walk(st):
+                    if isinstance(x, CallExpr) and x.func in self.P.fn_defs:
+                        counts[x.func] = counts.get(x.func, 0) + 1
+                        if x.func not in seen:
+                            seen.add(x.func)
+                            pending.append(x.func)
+
+        scan(self.body)
+        while pending:
+            scan([self.P.fn_defs[pending.pop()].body])
+        return counts
+
+    def _outline_safe(self, fname: str) -> bool:
+        """True when the function's transitive body only touches state
+        that lives in (vars, mem): no trace-time host folding (files,
+        pool setup) and no staged-plane readers (midirecv)."""
+        memo = self._outline_safe_memo
+        got = memo.get(fname)
+        if got is not None:
+            return got
+        from ..frontend.astnodes import walk
+
+        bad = self._FILE_FNS | self._POOL_SETUP | {
+            "midirecv", "midirecv_buf", "midirecv_str"}
+        ok = True
+        seen = {fname}
+        stack = [fname]
+        while stack and ok:
+            f = stack.pop()
+            for x in walk(self.P.fn_defs[f].body):
+                if isinstance(x, CallExpr):
+                    if x.func in bad:
+                        ok = False
+                        break
+                    if x.func in self.P.fn_defs and x.func not in seen:
+                        seen.add(x.func)
+                        stack.append(x.func)
+        memo[fname] = ok
+        return ok
+
+    def _fn_writes(self, fname: str) -> Set[Any]:
+        """Slot keys the function (transitively) may write — used to
+        invalidate the static-constant overlay after an outlined call."""
+        got = self._fn_writesets.get(fname)
+        if got is not None:
+            return got
+        from ..frontend.astnodes import walk
+
+        keys: Set[Any] = set()
+        seen = {fname}
+        stack = [fname]
+        while stack:
+            f = stack.pop()
+            fdef = self.P.fn_defs[f]
+            params = set(fdef.params)
+            for p in fdef.params:
+                keys.add(("param", f, p))
+            for x in walk(fdef.body):
+                if isinstance(x, Asn) and isinstance(x.target, Name):
+                    ident = x.target.ident
+                    keys.add(("param", f, ident) if ident in params
+                             else _env_key(ident))
+                elif isinstance(x, CallExpr) and x.func in self.P.fn_defs \
+                        and x.func not in seen:
+                    seen.add(x.func)
+                    stack.append(x.func)
+        for pseudo in PENDING_SLOT_NAMES + (RAND_POS_SLOT, MIDI_POS_SLOT):
+            keys.add(("var", pseudo))
+        self._fn_writesets[fname] = keys
+        return keys
+
+    def _outline_ok(self, fname: str, fdef, vals) -> bool:
+        if fname in self._outline_bad:
+            return False
+        # all-static calls usually fold to a constant inline; keep them
+        if fdef.params and all(isinstance(v, float) for v in vals):
+            return False
+        w = self._outline_w.get(fname)
+        if w is None:
+            w = self._node_weight(fdef.body)
+            self._outline_w[fname] = w
+        if w < self._OUTLINE_MIN_WEIGHT:
+            return False
+        if self._call_counts is None:
+            self._call_counts = self._outline_counts()
+        if self._call_counts.get(fname, 0) < 2:
+            return False
+        return self._outline_safe(fname)
+
+    def _outlined_call(self, fname: str, fdef, vals):
+        """Call `fname` through its shared jitted subfunction.  Returns a
+        1-tuple (ret,) or None to fall back to inline tracing."""
+        import jax
+
+        jnp = self._jnp
+        statics = tuple(v if isinstance(v, float) else None for v in vals)
+        dyn = [v for v in vals if not isinstance(v, float)]
+        dkey = tuple((tuple(getattr(v, "shape", ())),
+                      str(getattr(v, "dtype", "f8"))) for v in dyn)
+        skey = (fname, statics, dkey)
+        fn = self._outline_cache.get(skey)
+        if fn is None:
+            def outlined(vars_vec, mem, pred, dyn_args):
+                save = (self.vars, self.mem, self._known, self._pred)
+                self.vars, self.mem = vars_vec, mem
+                self._known = {}
+                self._pred = pred
+                try:
+                    it = iter(dyn_args)
+                    inner: Dict[str, Any] = {}
+                    for p, sv in zip(fdef.params, statics):
+                        key = ("param", fname, p)
+                        self._write_slot(key,
+                                         sv if sv is not None else next(it))
+                        inner[p] = key
+                    ret = self.ex(fdef.body, inner)
+                    return self.vars, self.mem, self._arr(ret)
+                finally:
+                    (self.vars, self.mem,
+                     self._known, self._pred) = save
+
+            fn = jax.jit(outlined)
+            self._outline_cache[skey] = fn
+        pred = jnp.asarray(True) if self._pred is None else self._pred
+        try:
+            new_vars, new_mem, ret = fn(self.vars, self.mem, pred,
+                                        tuple(dyn))
+        except DevgenError as exc:
+            if "beyond device heap" in str(exc):
+                raise  # heap-size ladder must keep climbing
+            self._outline_bad.add(fname)
+            return None
+        except (TypeError, jax.errors.TracerBoolConversionError,
+                jax.errors.ConcretizationTypeError):
+            # body relies on per-call-site static knowledge the outline
+            # doesn't carry — trace it inline instead
+            self._outline_bad.add(fname)
+            return None
+        self.vars, self.mem = new_vars, new_mem
+        for k in self._fn_writes(fname):
+            s = self.slots.get(k)
+            if s is not None:
+                self._known.pop(s, None)
+        return (ret,)
+
     def _user_call(self, fname: str, args: Sequence[Node], scope):
         fdef = self.P.fn_defs[fname]
         if len(args) != len(fdef.params):
             raise DevgenError(f"{fname}: arg count {len(args)} != "
                               f"{len(fdef.params)}")
         vals = [self.ex(a, scope) for a in args]
+        if self._outline_ok(fname, fdef, vals):
+            got = self._outlined_call(fname, fdef, vals)
+            if got is not None:
+                return got[0]
         inner: Dict[str, Any] = {}
         for p, v in zip(fdef.params, vals):
             key = ("param", fname, p)

@@ -236,7 +236,9 @@ class FaustBatchRenderer:
             raw = self.raw_render(T)
             fn = jax.jit(jax.vmap(lambda a: raw(a)[0]))
             self._fns[(nf, T)] = fn
-        return fn(jnp.asarray(np.ascontiguousarray(x, np.float32)))
+        if not isinstance(x, jax.Array):
+            x = jnp.asarray(np.ascontiguousarray(x, np.float32))
+        return fn(x)
 
 
 def build_catalog_renderers(catalog_root: str, srate: float = 48000.0,
