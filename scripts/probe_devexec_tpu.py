@@ -46,3 +46,5 @@ rep = null_test_plugin(prog, x, 48000.0, block_size=B,
 print(f"elapsed {time.time()-t0:.1f}s", flush=True)
 print(rep.summary(), flush=True)
 print("PASSED" if rep.passed else "FAILED", flush=True)
+for vm in rep.var_mismatches[:20]:
+    print("VAR:", vm, flush=True)

@@ -256,7 +256,8 @@ class DeviceSection:
     })
 
     _FORBIDDEN = frozenset({
-        "rand", "midisend_buf", "midirecv_buf",
+        "rand", "midisend_buf", "midirecv_buf", "midisend_str",
+        "midirecv_str", "midisyx",
         "slider_show", "slider_next_chg",
         "msg_send", "msg_recv", "msg_peek",
         "msg_advertise", "msg_subscribe", "msg_peer_count", "msg_peer_id",

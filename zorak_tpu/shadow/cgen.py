@@ -56,6 +56,9 @@ _OPS = [
     "fft", "ifft", "fft_real", "ifft_real", "fft_permute", "fft_ipermute",
     "convolve_c",
     "pool_read2", "pool_read2i", "pool_preview",
+    # appended (cached .so opcode stability): variable-length MIDI forms
+    "midirecv_buf", "midirecv_str", "midisend_buf", "midisend_str",
+    "midisyx",
 ]
 OPCODES = {name: i for i, name in enumerate(_OPS)}
 
@@ -540,12 +543,21 @@ class _CGen:
                 raise CGenError("midisend expects 3 or 4 args")
             args = [self.ex(a) for a in n.args]
             return self._host("midisend", [str(float(len(n.args)))] + args)
-        if fn in ("midirecv_buf", "midirecv_str", "midisend_buf",
-                  "midisend_str", "midisyx"):
-            for a in n.args:
-                pass
-            return "(" + ", ".join(f"(void)({self.ex(a)})" for a in n.args) + ", 0.0)" \
-                if n.args else "0.0"
+        if fn == "midirecv_buf":
+            if len(n.args) != 3:
+                raise CGenError("midirecv_buf arg count")
+            return self._host_with_outs(
+                fn, [self.ex(a) for a in n.args[1:]], [n.args[0]])
+        if fn == "midirecv_str":
+            if len(n.args) != 2:
+                raise CGenError("midirecv_str arg count")
+            # outs: offset + the string slot (it receives a handle)
+            return self._host_with_outs(
+                fn, [self.ex(n.args[1])], [n.args[0], n.args[1]])
+        if fn in ("midisend_buf", "midisend_str", "midisyx"):
+            if len(n.args) != (2 if fn == "midisend_str" else 3):
+                raise CGenError(f"{fn} arg count")
+            return self._host(fn, [self.ex(a) for a in n.args])
 
         from ..ir.analyses import FUNSETS
         if fn in FUNSETS.POOL_ALL:
@@ -902,6 +914,29 @@ class NativeShadowPlugin:
                     max(0, SC.trunc_i64(vals[0])), SC.trunc_i64(vals[1]) & 0xFF,
                     SC.trunc_i64(vals[2]) & 0xFF, SC.trunc_i64(vals[3]) & 0xFF))
                 return vals[1]
+            if name == "midirecv_buf":
+                from .pyexec import _midirecv_buf
+                r = _midirecv_buf(st, a[0], a[1])
+                self._bind_mem()  # recv_buf may have grown the shared heap
+                if r is None:
+                    return 0.0
+                outs[0] = float(r[0])
+                return float(r[1])
+            if name == "midirecv_str":
+                from .pyexec import _midirecv_str
+                r = _midirecv_str(st, a[0])
+                if r is None:
+                    return 0.0
+                outs[0] = float(r[0])
+                outs[1] = float(r[2])
+                return float(r[1])
+            if name in ("midisend_buf", "midisyx"):
+                from .pyexec import _midisend_buf
+                return float(_midisend_buf(st, a[0], a[1], a[2],
+                                           name == "midisyx"))
+            if name == "midisend_str":
+                from .pyexec import _midisend_str
+                return float(_midisend_str(st, a[0], a[1]))
             if name == "msg_recv":
                 r = h.msg_recv(st, a[0])
                 if r is None:
@@ -997,6 +1032,10 @@ class NativeShadowPlugin:
                       num_channels: Optional[int] = None) -> None:
         self._sync_to_c()
         n = int(inputs.shape[1]) if inputs.size else int(outputs.shape[1])
+        # the C entry sets S->samplesblock itself, but host callbacks that
+        # fire mid-block (midisend_* offset clamping) read the PYTHON
+        # mirror — keep it current for the whole block
+        self.state.samplesblock = float(n)
         ch = num_channels if num_channels is not None else max(
             inputs.shape[0], outputs.shape[0])
         in32 = np.ascontiguousarray(inputs, dtype=np.float32)

@@ -227,6 +227,126 @@ def _midisend(S, ofs, b1, b2, b3):
     return b1
 
 
+# -- variable-length MIDI forms (ref JSFXJuceProcessor.cpp:2280-2433) --------
+
+def _midi_round(v) -> int:
+    """juce::roundToInt: nearest integer (ref jsfxRoundToInt)."""
+    import math
+    try:
+        return int(math.floor(float(v) + 0.5))
+    except (ValueError, OverflowError):
+        return 0
+
+
+def _midi_clamp_byte(v) -> int:
+    return min(255, max(0, _midi_round(v)))
+
+
+def _mem_index(v) -> int:
+    """ref jsfxClampMemIndex: rounded, floored at 0."""
+    return max(0, _midi_round(v))
+
+
+def _prepare_var_midi(bts, force_sysex: bool):
+    """ref jsfxPrepareVariableMidiBytes: messages that look like sysex
+    (len>3 or F0/F7 framing) get the missing F0/F7 added."""
+    if not bts:
+        return []
+    if force_sysex or len(bts) > 3 or bts[0] == 0xF0 or bts[-1] == 0xF7:
+        if bts[0] != 0xF0:
+            bts = [0xF0] + bts
+        if bts[-1] != 0xF7:
+            bts = bts + [0xF7]
+    return bts
+
+
+def _queue_midi_bytes(S, ofs, bts) -> float:
+    blk = int(getattr(S, "samplesblock", 0.0) or 0.0)
+    off = min(max(0, _midi_round(ofs)), max(0, blk - 1))
+    head = (list(bts) + [0, 0, 0])[:3]
+    from .state import midi_short_length
+    data = (tuple(bts) if len(bts) > 3
+            or len(bts) != midi_short_length(bts[0]) else None)
+    S.midi_out.append(MidiEvent(off, head[0], head[1], head[2], data))
+    return float(len(bts))
+
+
+def _midirecv_buf(S, buf, maxlen):
+    """Pop the next input event into mem[buf..]; events longer than
+    maxlen pass through to the output queue (ref :2280-2308).  Returns
+    (offset, length) or None when the queue drains."""
+    maxn = _midi_round(maxlen)
+    if maxn <= 0:
+        return None
+    while S.midi_in_pos < len(S.midi_in):
+        ev = S.midi_in[S.midi_in_pos]
+        S.midi_in_pos += 1
+        bts = ev.payload()
+        if not bts:
+            continue
+        if len(bts) > maxn:
+            S.midi_out.append(ev)
+            continue
+        base = _mem_index(buf)
+        S.mem_ensure(base + len(bts))
+        for i, b in enumerate(bts):
+            S.mem[base + i] = float(b)
+        return (float(ev.offset), float(len(bts)))
+    return None
+
+
+DYN_STRING_BASE = 1 << 41  # above the literal-table handles (1<<40 + k)
+
+
+def _midirecv_str(S, handle):
+    """Pop the next input event into the string variable (ref :2311-2333
+    — jsfxAssignStringBytes ASSIGNS a string into the slot, so the var
+    receives a handle).  A dynamic (mutable) handle already held is
+    reused; otherwise a fresh one is allocated.  Returns
+    (offset, length, handle) or None."""
+    try:
+        h = int(handle)
+    except (ValueError, OverflowError):
+        h = 0
+    while S.midi_in_pos < len(S.midi_in):
+        ev = S.midi_in[S.midi_in_pos]
+        S.midi_in_pos += 1
+        bts = ev.payload()
+        if not bts:
+            continue
+        if h < DYN_STRING_BASE or S.string_for_handle(h) is None:
+            h = 1 + max((k for k in S.strings_by_handle
+                         if k >= DYN_STRING_BASE), default=DYN_STRING_BASE - 1)
+        S.strings_by_handle[h] = "".join(chr(b & 0xFF) for b in bts)
+        return (float(ev.offset), float(len(bts)), float(h))
+    return None
+
+
+def _midisend_buf(S, ofs, buf, ln, force_sysex=False):
+    """Queue mem[buf..buf+len) as one event (ref :2361-2378 and
+    midisyx :2407-2433).  The read does NOT grow the heap."""
+    req = _midi_round(ln)
+    if req <= 0:
+        return 0.0
+    base = _mem_index(buf)
+    if base + req > len(S.mem):
+        return 0.0
+    bts = _prepare_var_midi(
+        [_midi_clamp_byte(S.mem[base + i]) for i in range(req)], force_sysex)
+    if not bts:
+        return 0.0
+    return _queue_midi_bytes(S, ofs, bts)
+
+
+def _midisend_str(S, ofs, handle):
+    """Queue the string's bytes as one event (ref :2380-2405)."""
+    text = S.string_for_handle(handle)
+    if not text:
+        return 0.0
+    bts = _prepare_var_midi([ord(c) & 0xFF for c in text], False)
+    return _queue_midi_bytes(S, ofs, bts)
+
+
 # ---------------------------------------------------------------------------
 # code generator
 
@@ -677,15 +797,41 @@ class _Gen:
                          f"float({m23} & 255), float(({m23} >> 8) & 255))")
             return t
 
-        if fn in ("midirecv_buf", "midirecv_str", "midisend_buf", "midisend_str", "midisyx"):
-            # extended MIDI forms: evaluate args, route to host (inert default)
-            for a in n.args:
-                if fn.startswith("midirecv") and a is n.args[0]:
-                    self._lv_prepare(a, fn)
-                else:
-                    self.ex(a)
+        if fn in ("midirecv_buf", "midirecv_str"):
+            if len(n.args) != (3 if fn == "midirecv_buf" else 2):
+                raise ValueError(f"{fn} arg count")
+            stores = [self._lv_prepare(n.args[0], fn)]
+            if fn == "midirecv_str":
+                # the string slot RECEIVES a handle (assignment semantics)
+                stores.append(self._lv_prepare(n.args[1], fn))
+                args = [self.ex(n.args[1])]
+            else:
+                args = [self.ex(a) for a in n.args[1:]]
+            r = self.tmp()
+            self.put(f"{r} = _{fn}(S, {', '.join(args)})")
             t = self.tmp()
-            self.put(f"{t} = 0.0")
+            self.put(f"if {r} is None:")
+            self.put(f"    {t} = 0.0")
+            self.put("else:")
+            self.depth += 1
+            stores[0](f"{r}[0]")
+            if fn == "midirecv_str":
+                stores[1](f"{r}[2]")
+            self.put(f"{t} = {r}[1]")
+            self.depth -= 1
+            return t
+
+        if fn in ("midisend_buf", "midisend_str", "midisyx"):
+            if len(n.args) != (2 if fn == "midisend_str" else 3):
+                raise ValueError(f"{fn} arg count")
+            args = [self.ex(a) for a in n.args]
+            t = self.tmp()
+            if fn == "midisend_str":
+                self.put(f"{t} = _midisend_str(S, {args[0]}, {args[1]})")
+            else:
+                sysex = "True" if fn == "midisyx" else "False"
+                self.put(f"{t} = _midisend_buf(S, {args[0]}, {args[1]}, "
+                         f"{args[2]}, {sysex})")
             return t
 
         if fn == "strlen":
@@ -1018,6 +1164,8 @@ def _exec_namespace(program: PluginProgram) -> Dict[str, object]:
         "_memset": _memset, "_memcpy": _memcpy,
         "_fft_call": _fft_call, "_convolve_c": _convolve_c,
         "_midirecv4": _midirecv4, "_midisend": _midisend,
+        "_midirecv_buf": _midirecv_buf, "_midirecv_str": _midirecv_str,
+        "_midisend_buf": _midisend_buf, "_midisend_str": _midisend_str,
         "_gfx_call": _gfx_call,
     }
     return ns

@@ -19,15 +19,42 @@ MAX_CHANNELS = 64
 MAX_SLIDERS = 64
 
 
+def midi_short_length(status: int) -> int:
+    """Byte count of a short MIDI message from its status byte (ref
+    jsfxShortMessageLength, JSFXJuceProcessor.cpp:1522-1528: JUCE's
+    per-status length, floored to 1, capped at 3)."""
+    s = int(status) & 0xFF
+    if s < 0x80:
+        return 1
+    hi = s & 0xF0
+    if hi in (0xC0, 0xD0):
+        return 2
+    if hi != 0xF0:
+        return 3
+    return {0xF1: 2, 0xF2: 3, 0xF3: 2}.get(s, 1)
+
+
 @dataclass
 class MidiEvent:
+    """One MIDI event.  Short messages live in b1..b3 (their length is
+    implied by the status byte); variable-length messages (sysex, the
+    midisend_buf/_str family) carry their full byte string in `data`
+    with b1..b3 mirroring the first three bytes (ref
+    JsfxRuntimeMidiEvent, JSFXJuceProcessor.cpp:1530-1558)."""
     offset: int
     b1: int
     b2: int
     b3: int
+    data: Optional[Tuple[int, ...]] = None
 
     def key(self) -> Tuple[int, int, int, int]:
         return (self.offset, self.b1, self.b2, self.b3)
+
+    def payload(self) -> Tuple[int, ...]:
+        """The event's byte string."""
+        if self.data is not None:
+            return self.data
+        return (self.b1, self.b2, self.b3)[:midi_short_length(self.b1)]
 
 
 class HostServices:
