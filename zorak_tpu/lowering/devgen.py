@@ -638,6 +638,15 @@ class DeviceSection:
     # adaptive static-while unroll: past this many branch merges the
     # unroll attempt is abandoned and the loop traces as a lax.while_loop
     _UNROLL_MERGE_BUDGET = 2048
+    # companion budget for OP-EMITTING unrolls: iterations whose body
+    # fails to fold (the vars/mem carries get new traced arrays) emit
+    # real ops each trip — Sample.jsfx's @block has static whiles of
+    # ~120k trips with near-zero merges that unrolled into an 843 MB
+    # StableHLO module.  Folded iterations (pure trace-time arithmetic /
+    # static-overlay writes) stay free; traced iterations charge their
+    # body weight against this budget, then the loop re-traces as ONE
+    # lax.while_loop.
+    _UNROLL_TRACED_WEIGHT_BUDGET = 1 << 14
 
     def _merged(self, cond, then_fn, else_fn, src=None):
         """Predicated branch execution (if-conversion).
