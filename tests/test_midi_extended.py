@@ -163,3 +163,59 @@ n = midirecv_buf(ofs, buf, 16);
         run_block(p, [syx])
         assert p.state.V["n"] == 5.0
         assert list(p.state.mem[16:21]) == [0xF0, 1.0, 2.0, 3.0, 0xF7]
+
+
+# -- vector-path payload propagation ------------------------------------------
+
+SYSEX_FROM_BLOCK = """\
+@init
+p = 32; p[0] = 65; p[1] = 16; p[2] = 99;
+cnt = 0;
+@block
+cnt += 1;
+cnt == 2 ? midisyx(5, p, 3);
+@sample
+spl0 = spl0 * 0.5;
+spl1 = spl1 * 0.5;
+"""
+
+
+def test_vector_trajectory_carries_sysex_payload():
+    """@block midisyx on the host-trajectory vector path must surface the
+    FULL byte string, not an (offset,b1,b2,b3) truncation (the null
+    harness now compares payloads end-to-end)."""
+    from zorak_tpu.lowering import specialize_sample_kernel
+    from zorak_tpu.verify import make_initialized_shadow, null_test_plugin
+
+    prog = compile_plugin_source(SYSEX_FROM_BLOCK)
+    rng = np.random.RandomState(3)
+    x = (rng.randn(2, 2048) * 0.25).astype(np.float32)
+    rep = null_test_plugin(prog, x, block_size=512, segment_len=1024)
+    assert rep.passed, rep.describe()
+
+    snap = make_initialized_shadow(prog, 48000.0)
+    kern = specialize_sample_kernel(prog, snap.state, 2,
+                                    segment_len=1024, block_size=512)
+    kern.render(x)
+    (ev,) = kern.last_midi_out
+    assert ev[:4] == (512 + 5, 0xF0, 65, 16)
+    assert ev[4] == (0xF0, 65, 16, 99, 0xF7)
+
+
+def test_compare_midi_out_catches_payload_truncation():
+    from zorak_tpu.verify.nulltest import compare_midi_out
+
+    full = [(5, 0xF0, 65, 16, (0xF0, 65, 16, 99, 0xF7))]
+    truncated = [(5, 0xF0, 65, 16)]
+    assert compare_midi_out(full, list(full)).midi_mismatch is None
+    assert compare_midi_out(full, truncated).midi_mismatch is not None
+
+
+def test_midi_round_half_away_from_zero():
+    from zorak_tpu.shadow.pyexec import _midi_round
+
+    assert _midi_round(-1.5) == -2     # llround, not floor(v+0.5)
+    assert _midi_round(1.5) == 2
+    assert _midi_round(-0.5) == -1
+    assert _midi_round(2.4) == 2
+    assert _midi_round(-2.6) == -3

@@ -1184,6 +1184,8 @@ class DeviceSection:
             saved = (self.vars, self.mem, dict(self._known),
                      self._n_merges)
             m0 = self._n_merges
+            bw = max(1, self._node_weight(n.body))
+            traced_weight = 0
             bailed = False
             guard = 1 << 17
             while isinstance(p0, float) and SC.truthy(p0):
@@ -1192,11 +1194,22 @@ class DeviceSection:
                     raise DevgenError("static while() too long to unroll")
                 if guard % 8192 == 0:
                     _trace_note(f"static-while unroll (guard {guard}, "
-                                f"merges {self._n_merges})")
-                if self._n_merges - m0 > self._UNROLL_MERGE_BUDGET:
+                                f"merges {self._n_merges}, "
+                                f"traced weight {traced_weight})")
+                if (self._n_merges - m0 > self._UNROLL_MERGE_BUDGET
+                        or traced_weight
+                        > self._UNROLL_TRACED_WEIGHT_BUDGET):
                     bailed = True
                     break
+                # op-emitting iterations are detectable by identity: jnp
+                # arrays are immutable, so any traced write replaces
+                # self.vars/self.mem; a fully folded iteration (pure
+                # trace-time arithmetic / static-overlay writes) leaves
+                # both objects untouched and stays free
+                vars0, mem0 = self.vars, self.mem
                 self.ex(n.body, scope)
+                if self.vars is not vars0 or self.mem is not mem0:
+                    traced_weight += bw
                 p0 = self.ex(n.pred, scope)
             if not bailed and isinstance(p0, float):
                 return 0.0

@@ -380,7 +380,8 @@ class PluginInstance:
                                     midi=span_midi)
             y[:, s0:s1] = ys
             for mo in kern.last_midi_out:
-                midi_out.append((s0 + mo[0], mo[1], mo[2], mo[3]))
+                # 4-tuple short events; 5-tuples carry sysex/buf payloads
+                midi_out.append((s0 + mo[0],) + tuple(mo[1:]))
             return carry
 
         b = 0
@@ -417,8 +418,8 @@ class PluginInstance:
             state=self.shadow.state,
             details={"idle_mode": mode,
                      "awake_blocks": int(awake.sum()), "blocks": nb,
-                     "midi_out": [(o // F, a, bb, c)
-                                  for (o, a, bb, c) in midi_out]})
+                     "midi_out": [(e[0] // F,) + tuple(e[1:])
+                                  for e in midi_out]})
 
     # -- shadow block loop (midi / smart idle / fallback) ---------------------
 
@@ -473,8 +474,10 @@ class PluginInstance:
 
             self.shadow.process_block(block_in, y_eng[:, start:stop])
             for ev in st.midi_out:
-                midi_out.append((host_start + ev.offset // F,
-                                 ev.b1, ev.b2, ev.b3))
+                et = (host_start + ev.offset // F, ev.b1, ev.b2, ev.b3)
+                if ev.data is not None:
+                    et += (tuple(int(v) & 0xFF for v in ev.data),)
+                midi_out.append(et)
             st.midi_out = []
 
             if self._sleep_eligible(mode) and not (

@@ -230,10 +230,13 @@ def _midisend(S, ofs, b1, b2, b3):
 # -- variable-length MIDI forms (ref JSFXJuceProcessor.cpp:2280-2433) --------
 
 def _midi_round(v) -> int:
-    """juce::roundToInt: nearest integer (ref jsfxRoundToInt)."""
+    """std::llround semantics: round half AWAY FROM ZERO (ref
+    jsfxRoundToInt) — differs from floor(v+0.5) at negative halves
+    (-1.5 -> -2, not -1)."""
     import math
     try:
-        return int(math.floor(float(v) + 0.5))
+        f = float(v)
+        return int(math.copysign(math.floor(abs(f) + 0.5), f))
     except (ValueError, OverflowError):
         return 0
 

@@ -131,7 +131,10 @@ def compare_memory_pages(ref_state, test_state, eps: float = SCALAR_EPS,
 def compare_midi_out(ref_events, test_events,
                      report: Optional[NullReport] = None) -> NullReport:
     """Stable-sort both sides by sample offset, then compare count and every
-    (offset, b1, b2, b3) (ref: JSFXCorrectnessCheck.h:949-989)."""
+    (offset, b1, b2, b3) (ref: JSFXCorrectnessCheck.h:949-989).  Events with
+    a variable-length payload (sysex / midisend_buf family — MidiEvent.data
+    or a 5th tuple element) additionally compare the FULL byte string, so a
+    path that truncates a long message to its first three bytes fails."""
     rep = report or NullReport()
     if rep.midi_mismatch is not None:
         return rep
@@ -140,12 +143,16 @@ def compare_midi_out(ref_events, test_events,
         out = []
         for e in evs:
             if hasattr(e, "offset"):
+                data = (tuple(int(v) & 0xFF for v in e.data)
+                        if e.data is not None else None)
                 out.append((int(e.offset), int(e.b1) & 0xFF,
-                            int(e.b2) & 0xFF, int(e.b3) & 0xFF))
+                            int(e.b2) & 0xFF, int(e.b3) & 0xFF, data))
             else:
                 off, b1, b2, b3 = e[:4]
+                data = (tuple(int(v) & 0xFF for v in e[4])
+                        if len(e) > 4 and e[4] is not None else None)
                 out.append((int(off), int(b1) & 0xFF,
-                            int(b2) & 0xFF, int(b3) & 0xFF))
+                            int(b2) & 0xFF, int(b3) & 0xFF, data))
         out.sort(key=lambda t: t[0])  # python sort is stable
         return out
 
@@ -314,8 +321,11 @@ def null_test_plugin(program, x: np.ndarray, srate: float = 48000.0,
             gold.state.midi_in_pos = 0
         gold.process_block(x[:, start:stop], y_ref[:, start:stop])
         for ev in gold.state.midi_out:
-            gold_midi_out.append((start + int(ev.offset), int(ev.b1),
-                                  int(ev.b2), int(ev.b3)))
+            et = (start + int(ev.offset), int(ev.b1),
+                  int(ev.b2), int(ev.b3))
+            if ev.data is not None:
+                et += (tuple(int(v) & 0xFF for v in ev.data),)
+            gold_midi_out.append(et)
         gold.state.midi_out = []
 
     # vectorized render from an identical snapshot
