@@ -61,12 +61,22 @@ def partitioned_convolve(x: jnp.ndarray, ir: jnp.ndarray,
     idx = jnp.arange(n_frames)[:, None] * B + jnp.arange(N)[None, :]
     X = jnp.fft.rfft(xp[idx], axis=-1)  # [frames, bins]
 
-    # delay-line of spectra: output frame f accumulates X[f - p] * H[p]
-    frames_i = jnp.arange(n_frames)[:, None]
-    parts_i = jnp.arange(n_parts)[None, :]
-    src = frames_i - parts_i  # [frames, parts]
-    valid = src >= 0
-    Xd = jnp.where(valid[..., None], X[jnp.clip(src, 0)], 0.0)  # [f, p, bins]
-    Y = jnp.einsum("fpb,pb->fb", Xd, H)
+    # delay-line of spectra: output frame f accumulates X[f - p] * H[p].
+    # NOT a materialized [frames, parts, bins] gather — that is an
+    # O(parts) memory blow-up (0.5 GB per 20 s lane at 64 partitions;
+    # OOMed HBM under 32 vmapped lanes).  Accumulate over partitions
+    # instead: n_parts sequential FMAs over [frames, bins], peak memory
+    # O(frames * bins).
+    Xpad = jnp.concatenate(
+        [jnp.zeros((n_parts - 1,) + X.shape[1:], X.dtype), X], axis=0)
+
+    def mac(acc, ph):
+        h, p = ph
+        xs = jax.lax.dynamic_slice_in_dim(Xpad, n_parts - 1 - p,
+                                          n_frames, axis=0)
+        return acc + xs * h, None
+
+    Y, _ = jax.lax.scan(mac, jnp.zeros_like(X),
+                        (H, jnp.arange(n_parts)))
     y = jnp.fft.irfft(Y.astype(jnp.complex64), N, axis=-1)[:, B:]
     return y.reshape(-1)[:T]
