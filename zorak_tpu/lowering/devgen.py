@@ -178,6 +178,9 @@ class DeviceSection:
         # memoized transitive node weights per user function (see
         # _node_weight; drives the unroll-vs-fori decision)
         self._fn_weights: Dict[str, int] = {}
+        self._pure_cache: Dict[int, bool] = {}
+        self._fn_pure_cache: Dict[str, bool] = {}
+        self._dyn_calls: Dict[str, int] = {}
         # function outlining (program-size dedup): heavy user functions
         # called from several sites lower ONCE as a jitted subfunction
         # (func.call in the StableHLO) instead of re-tracing their body
@@ -637,7 +640,11 @@ class DeviceSection:
     _MERGE_BUDGET = 2048
     # adaptive static-while unroll: past this many branch merges the
     # unroll attempt is abandoned and the loop traces as a lax.while_loop
-    _UNROLL_MERGE_BUDGET = 2048
+    # (env-overridable: tighter budgets shrink the lowered program at the
+    # cost of more lax loops — the remote TPU compile helper SIGKILLs
+    # modules past ~7 MB, so program SIZE is a hard constraint)
+    _UNROLL_MERGE_BUDGET = int(_os.environ.get(
+        "ZORAK_UNROLL_MERGE_BUDGET", 2048))
     # companion budget for OP-EMITTING unrolls: iterations whose body
     # fails to fold (the vars/mem carries get new traced arrays) emit
     # real ops each trip — Sample.jsfx's @block has static whiles of
@@ -646,7 +653,65 @@ class DeviceSection:
     # static-overlay writes) stay free; traced iterations charge their
     # body weight against this budget, then the loop re-traces as ONE
     # lax.while_loop.
-    _UNROLL_TRACED_WEIGHT_BUDGET = 1 << 14
+    _UNROLL_TRACED_WEIGHT_BUDGET = int(_os.environ.get(
+        "ZORAK_UNROLL_TRACED_WEIGHT_BUDGET", 1 << 14))
+
+    # builtins with no observable side effects (heap reads are pure: they
+    # gather, clamp, and touch no state)
+    _PURE_FNS = frozenset(_SC_UNARY) | {
+        "min", "max", "pow", "atan2", "strlen", "str_getchar", "__memtop"}
+
+    def _is_pure(self, node: Node) -> bool:
+        """True when evaluating `node` has NO observable side effect: no
+        assignments anywhere (including inside called user functions), no
+        loops, no stateful builtins.  Pure conditional arms evaluate
+        speculatively and select with ONE jnp.where instead of the full
+        branch-merge machinery (whole-vars where + heap-clone bookkeeping
+        per merge): Sample.jsfx's denorm_zap ternary alone accounted for
+        ~1000 merges per traced section.  Param-slot binding by pure user
+        calls is the one write that slips through — unobservable, since
+        every writeback skips ("param", ...) keys and call entry rebinds.
+        """
+        cached = self._pure_cache.get(id(node))
+        if cached is None:
+            cached = self._pure_walk(node, frozenset())
+            self._pure_cache[id(node)] = cached
+        return cached
+
+    def _pure_walk(self, node, stack: frozenset) -> bool:
+        from ..frontend.astnodes import walk
+
+        for x in walk(node):
+            if isinstance(x, (Asn, LoopExpr, WhileStmt, IfStmt)):
+                return False
+            if isinstance(x, CallExpr):
+                if x.func in self.P.fn_defs:
+                    if not self._fn_pure(x.func, stack):
+                        return False
+                elif x.func not in self._PURE_FNS:
+                    return False
+        return True
+
+    def _fn_pure(self, fname: str, stack: frozenset) -> bool:
+        c = self._fn_pure_cache.get(fname)
+        if c is not None:
+            return c
+        ok = fname not in stack and self._pure_walk(
+            self.P.fn_defs[fname].body, stack | {fname})
+        self._fn_pure_cache[fname] = ok
+        return ok
+
+    def _pure_where(self, cond, then_node, else_node, scope):
+        """cond ? pure : pure -> one select, zero merges."""
+        jnp = self._jnp
+        t = self.ex(then_node, scope) if then_node is not None else 0.0
+        e = self.ex(else_node, scope) if else_node is not None else 0.0
+        if isinstance(t, float) and isinstance(e, float) and t == e:
+            return t
+        m = EM.truthy_mask(cond)
+        tv = jnp.float64(t) if isinstance(t, float) else t
+        ev = jnp.float64(e) if isinstance(e, float) else e
+        return jnp.where(m, tv, ev)
 
     def _merged(self, cond, then_fn, else_fn, src=None):
         """Predicated branch execution (if-conversion).
@@ -1057,7 +1122,8 @@ class DeviceSection:
     # re-traced the ~150-line weight stack 160x -> a 7 MB StableHLO module
     # the remote TPU compile helper OOM-kills).  Past this node-weight x
     # trip product the loop lowers as lax.fori_loop (body traced once).
-    _UNROLL_WEIGHT_BUDGET = 2048
+    _UNROLL_WEIGHT_BUDGET = int(_os.environ.get(
+        "ZORAK_UNROLL_WEIGHT_BUDGET", 2048))
 
     def _node_weight(self, root: Node) -> int:
         """Approximate traced size of a subtree: AST nodes, with calls to
@@ -1276,6 +1342,9 @@ class DeviceSection:
             if isinstance(c, float):
                 taken = n.then if SC.truthy(c) else n.other
                 return self.ex(taken, scope)
+            if self._is_pure(n.then) and (n.other is None
+                                          or self._is_pure(n.other)):
+                return self._pure_where(c, n.then, n.other, scope)
             return self._merged(c, lambda: self.ex(n.then, scope),
                                 lambda: self.ex(n.other, scope), src=n.pos)
         if isinstance(n, Asn):
@@ -1321,6 +1390,15 @@ class DeviceSection:
             if isinstance(b, float):
                 return 1.0 if SC.truthy(b) else 0.0
             return EM._bool_to_f(EM.truthy_mask(b))
+        # traced lhs + pure rhs: no state to merge — evaluate the rhs
+        # speculatively and combine the truth masks directly
+        if self._is_pure(n.rhs):
+            jnp = self._jnp
+            b = self.ex(n.rhs, scope)
+            bm = EM.truthy_mask(jnp.float64(b) if isinstance(b, float)
+                                else b)
+            am = EM.truthy_mask(a)
+            return EM._bool_to_f(am & bm if n.op == "&&" else am | bm)
         # traced lhs: the rhs arm runs under a state merge (it may assign)
         if n.op == "&&":
             return self._merged(
@@ -2118,7 +2196,12 @@ class DeviceSection:
             return False
         if self._call_counts is None:
             self._call_counts = self._outline_counts()
-        if self._call_counts.get(fname, 0) < 2:
+        # static call-site count misses the dominant repetition mode: ONE
+        # site inside a statically-unrolled loop expands per trip (Sample's
+        # voice loop inlined its ~40 kB body 16x into one 41 MB step fn) —
+        # the dynamic trace-time call count catches those
+        if self._call_counts.get(fname, 0) < 2 \
+                and self._dyn_calls.get(fname, 0) < 2:
             return False
         return self._outline_safe(fname)
 
@@ -2184,6 +2267,7 @@ class DeviceSection:
             raise DevgenError(f"{fname}: arg count {len(args)} != "
                               f"{len(fdef.params)}")
         vals = [self.ex(a, scope) for a in args]
+        self._dyn_calls[fname] = self._dyn_calls.get(fname, 0) + 1
         if self._outline_ok(fname, fdef, vals):
             got = self._outlined_call(fname, fdef, vals)
             if got is not None:
