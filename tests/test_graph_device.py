@@ -1,0 +1,164 @@
+"""Device-path multi-instance comm graphs (VERDICT r2 #5): a RenderGraph
+whose vectorizable nodes run the TPU vector engine must null-match the
+all-shadow graph message-for-message and gmem-page-for-page.
+
+The device decomposition: control runs on the host in LOCKSTEP (each
+node's @block interpreted by its golden executor against the shared
+CommWorld, in host processing order — so bus/gmem exchanges are identical
+to the shadow graph by construction), then each node's sample-rate
+compute rides its vectorized kernel (ref DspJsfxMessageBus.cpp:529,609
+block-resolved delivery; docs/DSP-JSFX-Communication.md)."""
+import numpy as np
+import pytest
+
+from zorak_tpu.catalog import discover
+from zorak_tpu.ir import compile_plugin_source
+from zorak_tpu.runtime.graph import RenderGraph
+
+
+def _ipc_programs():
+    specs = {s.slug: s for s in discover("/root/reference")}
+    if "IPCProbeA" not in specs or "IPCProbeB" not in specs:
+        pytest.skip("reference catalog not available")
+    return specs["IPCProbeA"].load_program(), specs["IPCProbeB"].load_program()
+
+
+def _build(prefer, progs, n):
+    pa, pb = progs
+    g = RenderGraph(block_size=64, prefer=prefer)
+    g.add("tx", pa, sliders={0: 0.0})            # Sender
+    g.add("rx", pb, sliders={0: 1.0})            # Receiver
+    g.init_all()
+    rng = np.random.RandomState(5)
+    x = (rng.randn(2, n) * 0.1).astype(np.float32)
+    outs = g.run({"tx": x, "rx": x})
+    return g, outs
+
+
+class TestIPCProbeGraphDevice:
+    def test_device_graph_matches_shadow(self):
+        progs = _ipc_programs()
+        n = 64 * 6
+        gs, outs_s = _build("shadow", progs, n)
+        gd, outs_d = _build("auto", progs, n)
+        # both IPCProbe roles must have taken the vector path
+        assert gd.node_engines == ["tpu-vector", "tpu-vector"], \
+            gd.spec_errors
+        # audio: the receiver's debug tone tracks rx_count — nonzero and
+        # bit-equal to the shadow graph
+        assert np.abs(outs_s["rx"]).max() > 0.0
+        assert np.array_equal(outs_s["rx"], outs_d["rx"])
+        assert np.array_equal(outs_s["tx"], outs_d["tx"])
+        # message-for-message: sender seq and receiver rx_* evolved
+        # identically (the lockstep trajectory IS the shadow @block)
+        for i in range(2):
+            vs = gs.plugins[i].state.V
+            vd = gd.plugins[i].state.V
+            for name in ("seq", "rx_seq", "rx_src", "rx_count",
+                         "last_peer_count", "iid"):
+                assert vs.get(name, 0.0) == vd.get(name, 0.0), (i, name)
+        assert gs.plugins[0].state.V["seq"] == 6.0
+        assert gs.plugins[1].state.V["rx_count"] == 6.0
+        # gmem-page-for-gmem-page across the shared segment
+        seg_s = gs.hosts[0].attached_gmem
+        seg_d = gd.hosts[0].attached_gmem
+        assert seg_s is not None and seg_d is not None
+        assert np.array_equal(seg_s.cells, seg_d.cells)
+        assert seg_s.cells[:5].any()   # the probe actually wrote meters
+
+    def test_mixed_graph_shadow_fallback_nodes(self):
+        # a node the vectorizer rejects (data-dependent voice loop) runs
+        # its shadow inline in the SAME lockstep; comm still matches
+        progs = _ipc_programs()
+        hard = compile_plugin_source(
+            "@init\nn = 0;\n@sample\n"
+            "k = abs(spl0) * 4;\ni = 0;\nacc = 0;\n"
+            "while (i < k) ( acc += 0.1; i += 1; );\n"
+            "spl0 = spl0 + acc * 0.001;\nspl1 = spl1;\n")
+        n = 64 * 4
+        outs = {}
+        engines = {}
+        for prefer in ("shadow", "auto"):
+            g = RenderGraph(block_size=64, prefer=prefer)
+            g.add("tx", progs[0], sliders={0: 0.0})
+            g.add("rx", progs[1], sliders={0: 1.0})
+            g.add("hard", hard)
+            g.init_all()
+            rng = np.random.RandomState(5)
+            x = (rng.randn(2, n) * 0.1).astype(np.float32)
+            outs[prefer] = g.run({"tx": x, "rx": x, "hard": x})
+            engines[prefer] = list(g.node_engines)
+        assert engines["auto"][0] == "tpu-vector"
+        assert engines["auto"][2] == "cpu-shadow"
+        for name in ("tx", "rx", "hard"):
+            assert np.array_equal(outs["shadow"][name], outs["auto"][name]), \
+                name
+
+
+class TestRealCatalogPairs:
+    """The reference's real cross-instance sessions on the device graph:
+    3DPannerManager <-> 3DPanner gmem metadata broadcast (the Manager
+    vectorizes; the Panner's gated FDN runs shadow inline in the same
+    lockstep) and a CMD pair over its gmem-linked buses."""
+
+    def _pair(self, slug_a, slug_b, n, block=64, sliders_a=None,
+              sliders_b=None):
+        specs = {s.slug: s for s in discover("/root/reference")}
+        if slug_a not in specs or slug_b not in specs:
+            pytest.skip("reference catalog not available")
+        pa = specs[slug_a].load_program()
+        pb = specs[slug_b].load_program()
+        res = {}
+        for prefer in ("shadow", "auto"):
+            g = RenderGraph(block_size=block, prefer=prefer)
+            g.add("a", pa, sliders=sliders_a)
+            g.add("b", pb, sliders=sliders_b)
+            g.init_all()
+            rng = np.random.RandomState(9)
+            x = (rng.randn(2, n) * 0.2).astype(np.float32)
+            outs = g.run({"a": x, "b": x})
+            res[prefer] = (g, outs)
+        return res
+
+    def test_manager_panner_metadata_broadcast(self):
+        res = self._pair("3DPannerManager", "3DPanner", 64 * 4)
+        gd = res["auto"][0]
+        # Manager vectorizes; the Panner's @sample resists (gated FDN) —
+        # shadow inline in the same lockstep
+        assert gd.node_engines[0] == "tpu-vector", gd.spec_errors
+        for name in ("a", "b"):
+            assert np.array_equal(res["shadow"][1][name],
+                                  res["auto"][1][name]), name
+        # the shared scene segment matched cell-for-cell
+        seg_s = res["shadow"][0].hosts[0].attached_gmem
+        seg_d = res["auto"][0].hosts[0].attached_gmem
+        if seg_s is not None and seg_d is not None:
+            assert np.array_equal(seg_s.cells, seg_d.cells)
+        # per-node final vars match (skip handle-valued string vars:
+        # handle NUMBERS are allocation-order artifacts, text equality is
+        # what the engine persists)
+        for i in range(2):
+            vs = res["shadow"][0].plugins[i].state.V
+            vd = res["auto"][0].plugins[i].state.V
+            for k, v in vs.items():
+                if k in vd and not (v != v):
+                    dv = vd[k]
+                    if v >= (1 << 40) or dv >= (1 << 40):
+                        continue   # string handles
+                    assert v == dv, (i, k, v, dv)
+
+    def test_cmd_pair_gmem_buses(self):
+        # CMD's @block is COUPLED (it logs audio-derived data), so the
+        # lockstep host-trajectory decomposition does not apply — the
+        # graph records the reason and falls back to the shadow loop
+        # honestly; outputs still match the all-shadow graph.  Putting
+        # coupled pairs on the device coupled-gmem pipeline is tracked
+        # as the next graph milestone (the solo mechanism exists:
+        # kern.coupled_gmem_pipeline, exercised by dryrun_multichip).
+        res = self._pair("CMD", "CMD", 64 * 4)
+        gd = res["auto"][0]
+        assert gd.node_engines == ["cpu-shadow", "cpu-shadow"]
+        assert "coupled" in gd.spec_errors.get("a", "")
+        for name in ("a", "b"):
+            assert np.array_equal(res["shadow"][1][name],
+                                  res["auto"][1][name]), name

@@ -3625,19 +3625,15 @@ class SpecializedSampleKernel:
                                       self._traj_midi_out)
         return ctrl
 
-    def control_trajectory(self, n_blocks: int, rem_block: int = 0,
-                           midi=None, resume=False):
-        """Interpret the @block/@slider trajectory on the host; returns the
-        control matrix [n_blocks(+1 if rem), n_ctrl] and keeps the final
-        control-state for writeback.  midi events route into each block's
-        queue (host-side midirecv, the uncoupled path).
+    def trajectory_stepper(self, midi=None, resume=False) -> "_TrajStepper":
+        """Block-at-a-time @block/@slider interpretation.
 
-        resume=True continues from the previous render's final control
-        state (@block counters/envelopes persist across renders like the
-        reference's long-lived state struct); the kernel tracks ONE
-        resumable stream — pair each resumed carry with its own kernel."""
-        from ..shadow.state import MidiEvent
-
+        Graph schedulers interleave MULTIPLE instances' steppers
+        block-synchronously against one CommWorld (lockstep), so
+        cross-instance message/gmem visibility matches the all-shadow
+        graph exactly (ref DspJsfxMessageBus.cpp:529,609 block-resolved
+        delivery); the sample-rate compute then rides the device kernels
+        with the assembled control matrices."""
         if self._traj_plugin is None:
             # the C golden interprets @block 10-50x faster than pyexec and
             # is bit-identical by contract (tests/test_native_shadow.py);
@@ -3656,46 +3652,26 @@ class SpecializedSampleKernel:
                                           self.last_control_state is not None) \
             else self.snap
         plug.state = src.clone()
-        st = plug.state
-        ev_sorted = sorted(midi or [], key=lambda e: e[0])
+        return _TrajStepper(self, plug, sorted(midi or [],
+                                               key=lambda e: e[0]),
+                            bool(midi))
 
+    def control_trajectory(self, n_blocks: int, rem_block: int = 0,
+                           midi=None, resume=False):
+        """Interpret the @block/@slider trajectory on the host; returns the
+        control matrix [n_blocks(+1 if rem), n_ctrl] and keeps the final
+        control-state for writeback.  midi events route into each block's
+        queue (host-side midirecv, the uncoupled path).
+
+        resume=True continues from the previous render's final control
+        state (@block counters/envelopes persist across renders like the
+        reference's long-lived state struct); the kernel tracks ONE
+        resumable stream — pair each resumed carry with its own kernel."""
+        stp = self.trajectory_stepper(midi=midi, resume=resume)
         rows = n_blocks + (1 if rem_block else 0)
-        out = np.zeros((rows, len(self.ctrl_order)), dtype=np.float64)
-        traj_midi: List[Tuple[int, int, int, int]] = []
         for b in range(rows):
-            if midi:
-                start = b * self.B
-                nb0 = rem_block if (rem_block and b == n_blocks) else self.B
-                st.midi_in = [
-                    MidiEvent(int(e[0] - start), int(e[1]) & 0xFF,
-                              int(e[2]) & 0xFF, int(e[3]) & 0xFF)
-                    for e in ev_sorted if start <= e[0] < start + nb0]
-                st.midi_in_pos = 0
-            nb = rem_block if (rem_block and b == n_blocks) else self.B
-            st.samplesblock = float(nb)
-            plug.run_block()
-            if (st.pending_change_mask or st.pending_automate_mask
-                    or st.pending_automate_end_mask):
-                plug.run_slider()
-                st.pending_change_mask = 0
-                st.pending_automate_mask = 0
-                st.pending_automate_end_mask = 0
-            for ev in st.midi_out:
-                # variable-length events (sysex / midisend_buf family)
-                # ride as 5-tuples carrying the full byte string; short
-                # events stay 4-tuples (the common case, and the device
-                # OUT-plane format)
-                et = (b * self.B + int(ev.offset), int(ev.b1),
-                      int(ev.b2), int(ev.b3))
-                if ev.data is not None:
-                    et += (tuple(int(v) & 0xFF for v in ev.data),)
-                traj_midi.append(et)
-            st.midi_out = []
-            for i, key in enumerate(self.ctrl_order):
-                out[b, i] = self._key_value(st, key)
-        self.last_control_state = st
-        self._traj_midi_out = traj_midi
-        return out
+            stp.step(rem_block if (rem_block and b == n_blocks) else self.B)
+        return stp.finish()
 
     @staticmethod
     def _key_value(st, key) -> float:
@@ -3854,7 +3830,8 @@ class SpecializedSampleKernel:
                 mev[b, k] = e
         return mev, mn
 
-    def render_device(self, x: np.ndarray, carry=None, midi=None):
+    def render_device(self, x: np.ndarray, carry=None, midi=None,
+                      ctrl=None):
         """x: float32 [nch, T].  Returns (y_dev float32 jnp [nch, T], carry).
 
         midi: optional [(offset, b1, b2, b3)] at the kernel's rate, only
@@ -3862,6 +3839,11 @@ class SpecializedSampleKernel:
         is the caller's decision (the tunnel D2H path in dev environments
         is slow; on real deployments prefer on-device reductions /
         sharded writes).
+
+        ctrl: optional precomputed control matrix from an EXTERNAL
+        trajectory_stepper pass — the graph scheduler's lockstep
+        interpretation (uncoupled kernels only); the stepper's finish()
+        already recorded last_control_state/_traj_midi_out.
         """
         nch, T = x.shape
         assert nch == self.nch
@@ -3900,14 +3882,20 @@ class SpecializedSampleKernel:
         L = min(self.L, max(self.B, (T // self.B) * self.B)) if T else self.L
         n_full_blocks = T // self.B
         rem_block = T - n_full_blocks * self.B
-        self._traj_midi_out = []
-        if self.has_block and not self.coupled:
+        if ctrl is not None:
+            # graph lockstep path: the caller's stepper already ran the
+            # trajectory (and set last_control_state/_traj_midi_out)
+            assert not self.coupled, \
+                "ctrl override is the uncoupled graph path"
+        elif self.has_block and not self.coupled:
+            self._traj_midi_out = []
             if midi or not fresh:
                 ctrl = self.control_trajectory(n_full_blocks, rem_block,
                                                midi=midi, resume=not fresh)
             else:
                 ctrl = self.cached_trajectory(n_full_blocks, rem_block)
         else:
+            self._traj_midi_out = []
             rows = n_full_blocks + (1 if rem_block else 0)
             ctrl = np.zeros((rows, len(self.ctrl_order)), dtype=np.float64)
         if self.n_rand and fresh and not self.rand_gated:
@@ -3999,9 +3987,9 @@ class SpecializedSampleKernel:
         else:
             self._rng_state = self._rng_prestate
 
-    def render(self, x: np.ndarray, carry=None, midi=None):
+    def render(self, x: np.ndarray, carry=None, midi=None, ctrl=None):
         """x: float32 [nch, T].  Returns (y float32 np [nch, T], final_carry)."""
-        y_dev, carry = self.render_device(x, carry, midi=midi)
+        y_dev, carry = self.render_device(x, carry, midi=midi, ctrl=ctrl)
         return np.asarray(y_dev), carry
 
     def writeback(self, carry, state) -> None:
@@ -4117,3 +4105,71 @@ def specialize_sample_kernel(program: PluginProgram, snapshot, nch: int,
         except _SegmentRetry as r:
             segment_len = r.segment_len
     raise SpecializeError("segment-shrink retry did not converge")
+
+
+class _TrajStepper:
+    """One block of host @block/@slider interpretation per step() call.
+
+    Produced by SpecializedSampleKernel.trajectory_stepper; a graph
+    scheduler drives several instances' steppers in lockstep (one
+    CommWorld, host processing order) so message/gmem exchanges between
+    instances happen exactly as in the all-shadow graph, then each
+    kernel's device render consumes the assembled control matrix."""
+
+    def __init__(self, kern, plug, ev_sorted, has_midi: bool):
+        self.kern = kern
+        self.plug = plug
+        self.ev = ev_sorted
+        self.has_midi = has_midi
+        self.st = plug.state
+        self.rows: List[np.ndarray] = []
+        self.midi_out: List[Tuple] = []
+        self.b = 0
+
+    @property
+    def state(self):
+        return self.st
+
+    def step(self, nb: int) -> np.ndarray:
+        from ..shadow.state import MidiEvent
+
+        kern, st = self.kern, self.st
+        if self.has_midi:
+            start = self.b * kern.B
+            st.midi_in = [
+                MidiEvent(int(e[0] - start), int(e[1]) & 0xFF,
+                          int(e[2]) & 0xFF, int(e[3]) & 0xFF)
+                for e in self.ev if start <= e[0] < start + nb]
+            st.midi_in_pos = 0
+        st.samplesblock = float(nb)
+        self.plug.run_block()
+        if (st.pending_change_mask or st.pending_automate_mask
+                or st.pending_automate_end_mask):
+            self.plug.run_slider()
+            st.pending_change_mask = 0
+            st.pending_automate_mask = 0
+            st.pending_automate_end_mask = 0
+        for ev in st.midi_out:
+            # variable-length events (sysex / midisend_buf family) ride
+            # as 5-tuples carrying the full byte string; short events
+            # stay 4-tuples (the common case, and the device OUT-plane
+            # format)
+            et = (self.b * kern.B + int(ev.offset), int(ev.b1),
+                  int(ev.b2), int(ev.b3))
+            if ev.data is not None:
+                et += (tuple(int(v) & 0xFF for v in ev.data),)
+            self.midi_out.append(et)
+        st.midi_out = []
+        row = np.array([kern._key_value(st, key)
+                        for key in kern.ctrl_order], dtype=np.float64)
+        self.rows.append(row)
+        self.b += 1
+        return row
+
+    def finish(self) -> np.ndarray:
+        kern = self.kern
+        kern.last_control_state = self.st
+        kern._traj_midi_out = self.midi_out
+        if not self.rows:
+            return np.zeros((0, len(kern.ctrl_order)), dtype=np.float64)
+        return np.stack(self.rows)

@@ -8,6 +8,17 @@ end_block (flush outbox).  Messages sent in block k become visible to
 every instance at block k+1 (and to instances later in the processing
 order never earlier than their own begin_block, exactly like the
 shared-memory ring's block-resolved visibility).
+
+Device mode (prefer="auto"/"tpu"): the TPU-native decomposition of the
+same schedule.  Control runs on the host in LOCKSTEP — each vectorizable
+node's @block/@slider interprets one block at a time through its golden
+executor against the SHARED CommWorld, interleaved with the other nodes
+in host processing order, so every message/gmem exchange happens exactly
+as in the all-shadow graph (ref DspJsfxMessageBus.cpp:529,609) — while
+the sample-rate compute of every vector node rides the device kernels
+with the assembled control matrices (audio never flows between nodes, so
+the device renders are independent dispatches).  Nodes the vectorizer
+rejects run their full shadow inline in the same lockstep.
 """
 from __future__ import annotations
 
@@ -30,13 +41,18 @@ class GraphNode:
 
 
 class RenderGraph:
-    def __init__(self, srate: float = 48000.0, block_size: int = 512):
+    def __init__(self, srate: float = 48000.0, block_size: int = 512,
+                 prefer: str = "shadow"):
         self.srate = float(srate)
         self.block_size = int(block_size)
+        self.prefer = prefer
         self.world = CommWorld()
         self.nodes: List[GraphNode] = []
         self.plugins = []
         self.hosts: List[InstanceComm] = []
+        self.kernels: List[Optional[object]] = []
+        self.node_engines: List[str] = []
+        self.spec_errors: Dict[str, str] = {}
 
     def add(self, name: str, program: PluginProgram,
             sliders: Optional[Dict[int, float]] = None,
@@ -51,18 +67,70 @@ class RenderGraph:
         self.nodes.append(node)
         self.plugins.append(plug)
         self.hosts.append(host)
+        self.kernels.append(None)
+        self.node_engines.append("cpu-shadow")
         return host
 
     def init_all(self) -> None:
         for plug in self.plugins:
             plug.run_init()
             plug.run_slider()
+        if self.prefer in ("auto", "tpu"):
+            self._build_kernels()
+
+    def _build_kernels(self) -> None:
+        """Specialize every vectorizable node against its post-init state.
+
+        Built AFTER init_all: @init already joined buses / attached gmem
+        against the shared world in node order, so instance ids and
+        segment layouts match the all-shadow graph.  The specializer's
+        @block probes run on CLONED states and never call end_block, so
+        probe-time msg sends stay in the instance outbox — cleared here
+        to keep the ring pristine for the render."""
+        from ..lowering import SpecializeError, specialize_sample_kernel
+
+        for i, (node, plug, host) in enumerate(
+                zip(self.nodes, self.plugins, self.hosts)):
+            nch = max(1, node.program.io_channels["process"])
+            try:
+                kern = specialize_sample_kernel(
+                    node.program, plug.state, nch,
+                    block_size=self.block_size)
+                if kern.coupled:
+                    # the coupled device pipeline handles solo renders;
+                    # graph lockstep needs the host-trajectory form
+                    raise SpecializeError(
+                        "coupled @block: graph lockstep needs the "
+                        "host-trajectory (uncoupled) form")
+                self.kernels[i] = kern
+                self.node_engines[i] = "tpu-vector"
+            except SpecializeError as exc:
+                self.spec_errors[node.name] = str(exc)
+            # DROP (not flush) any probe-time sends buffered in the outbox
+            host.outbox.clear()
+
+    # -- render ----------------------------------------------------------------
+
+    def _node_input(self, node, ch: int, inputs, start: int, stop: int
+                    ) -> np.ndarray:
+        src = inputs.get(node.input_key or node.name)
+        x = np.zeros((ch, stop - start), dtype=np.float32)
+        if src is not None:
+            c = min(ch, src.shape[0])
+            seg = src[:c, start:stop]
+            x[:c, : seg.shape[1]] = seg
+        return x
 
     def run(self, inputs: Dict[str, np.ndarray], total: Optional[int] = None
             ) -> Dict[str, np.ndarray]:
         """inputs: name -> float32 [ch, samples]; returns per-node outputs."""
         if total is None:
             total = max((a.shape[1] for a in inputs.values()), default=0)
+        if any(k is not None for k in self.kernels):
+            return self._run_device(inputs, total)
+        return self._run_shadow(inputs, total)
+
+    def _run_shadow(self, inputs, total: int) -> Dict[str, np.ndarray]:
         outs: Dict[str, np.ndarray] = {}
         chans: Dict[str, int] = {}
         for node, plug in zip(self.nodes, self.plugins):
@@ -74,16 +142,51 @@ class RenderGraph:
         for start in range(0, total, bs):
             stop = min(start + bs, total)
             for node, plug, host in zip(self.nodes, self.plugins, self.hosts):
-                ch = chans[node.name]
-                src = inputs.get(node.input_key or node.name)
-                if src is None:
-                    x = np.zeros((ch, stop - start), dtype=np.float32)
-                else:
-                    x = np.zeros((ch, stop - start), dtype=np.float32)
-                    c = min(ch, src.shape[0])
-                    seg = src[:c, start:stop]
-                    x[:c, : seg.shape[1]] = seg
+                x = self._node_input(node, chans[node.name], inputs,
+                                     start, stop)
                 host.begin_block(plug.state)
                 plug.process_block(x, outs[node.name][:, start:stop])
                 host.end_block(plug.state)
+        return outs
+
+    def _run_device(self, inputs, total: int) -> Dict[str, np.ndarray]:
+        """Lockstep host control pass + per-node device sample renders."""
+        outs: Dict[str, np.ndarray] = {}
+        chans: Dict[str, int] = {}
+        for node, plug in zip(self.nodes, self.plugins):
+            ch = max(1, node.program.io_channels["process"])
+            chans[node.name] = ch
+            outs[node.name] = np.zeros((ch, total), dtype=np.float32)
+
+        bs = self.block_size
+        steppers = [kern.trajectory_stepper() if kern is not None else None
+                    for kern in self.kernels]
+        # phase 1: lockstep control — identical begin/step/end order to
+        # the all-shadow loop, so the bus ring and gmem segments evolve
+        # identically; shadow-fallback nodes render their audio inline
+        for start in range(0, total, bs):
+            stop = min(start + bs, total)
+            for node, plug, host, stp in zip(
+                    self.nodes, self.plugins, self.hosts, steppers):
+                if stp is not None:
+                    host.begin_block(stp.state)
+                    stp.step(stop - start)
+                    host.end_block(stp.state)
+                else:
+                    x = self._node_input(node, chans[node.name], inputs,
+                                         start, stop)
+                    host.begin_block(plug.state)
+                    plug.process_block(x, outs[node.name][:, start:stop])
+                    host.end_block(plug.state)
+        # phase 2: device sample renders (no inter-node audio routing —
+        # every vector node dispatches independently)
+        for i, (node, plug, kern, stp) in enumerate(
+                zip(self.nodes, self.plugins, self.kernels, steppers)):
+            if kern is None:
+                continue
+            ctrl = stp.finish()
+            x = self._node_input(node, chans[node.name], inputs, 0, total)
+            y, carry = kern.render(x, ctrl=ctrl)
+            outs[node.name][:, :] = y
+            kern.writeback(carry, plug.state)
         return outs
