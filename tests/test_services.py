@@ -158,7 +158,8 @@ s = mem[5000] + mem[5007];
         p.run_init()
         p.run_block()
         V = p.state.V
-        assert V["bins"] == 1.0
+        # proportional bins, <=256 per sample (ref DspJsfxSamplePool.cpp:115)
+        assert V["bins"] == 64.0
         assert V["pv"] == 1.0 and V["mx"] >= V["mn"]
         assert V["n"] == 8.0
         a32 = audio.astype(np.float32)
@@ -186,3 +187,87 @@ s = mem[5000] + mem[5007];
         assert np.array_equal(ya, yb)
         for k, v in va.items():
             assert v == vb[k] or (v != v and vb[k] != vb[k]), k
+
+
+class TestSamplePoolSemantics:
+    """Budget/mode/resample/async semantics (ref DspJsfxSamplePool.cpp:
+    165-195 setMode/setBudgetMB, 473-750 buildGeneration, 753-800
+    publishGeneration)."""
+
+    SRC = """\
+@init
+sample_pool_set_mode(0, MODE);
+sample_pool_set_budget_mb(0, BUDGET);
+pool = sample_pool_from_slot(0, "p");
+st = sample_pool_state(pool);
+sel = sample_pool_selected(pool);
+ld = sample_pool_loaded(pool);
+fl = sample_pool_failed(pool);
+id0 = sample_get(pool, 0);
+id1 = sample_get(pool, 1);
+ln0 = sample_len(pool, id0);
+"""
+
+    def _run(self, mode, budget_mb, n_files=3, frames=100000, srate=48000.0):
+        host = EngineHost()
+        for _ in range(n_files):
+            host.files.load_slot(0, ramp_audio(2, frames), srate=srate)
+        src = self.SRC.replace("MODE", str(mode)).replace(
+            "BUDGET", str(budget_mb))
+        _, p, _ = make_plugin(src, host=host)
+        p.run_init()
+        return p.state.V, host
+
+    def test_resident_ignores_budget(self):
+        # mode 0 loads everything regardless of budget (ref :499)
+        V, _ = self._run(mode=0, budget_mb=0.1)
+        assert V["st"] == 3.0 and V["ld"] == 3.0 and V["fl"] == 0.0
+
+    def test_budgeted_skips_past_budget(self):
+        # 100k frames x 2ch x 4B = 0.76 MB each; 1 MB budget keeps ONE
+        V, _ = self._run(mode=1, budget_mb=1.0)
+        assert V["sel"] == 3.0
+        assert V["ld"] == 1.0 and V["fl"] == 2.0
+        assert V["st"] == 4.0          # PARTIAL
+        # kept entries get the ids (1..kept), skipped ones consume none
+        assert V["id0"] == 1.0 and V["id1"] == 0.0
+
+    def test_budget_all_skipped_is_failed_state(self):
+        V, _ = self._run(mode=1, budget_mb=0.1)
+        assert V["ld"] == 0.0 and V["st"] == 5.0   # FAILED
+
+    def test_zero_budget_disables_budgeting(self):
+        V, _ = self._run(mode=1, budget_mb=0.0)
+        assert V["ld"] == 3.0 and V["st"] == 3.0
+
+    def test_resample_to_engine_rate(self):
+        # 44.1k source into a 48k engine: frames scale by 48/44.1
+        V, _ = self._run(mode=0, budget_mb=0.0, n_files=1, frames=44100,
+                         srate=44100.0)
+        assert V["ln0"] == 48000.0
+        # and the resampled audio interpolates the ramp linearly
+        host = EngineHost()
+        host.files.load_slot(0, ramp_audio(1, 44100), srate=44100.0)
+        src = self.SRC.replace("MODE", "0").replace("BUDGET", "0") + \
+            "v = sample_read(pool, id0, 0, 4800);\n"
+        _, p, _ = make_plugin(src, host=host)
+        p.run_init()
+        # dst frame 4800 samples srcPos = 4800 * 44100/48000 = 4410
+        a32 = ramp_audio(1, 44100).astype(np.float32)
+        assert abs(p.state.V["v"] - float(a32[0, 4410])) < 1e-6
+
+    def test_small_rate_delta_keeps_native(self):
+        V, _ = self._run(mode=0, budget_mb=0.0, n_files=1, frames=1000,
+                         srate=48000.5)   # delta <= 1 Hz: no resample
+        assert V["ln0"] == 1000.0
+
+    def test_async_commit_publishes(self):
+        host = EngineHost()
+        host.files.load_slot(0, ramp_audio(2, 5000), srate=48000.0)
+        host.pool.async_commits = True
+        host.pool.set_target_srate(48000.0)
+        host.pool.commit_sources(host.files.slots.get(0, []))
+        state = host.pool.wait_ready(timeout=30.0)
+        assert state == 3.0
+        assert host.pool.generation is not None
+        assert len(host.pool.generation.entries) == 1

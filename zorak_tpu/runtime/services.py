@@ -32,8 +32,6 @@ SAMPLE_POOL_READY = 3
 SAMPLE_POOL_PARTIAL = 4
 SAMPLE_POOL_FAILED = 5
 
-PREVIEW_BIN_FRAMES = 1024
-
 
 @dataclass
 class LoadedAudio:
@@ -218,47 +216,168 @@ class PoolGeneration:
     number: int
     entries: Dict[int, PoolEntry] = field(default_factory=dict)
     order: List[int] = field(default_factory=list)
+    selected: int = 0            # sources requested (incl. skipped/failed)
+    failed: int = 0              # per-generation failure/skip count
 
     def ram_mb(self) -> float:
         return sum(e.data.nbytes for e in self.entries.values()) / (1024.0 ** 2)
 
 
+def _resample_linear(data: np.ndarray, src_rate: float,
+                     target_rate: float) -> Tuple[np.ndarray, float]:
+    """Linear resample [frames, ch] float32 to target_rate (ref
+    DspJsfxSamplePool.cpp:34-108 shouldResampleToTarget /
+    resampleInterleavedLinear): only when both rates > 1000 Hz and differ
+    by > 1 Hz; dst frame f samples srcPos = f * src/target with clamped
+    neighbour interpolation."""
+    frames = data.shape[0]
+    if (frames == 0 or not math.isfinite(src_rate)
+            or not math.isfinite(target_rate)
+            or src_rate <= 1000.0 or target_rate <= 1000.0
+            or abs(src_rate - target_rate) <= 1.0):
+        return data, src_rate
+    ratio = target_rate / src_rate
+    if not math.isfinite(ratio) or ratio <= 0.0:
+        return data, src_rate
+    dst = int(max(1.0, round(frames * ratio)))
+    pos = np.arange(dst, dtype=np.float64) * (src_rate / target_rate)
+    p0 = np.minimum(np.floor(pos), frames - 1).astype(np.int64)
+    p1 = np.minimum(p0 + 1, frames - 1)
+    frac = np.clip(pos - p0, 0.0, 1.0).astype(np.float32)[:, None]
+    out = data[p0] + (data[p1] - data[p0]) * frac
+    return np.ascontiguousarray(out, dtype=np.float32), \
+        float(round(target_rate))
+
+
+# modes (ref DspJsfxSamplePool.h:42-45)
+SAMPLE_POOL_MODE_RESIDENT = 0
+SAMPLE_POOL_MODE_BUDGETED = 1
+SAMPLE_POOL_MODE_LAZY = 2
+SAMPLE_POOL_MODE_STREAM = 3
+
+PREVIEW_BINS_PER_SAMPLE = 256    # ref DspJsfxSamplePool.cpp:13
+
+
 class SamplePoolService:
-    """Synchronous offline equivalent of the async generation pipeline."""
+    """Offline equivalent of the reference's generation pipeline
+    (ref DspJsfxSamplePool.cpp:473-800): budgeted skipping, linear
+    resample to the engine rate, proportional preview bins, and
+    generation publication.  Commits run synchronously by default (the
+    deterministic offline-render contract); set `async_commits = True`
+    for the reference's worker-thread publication (state polls
+    LOADING -> READY/PARTIAL/FAILED)."""
 
     def __init__(self) -> None:
-        self.mode = 0
+        self.mode = SAMPLE_POOL_MODE_RESIDENT
         self.budget_mb = 0.0
+        self.target_srate = 0.0      # <= 0 keeps native source rates
         self.state = SAMPLE_POOL_EMPTY
         self.generation: Optional[PoolGeneration] = None
         self.gen_counter = 0
         self.failed = 0
         self.source_slot: Optional[int] = None
+        self.async_commits = False
+        self._worker = None
 
-    def commit_sources(self, sources: Sequence[LoadedAudio]) -> None:
+    # -- configuration (ref :165-195) -----------------------------------------
+
+    def set_mode(self, mode: float) -> None:
+        try:
+            m = int(mode)
+        except (ValueError, OverflowError):
+            m = SAMPLE_POOL_MODE_RESIDENT
+        if not (SAMPLE_POOL_MODE_RESIDENT <= m <= SAMPLE_POOL_MODE_STREAM):
+            m = SAMPLE_POOL_MODE_RESIDENT
+        self.mode = m
+
+    def set_budget_mb(self, mb: float) -> None:
+        self.budget_mb = mb if math.isfinite(mb) and mb > 0.0 else 0.0
+
+    def set_target_srate(self, srate: float) -> None:
+        self.target_srate = srate if math.isfinite(srate) \
+            and srate > 1000.0 else 0.0
+
+    # -- generation build (ref buildGeneration :493-750) ----------------------
+
+    def _build_generation(self, sources: Sequence[LoadedAudio]) \
+            -> PoolGeneration:
         self.gen_counter += 1
         gen = PoolGeneration(self.gen_counter)
-        for i, src in enumerate(sources):
-            sid = i + 1
+        gen.selected = len(sources)
+        budget_bytes = int(self.budget_mb * 1024.0 * 1024.0)
+        budgeted = self.mode in (SAMPLE_POOL_MODE_BUDGETED,
+                                 SAMPLE_POOL_MODE_LAZY,
+                                 SAMPLE_POOL_MODE_STREAM) \
+            and budget_bytes > 0
+        used_bytes = 0
+        for src in sources:
             data = np.ascontiguousarray(src.audio.T, dtype=np.float32)
+            if data.shape[0] == 0 or data.shape[1] == 0:
+                gen.failed += 1
+                continue
+            data, srate = _resample_linear(data, float(src.srate),
+                                           self.target_srate)
+            nbytes = data.shape[0] * data.shape[1] * 4
+            # Budgeted/Lazy/Stream skip entries past the budget (ref :544)
+            if budgeted and used_bytes + nbytes > budget_bytes:
+                gen.failed += 1
+                continue
             frames = data.shape[0]
-            bins = max(1, (frames + PREVIEW_BIN_FRAMES - 1) // PREVIEW_BIN_FRAMES)
+            # proportional preview bins, <= 256 per sample (ref :110-150)
+            bins = min(PREVIEW_BINS_PER_SAMPLE, max(1, frames))
             preview = np.zeros((bins, 3))
-            mono = data.mean(axis=1) if data.size else np.zeros(0, np.float32)
+            mono = data.mean(axis=1, dtype=np.float64)
             for b in range(bins):
-                seg = mono[b * PREVIEW_BIN_FRAMES:(b + 1) * PREVIEW_BIN_FRAMES]
+                start = (b * frames) // bins
+                end = max(start + 1, ((b + 1) * frames) // bins)
+                end = min(end, frames)
+                seg = mono[start:end]
                 if len(seg):
                     preview[b] = (float(seg.min()), float(seg.max()),
-                                  float(np.sqrt(np.mean(seg.astype(np.float64) ** 2))))
+                                  float(np.sqrt(np.mean(seg ** 2))))
+            sid = len(gen.entries) + 1   # kept entries only (ref :546)
             gen.entries[sid] = PoolEntry(
-                sample_id=sid, data=data, srate=src.srate, name=src.name,
+                sample_id=sid, data=data, srate=srate, name=src.name,
                 peak=float(np.abs(data).max(initial=0.0)),
                 rms=float(np.sqrt(np.mean(data.astype(np.float64) ** 2)))
                 if data.size else 0.0,
                 preview=preview)
             gen.order.append(sid)
+            used_bytes += nbytes
+        return gen
+
+    def _publish(self, gen: PoolGeneration) -> None:
+        """Final-state rules per ref publishGeneration :784-790."""
         self.generation = gen
-        self.state = SAMPLE_POOL_READY if gen.entries else SAMPLE_POOL_EMPTY
+        self.failed = gen.failed
+        if not gen.entries:
+            self.state = SAMPLE_POOL_FAILED if gen.selected > 0 \
+                else SAMPLE_POOL_EMPTY
+        elif gen.failed > 0 or len(gen.entries) < gen.selected:
+            self.state = SAMPLE_POOL_PARTIAL
+        else:
+            self.state = SAMPLE_POOL_READY
+
+    def commit_sources(self, sources: Sequence[LoadedAudio]) -> None:
+        if self.async_commits:
+            import threading
+
+            self.state = SAMPLE_POOL_LOADING
+            snap = list(sources)
+
+            def work():
+                self._publish(self._build_generation(snap))
+
+            self._worker = threading.Thread(target=work, daemon=True)
+            self._worker.start()
+            return
+        self._publish(self._build_generation(sources))
+
+    def wait_ready(self, timeout: Optional[float] = None) -> int:
+        """Join an async commit; returns the published state."""
+        if self._worker is not None:
+            self._worker.join(timeout)
+        return self.state
 
     # -- queries -------------------------------------------------------------
 
@@ -352,26 +471,30 @@ class EngineHost(InstanceComm):
             slot = int(args[0]) if args else 0
             files = self.files.slots.get(slot, [])
             p.source_slot = slot
+            # the host configures the pool for the current engine rate
+            # before every commit (ref JSFXJuceProcessor.cpp:5239,5287)
+            p.set_target_srate(float(getattr(st, "srate", 0.0) or 0.0))
             p.commit_sources(files)
             return 1.0 if files else 0.0
         if fn == "sample_pool_set_mode":
-            p.mode = int(args[1]) if len(args) > 1 else int(args[0])
+            p.set_mode(args[1] if len(args) > 1 else args[0])
             return 1.0
         if fn == "sample_pool_set_budget_mb":
-            p.budget_mb = float(args[-1]) if args else 0.0
+            p.set_budget_mb(float(args[-1]) if args else 0.0)
             return 1.0
         if fn == "sample_pool_commit":
             if p.source_slot is not None:
+                p.set_target_srate(float(getattr(st, "srate", 0.0) or 0.0))
                 p.commit_sources(self.files.slots.get(p.source_slot, []))
             return 1.0
         if fn == "sample_pool_state":
             return float(p.state)
         if fn == "sample_pool_selected":
-            return float(len(p.generation.order) if p.generation else 0)
+            return float(p.generation.selected if p.generation else 0)
         if fn == "sample_pool_loaded":
             return float(len(p.generation.entries) if p.generation else 0)
         if fn == "sample_pool_failed":
-            return float(p.failed)
+            return float(p.generation.failed if p.generation else 0)
         if fn == "sample_pool_ram_mb":
             return p.generation.ram_mb() if p.generation else 0.0
         if fn == "sample_pool_generation":
