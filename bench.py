@@ -7,12 +7,17 @@ Prints JSON lines to stdout; the LAST line is the artifact: {"metric",
 value / 1000 (the BASELINE.json north-star target of >=1000x realtime;
 the reference itself publishes no numbers).
 
-Robustness contract (round-2 post-mortem: BENCH_r02 recorded 0.0 because
-the warmup crossed the timing deadline and the loop then did ZERO runs):
-  * at least ONE timed DDT run always happens, deadline or not;
+Robustness contract (round-2/3 post-mortems):
+  * at least ONE timed DDT run always happens, deadline or not — and the
+    timing deadline anchors to pipeline-ready time, not process start;
   * the JSON artifact line is re-emitted after every completed section,
     so a wedged device window costs one field, not the artifact;
-  * suite configs are batched over lanes so compute per dispatch
+  * every suite section runs in its OWN SUBPROCESS with a fresh tunnel
+    client: once a process's axon client wedges ("TPU device error"), it
+    never recovers in-process — a fresh process minutes later works.
+    Observed wedge trigger: a multi-minute 100%-CPU phase (catalog
+    specialization) starving the tunnel session on this 1-core box;
+  * suite kernel configs are batched over lanes so compute per dispatch
     dominates tunnel dispatch latency at the worst observed placement
     (~50 ms/dispatch) — the number measures the framework, not the
     container's network placement.
@@ -23,6 +28,7 @@ has a large one-time init cost and is not part of the render).
 """
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -94,167 +100,218 @@ def wait_device_healthy(budget_s: float) -> bool:
         time.sleep(30.0)
 
 
-def run_suite_configs(budget_s: float) -> None:
-    """BASELINE.json configs beyond DDT (stft / denoiser / convolution /
-    catalog sweep), time-bounded; results ride in the bench artifact the
-    driver records.  Compiles are served by the persistent cache.
+# -- suite sections (each runs in its own subprocess) -------------------------
 
-    Placement robustness: the kernel configs batch B independent lanes
-    into ONE dispatch (vmap), so per-dispatch compute is tens of ms and
-    the recorded number is within ~2-3x across the 0.2 ms and 50 ms
-    tunnel placements observed so far (CLAUDE.md round-2/3 notes)."""
+_LANES = 32          # batched lanes per dispatch (placement robustness)
+_KERNEL_SECONDS = 20.0
+
+
+def _timed(fn, audio_seconds, runs=3):
+    import jax
+
+    jax.block_until_ready(fn())
+    best = 0.0
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        best = max(best, audio_seconds / (time.perf_counter() - t0))
+    return round(best, 1)
+
+
+def _section_stft(budget_s: float) -> dict:
     import jax
     import jax.numpy as jnp
 
+    from zorak_tpu.kernels.stft import stft_process
+
+    # f32 inputs: the kernel pipelines are f32/c64 end-to-end (TPU f64 is
+    # emulated at ~30x cost and buys nothing at the 1e-5 audio contract)
+    n = int(_KERNEL_SECONDS * SRATE)
+    rng = np.random.RandomState(11)
+    xb = jnp.asarray(rng.randn(_LANES, n) * 0.25, jnp.float32)
+
+    @jax.jit
+    def run_stft(a):
+        def bins(spec):
+            w = jnp.linspace(0.5, 1.5, spec.shape[-1], dtype=jnp.float32)
+            return spec * w
+        return jax.vmap(
+            lambda ch: stft_process(ch, bins, size=2048, hop=512))(a)
+
+    return {"stft2048_overlap_add_rtx":
+            _timed(lambda: run_stft(xb), _LANES * n / SRATE)}
+
+
+def _section_denoiser(budget_s: float) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from zorak_tpu.kernels.stft import spectral_gate
+
+    n = int(_KERNEL_SECONDS * SRATE)
+    rng = np.random.RandomState(11)
+    xq = jnp.asarray(rng.randn(_LANES, n) * 0.02, jnp.float32)
+    gate = jax.jit(jax.vmap(lambda ch: spectral_gate(ch, size=2048)))
+    return {"restoration_spectral_gate_rtx":
+            _timed(lambda: gate(xq), _LANES * n / SRATE)}
+
+
+def _section_convolution(budget_s: float) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from zorak_tpu.kernels.convolution import partitioned_convolve
+
+    n = int(_KERNEL_SECONDS * SRATE)
+    rng = np.random.RandomState(11)
+    xb = jnp.asarray(rng.randn(_LANES, n) * 0.25, jnp.float32)
+    k = 131072
+    ir = jnp.asarray(rng.randn(k) * np.exp(-np.arange(k) / (k / 5)),
+                     jnp.float32)
+    conv = jax.jit(jax.vmap(
+        lambda ch: partitioned_convolve(ch, ir, part_size=2048)))
+    return {"partitioned_convolution_131072tap_rtx":
+            _timed(lambda: conv(xb), _LANES * n / SRATE)}
+
+
+def _section_catalog(budget_s: float) -> dict:
+    import jax
+
+    from zorak_tpu.parallel import build_catalog_renderers
+
+    t_end = time.time() + budget_s
+    out: dict = {}
+    # 30 s per plugin: the sweep wall is tunnel dispatch + host overhead
+    # (near T-independent once staged on device), so a longer input
+    # raises aggregate audio-seconds ~linearly.  Plugins render
+    # SEQUENTIALLY (one single-plugin program each): multi-plugin
+    # stacked programs at this T exceed the remote TPU compiler's memory
+    # cap, and a SIGKILLed compile wedges the device for many minutes.
+    short = int(30.0 * SRATE)
+    rng = np.random.RandomState(11)
+    xc = (rng.randn(2, short) * 0.25).astype(np.float32)
+    # specialize BEFORE the first device dispatch: the multi-minute
+    # 100%-CPU specialization phase starves an ACTIVE tunnel session
+    # into the wedged "TPU device error" state (round-2/3 post-mortems)
+    log("suite catalog: specializing")
+    renderers, skipped = build_catalog_renderers(
+        "/root/reference", segment_len=1 << 16)
+    log(f"suite catalog: specialized {len(renderers)} "
+        f"(skipped {len(skipped)})")
+    wait_device_healthy(min(300.0, max(0.0, t_end - time.time())))
+    # per-plugin warmup with a clock check: a cold compile cache must not
+    # blow the artifact deadline — plugins warmed in time are measured
+    warmed: dict = {}
+    for slug, r in renderers.items():
+        if time.time() > t_end:
+            break
+        xi = xc[None, : r.nch] if xc.shape[0] >= r.nch else \
+            np.broadcast_to(xc[None, :1], (1, r.nch, short))
+        xi = np.ascontiguousarray(xi)
+        # one retry: the tunnel's remote compile server occasionally
+        # drops mid-compile and recovers; compiles are banked in the
+        # persistent cache either way
+        for attempt in (0, 1):
+            try:
+                # stage the input on device ONCE: render_files skips
+                # conversion for jax.Arrays, so the timed sweep pays no
+                # per-plugin H2D upload (~11 MB over the dev tunnel)
+                xd = jax.device_put(xi)
+                jax.block_until_ready(r.render_files(xd))
+                warmed[slug] = (r, xd)
+                break
+            except Exception as exc:  # noqa: BLE001
+                log(f"suite catalog: {slug} failed: {str(exc)[:160]}")
+                if attempt or time.time() > t_end:
+                    break
+                if "UNAVAILABLE" in str(exc) or "device error" in str(exc):
+                    wait_device_healthy(max(0.0, t_end - time.time()))
+                else:
+                    time.sleep(30.0)
+    if warmed:
+        t0 = time.perf_counter()
+        outs = [r.render_files(xi) for r, xi in warmed.values()]
+        jax.block_until_ready(outs)
+        wall = time.perf_counter() - t0
+        out["catalog_sweep_rtx"] = round(
+            len(warmed) * short / SRATE / wall, 1)
+        out["catalog_plugins_vectorized"] = len(warmed)
+        out["catalog_plugins_total"] = len(renderers)
+        log(f"suite catalog: {out['catalog_sweep_rtx']}x "
+            f"({len(warmed)}/{len(renderers)} plugins)")
+    return out
+
+
+_SECTIONS = {
+    "stft": (_section_stft, 420.0),
+    "denoiser": (_section_denoiser, 420.0),
+    "convolution": (_section_convolution, 420.0),
+    "catalog": (_section_catalog, None),     # None = all remaining budget
+}
+
+
+def _section_child(name: str, budget_s: float) -> int:
+    """Child-process entry: run ONE section, print its result dict as the
+    last stdout JSON line."""
+    import jax
+
+    from zorak_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    if jax.default_backend() != "tpu" \
+            and not os.environ.get("ZORAK_BENCH_ALLOW_CPU"):
+        log(f"FATAL: backend is {jax.default_backend()}, not tpu (exit 3)")
+        return 3
+    if name != "catalog":
+        # catalog probes AFTER its CPU-heavy specialization instead
+        wait_device_healthy(min(240.0, budget_s))
+    fn, _ = _SECTIONS[name]
+    result = fn(budget_s)
+    print(json.dumps(result), flush=True)
+    # a wedged probe thread must not block interpreter teardown
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
+
+
+def run_suite_configs(budget_s: float) -> None:
+    """BASELINE.json configs beyond DDT, each in a fresh subprocess."""
     suite: dict = ARTIFACT["suite"]
     t_end = time.time() + budget_s
-    srate = 48000.0
-    n = int(20.0 * srate)
-    lanes = 32          # batched lanes per dispatch (placement robustness)
-    rng = np.random.RandomState(11)
-
-    def timed(fn, audio_seconds, runs=3):
-        jax.block_until_ready(fn())
-        best = 0.0
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn())
-            best = max(best, audio_seconds / (time.perf_counter() - t0))
-        return round(best, 1)
-
-    def section(name):
-        """Per-section fault isolation: one failed/oversized compile must
-        not abort the remaining sections (round-3 post-mortem: the
-        convolution OOM ate the catalog sweep)."""
-        def deco(fn):
-            if time.time() >= t_end:
-                return
-            try:
-                fn()
-            except Exception as exc:  # noqa: BLE001
-                suite[name + "_error"] = f"{type(exc).__name__}: " \
-                                         f"{str(exc)[:300]}"
-                log(f"suite {name} failed: {suite[name + '_error']}")
-                wait_device_healthy(min(300.0, max(0.0, t_end - time.time())))
-            emit()
-        return deco
-
-    @section("stft")
-    def _stft():
-        from zorak_tpu.kernels.stft import stft_process
-
-        # f32 inputs: the kernel pipelines are f32/c64 end-to-end
-        # (TPU f64 is emulated at ~30x cost and buys nothing at the
-        # 1e-5 f32-rounded audio contract)
-        xb = jnp.asarray(rng.randn(lanes, n) * 0.25, jnp.float32)
-
-        @jax.jit
-        def run_stft(a):
-            def bins(spec):
-                w = jnp.linspace(0.5, 1.5, spec.shape[-1],
-                                 dtype=jnp.float32)
-                return spec * w
-            return jax.vmap(
-                lambda ch: stft_process(ch, bins, size=2048, hop=512))(a)
-
-        suite["stft2048_overlap_add_rtx"] = timed(
-            lambda: run_stft(xb), lanes * n / srate)
-        log(f"suite stft: {suite['stft2048_overlap_add_rtx']}x "
-            f"({lanes} lanes)")
-
-    @section("denoiser")
-    def _denoiser():
-        from zorak_tpu.kernels.stft import spectral_gate
-
-        xq = jnp.asarray(rng.randn(lanes, n) * 0.02, jnp.float32)
-        gate = jax.jit(jax.vmap(
-            lambda ch: spectral_gate(ch, size=2048)))
-        suite["restoration_spectral_gate_rtx"] = timed(
-            lambda: gate(xq), lanes * n / srate)
-        log(f"suite denoiser: {suite['restoration_spectral_gate_rtx']}x")
-
-    @section("convolution")
-    def _convolution():
-        from zorak_tpu.kernels.convolution import partitioned_convolve
-
-        xb = jnp.asarray(rng.randn(lanes, n) * 0.25, jnp.float32)
-        k = 131072
-        ir = jnp.asarray(rng.randn(k) * np.exp(-np.arange(k) / (k / 5)),
-                         jnp.float32)
-        conv = jax.jit(jax.vmap(
-            lambda ch: partitioned_convolve(ch, ir, part_size=2048)))
-        suite["partitioned_convolution_131072tap_rtx"] = timed(
-            lambda: conv(xb), lanes * n / srate)
-        log("suite convolution: "
-            f"{suite['partitioned_convolution_131072tap_rtx']}x")
-
-    try:
-        if time.time() < t_end:
-            from zorak_tpu.parallel import build_catalog_renderers
-
-            wait_device_healthy(min(300.0, max(0.0, t_end - time.time())))
-
-            # 30 s per plugin: the sweep wall is tunnel dispatch + host
-            # overhead (near T-independent once staged on device), so a
-            # longer input raises aggregate audio-seconds ~linearly.
-            # Plugins render SEQUENTIALLY (one single-plugin program
-            # each): multi-plugin stacked programs at this T exceed the
-            # remote TPU compiler's memory cap, and a SIGKILLed compile
-            # wedges the device for many minutes (it ate two artifacts).
-            short = int(30.0 * srate)
-            xc = (rng.randn(2, short) * 0.25).astype(np.float32)
-            log("suite catalog: specializing")
-            renderers, skipped = build_catalog_renderers(
-                "/root/reference", segment_len=1 << 16)
-            # per-plugin warmup with a clock check: a cold compile cache
-            # must not blow the artifact deadline — plugins warmed in
-            # time are measured, the rest reported
-            warmed: dict = {}
-            for slug, r in renderers.items():
-                if time.time() > t_end:
-                    break
-                xi = xc[None, : r.nch] if xc.shape[0] >= r.nch else \
-                    np.broadcast_to(xc[None, :1], (1, r.nch, short))
-                xi = np.ascontiguousarray(xi)
-                # one retry: the tunnel's remote compile server
-                # occasionally drops mid-compile and recovers; compiles
-                # are banked in the persistent cache either way
-                for attempt in (0, 1):
+    for name, (fn, cap) in _SECTIONS.items():
+        remaining = t_end - time.time()
+        if remaining < 60.0:
+            log(f"suite {name}: skipped (out of budget)")
+            break
+        child_budget = remaining if cap is None else min(cap, remaining)
+        log(f"suite {name}: spawning (budget {child_budget:.0f}s)")
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--section", name, f"{child_budget:.0f}"],
+                stdout=subprocess.PIPE, stderr=None,
+                timeout=child_budget + 240.0, cwd=os.path.dirname(
+                    os.path.abspath(__file__)))
+            last = None
+            for line in r.stdout.decode(errors="replace").splitlines():
+                line = line.strip()
+                if line.startswith("{"):
                     try:
-                        # stage the input on device ONCE: render_files
-                        # skips conversion for jax.Arrays, so the timed
-                        # sweep pays no per-plugin H2D upload (~11 MB per
-                        # plugin over the dev tunnel otherwise dominates)
-                        xd = jax.device_put(xi)
-                        jax.block_until_ready(r.render_files(xd))
-                        warmed[slug] = (r, xd)
-                        break
-                    except Exception as exc:  # noqa: BLE001
-                        log(f"suite catalog: {slug} failed: "
-                            f"{str(exc)[:160]}")
-                        if attempt or time.time() > t_end:
-                            break
-                        if "UNAVAILABLE" in str(exc) \
-                                or "device error" in str(exc):
-                            wait_device_healthy(
-                                max(0.0, t_end - time.time()))
-                        else:
-                            time.sleep(30.0)
-            if warmed:
-                t0 = time.perf_counter()
-                outs = [r.render_files(xi) for r, xi in warmed.values()]
-                jax.block_until_ready(outs)
-                wall = time.perf_counter() - t0
-                suite["catalog_sweep_rtx"] = round(
-                    len(warmed) * short / srate / wall, 1)
-                suite["catalog_plugins_vectorized"] = len(warmed)
-                suite["catalog_plugins_total"] = len(renderers)
-                log(f"suite catalog: {suite['catalog_sweep_rtx']}x "
-                    f"({len(warmed)}/{len(renderers)} plugins)")
-                emit()
-    except Exception as exc:  # noqa: BLE001 — partial suite beats no suite
-        suite["error"] = f"{type(exc).__name__}: {exc}"
-        log(f"suite aborted: {suite['error']}")
+                        last = json.loads(line)
+                    except json.JSONDecodeError:
+                        pass
+            if r.returncode == 0 and isinstance(last, dict) and last:
+                suite.update(last)
+            else:
+                suite[name + "_error"] = (
+                    f"child exit {r.returncode}, result {last!r}")
+                log(f"suite {name} failed: {suite[name + '_error']}")
+        except subprocess.TimeoutExpired:
+            suite[name + "_error"] = "child timeout (device wedge?)"
+            log(f"suite {name}: child timed out; killed")
+        except Exception as exc:  # noqa: BLE001
+            suite[name + "_error"] = f"{type(exc).__name__}: {str(exc)[:200]}"
+            log(f"suite {name} spawn failed: {suite[name + '_error']}")
         emit()
 
 
@@ -372,4 +429,7 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        sys.exit(_section_child(sys.argv[2], float(sys.argv[3])
+                                if len(sys.argv) > 3 else 600.0))
     sys.exit(main())

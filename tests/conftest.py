@@ -1,9 +1,10 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-# exercised without TPU hardware.  NOTE: this environment's TPU platform
-# plugin ignores JAX_PLATFORMS, so the platform must be forced through
-# jax.config BEFORE any backend initialization.
+# exercised without TPU hardware.  The platform is forced through
+# jax.config BEFORE any backend initialization — robust regardless of the
+# process's JAX_PLATFORMS/PYTHONPATH environment (the axon TPU plugin
+# registers via a sitecustomize dir on PYTHONPATH; see CLAUDE.md).
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
