@@ -78,6 +78,7 @@ class DeviceExecKernel:
 
         _t0 = _time.time()
         probe = None
+        self._fft_sizes: Tuple[int, ...] = ()
         while True:
             try:
                 # layout union probe (construction only scans the AST)
@@ -104,7 +105,8 @@ class DeviceExecKernel:
                         consts={"samplesblock": float(nblk)},
                         force_gmem=self._any_gmem,
                         force_midi_out=self._any_mout,
-                        rand_pool=self._rand_cap, reduced_heap=True)
+                        rand_pool=self._rand_cap, reduced_heap=True,
+                        fft_sizes=self._fft_sizes)
 
                 _dbg(f"section builds (heap {size})")
                 self.sample = build("sample", self.B)
@@ -134,6 +136,19 @@ class DeviceExecKernel:
                         jax.ShapeDtypeStruct((sec.n_vars,), jnp.float64),
                         jax.ShapeDtypeStruct((sec.total_mem,),
                                              jnp.float64), **kw)
+                # FFT sizes discover on the first trace; the DFT matmul
+                # tables then move from baked 2 MB dense literals to a
+                # heap-tail region (Sample.jsfx: 33 MB of constants past
+                # the remote compile kill cap) — rebuild once with them
+                used: set = set()
+                for sec in (self.block, self.slider, self.sample):
+                    if sec is not None:
+                        used |= sec.fft_sizes_used
+                if used - set(self._fft_sizes):
+                    self._fft_sizes = tuple(sorted(used))
+                    _dbg(f"fft tables: rebuild with sizes "
+                         f"{self._fft_sizes}")
+                    continue
                 _dbg("build done")
                 break
             except DevgenError as exc:
@@ -197,7 +212,8 @@ class DeviceExecKernel:
                 self.sample.mem_size,
                 consts={"samplesblock": float(rem)},
                 force_gmem=self._any_gmem, force_midi_out=self._any_mout,
-                rand_pool=self._rand_cap, reduced_heap=True)
+                rand_pool=self._rand_cap, reduced_heap=True,
+                fft_sizes=self._fft_sizes)
             blk_r = DeviceSection(
                 self.P, self.snap, "block", self._dyn,
                 self.sample.mem_size,
@@ -205,7 +221,9 @@ class DeviceExecKernel:
                 force_gmem=self._any_gmem,
                 force_midi_out=self._any_mout,
                 rand_pool=self._rand_cap,
-                reduced_heap=True) if self.block is not None else None
+                reduced_heap=True,
+                fft_sizes=self._fft_sizes) if self.block is not None \
+                else None
             secs = (samp_r, blk_r)
             self._rem_cache[rem] = secs
         return secs
@@ -410,6 +428,16 @@ class DeviceExecKernel:
         if o.rand_cells:
             out[n.rand_base:n.rand_base + o.rand_cells] = \
                 bm[o.rand_base:o.rand_base + o.rand_cells]
+        if n.fft_cells:
+            # deterministic tables: refill rather than copy (the old
+            # kernel may not have carried them)
+            from .devgen import _dft_mats
+
+            for sz, off in n.fft_table_off.items():
+                C, S_ = _dft_mats(sz)
+                b = n.fft_base + off
+                out[b:b + sz * sz] = C.reshape(-1)
+                out[b + sz * sz:b + 2 * sz * sz] = S_.reshape(-1)
         return (bv, out)
 
     def render(self, x: np.ndarray, carry=None, midi=None):

@@ -143,7 +143,8 @@ class DeviceSection:
                  consts: Optional[Dict[str, float]] = None,
                  body: Optional[Sequence[Node]] = None,
                  force_gmem: bool = False, force_midi_out: bool = False,
-                 rand_pool: int = 0, reduced_heap: bool = False):
+                 rand_pool: int = 0, reduced_heap: bool = False,
+                 fft_sizes: Sequence[int] = ()):
         """force_gmem / force_midi_out: include the gmem segment / MIDI-OUT
         table in the heap layout even when THIS section doesn't touch them,
         so several sections (block/slider/sample in the sequential device
@@ -215,6 +216,23 @@ class DeviceSection:
         self.midi_out_cells = (1 + MIDI_OUT_CAP * 4) \
             if self.uses_midi_out else 0
         self.rand_base = self.midi_out_base + self.midi_out_cells
+        # DFT matmul tables (cos/sin, n^2 cells each) ride the heap tail
+        # too: BAKED dense constants for the catalog's 512-point FFTs were
+        # 2 MB of StableHLO text apiece and put Sample.jsfx's step 33 MB
+        # past the remote compile helper's kill cap.  Values are the SAME
+        # host-numpy matrices (read from memory instead of literals), so
+        # numerics are bit-identical to the constant path.  The executor
+        # discovers the sizes on a first trace and rebuilds (see
+        # devexec.py); sections sharing one state must agree on the list.
+        self.fft_base = self.rand_base + self.rand_cells
+        self.fft_sizes = tuple(sorted({int(n) for n in fft_sizes}))
+        self.fft_table_off: Dict[int, int] = {}
+        off = 0
+        for n in self.fft_sizes:
+            self.fft_table_off[n] = off
+            off += 2 * n * n          # cos matrix then sin matrix
+        self.fft_cells = off
+        self.fft_sizes_used: Set[int] = set()
         # +1: one trailing TRASH cell.  Scalar heap writes lower as
         # dynamic_update_slice (one compact op) instead of scatter
         # (an op with a region — ~10x the StableHLO text and a far
@@ -224,7 +242,7 @@ class DeviceSection:
         # heap overflow) redirect their index to total_mem and DUS's
         # start-clamp lands them in the trash cell, which nothing reads.
         self.total_mem = self.mem_size + self.gmem_cells \
-            + self.midi_out_cells + self.rand_cells + 1
+            + self.midi_out_cells + self.rand_cells + self.fft_cells + 1
 
         # slot table: dynamic vars + every specialized-fn param (params are
         # assigned per call; functions are non-reentrant, so one slot each)
@@ -436,6 +454,11 @@ class DeviceSection:
         if self.gmem_cells:
             gm = np.asarray(self.snap.gmem, dtype=np.float64)
             out[self.gmem_base:self.gmem_base + len(gm)] = gm
+        for sz, off in self.fft_table_off.items():
+            C, S_ = _dft_mats(sz)
+            b = self.fft_base + off
+            out[b:b + sz * sz] = C.reshape(-1)
+            out[b + sz * sz:b + 2 * sz * sz] = S_.reshape(-1)
         return out
 
     def _snap_value(self, key) -> float:
@@ -2422,9 +2445,17 @@ class DeviceSection:
         keeps golden-executor precision for the WDL sizes the catalog
         uses).  Returns (re, im)."""
         jnp = self._jnp
-        C, S_ = _dft_mats(n)
-        C = jnp.asarray(C)
-        S_ = jnp.asarray(S_)
+        self.fft_sizes_used.add(n)
+        off = self.fft_table_off.get(n)
+        if off is not None:
+            # heap-tail tables (same numpy values, zero baked literals)
+            b = self.fft_base + off
+            C = self.mem[b:b + n * n].reshape(n, n)
+            S_ = self.mem[b + n * n:b + 2 * n * n].reshape(n, n)
+        else:
+            C, S_ = _dft_mats(n)
+            C = jnp.asarray(C)
+            S_ = jnp.asarray(S_)
         if not inverse:  # X = sum x * e^{-i theta}
             return C @ re + S_ @ im, C @ im - S_ @ re
         return C @ re - S_ @ im, C @ im + S_ @ re
