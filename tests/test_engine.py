@@ -265,3 +265,53 @@ class TestFilePersistence:
         assert [e.path for e in svc.slots[0]] == [str(wav)]
         assert inst2.recent_files == [str(wav)]
         assert inst2.import_recipes == ['{"action": 1}']
+
+
+class TestMonitorModes:
+    """Correctness-monitor output selection (ref JSFXCorrectnessCheck.h:1042:
+    the monitor renders Compiled, Shadow, or the Delta null signal)."""
+
+    FILT = ("@init\nz = 0;\n@sample\n"
+            "z = 0.99 * z + 0.01 * spl0; spl0 = z;\n")
+
+    def _x(self, n=2048):
+        return (np.random.RandomState(7).randn(1, n) * 0.3).astype(np.float32)
+
+    def test_delta_near_null_on_vector_engine(self):
+        inst = PluginInstance(compile_plugin_source(self.FILT))
+        assert inst.kernel is not None
+        res = inst.render(self._x(), monitor="delta")
+        assert res.details["monitor"] == "delta"
+        assert np.max(np.abs(res.audio)) < 1e-5
+        assert res.details["max_delta"] < 1e-5
+
+    def test_shadow_output_matches_pure_shadow_render(self):
+        x = self._x()
+        prog = compile_plugin_source(self.FILT)
+        mon = PluginInstance(prog).render(x, monitor="shadow")
+        pure = PluginInstance(prog, prefer="none").render(x)
+        assert np.allclose(mon.audio, pure.audio, atol=1e-6)
+
+    def test_state_follows_compiled_path(self):
+        x = self._x()
+        prog = compile_plugin_source(self.FILT)
+        inst = PluginInstance(prog)
+        inst.render(x, monitor="delta")
+        z_mon = float(inst.shadow.state.V["z"])
+        inst2 = PluginInstance(prog)
+        inst2.render(x)
+        assert z_mon == pytest.approx(float(inst2.shadow.state.V["z"]),
+                                      abs=1e-12)
+
+    def test_shadow_engine_delta_is_exact_zero(self):
+        inst = PluginInstance(compile_plugin_source(self.FILT),
+                              prefer="none")
+        res = inst.render(self._x(), monitor="delta")
+        assert np.all(res.audio == 0.0)
+        assert res.details["max_delta"] == 0.0
+
+    def test_bad_mode_rejected(self):
+        inst = PluginInstance(compile_plugin_source(self.FILT),
+                              prefer="none")
+        with pytest.raises(ValueError):
+            inst.render(self._x(256), monitor="diff")

@@ -119,8 +119,11 @@ def cmd_render(args) -> int:
         prefer = {"auto": "auto", "tpu": "tpu", "shadow": "none"}[args.engine]
         inst = PluginInstance(prog, srate=float(rate), sliders=sliders,
                               prefer=prefer)
-        res = inst.render(x)
+        res = inst.render(x, monitor=args.monitor)
         y, wall, engine = res.audio, res.wall_seconds, res.engine
+        if args.monitor != "compiled":
+            print(f"monitor={args.monitor} "
+                  f"max_delta={res.details['max_delta']:.3e}")
 
     wavio.write_wav(args.outfile, y, int(rate))
     secs = x.shape[1] / float(rate)
@@ -302,6 +305,11 @@ def main(argv=None) -> int:
                    help="sliderN=value (repeatable, 1-based N)")
     p.add_argument("--engine", choices=("auto", "tpu", "shadow"),
                    default="auto")
+    p.add_argument("--monitor", choices=("compiled", "shadow", "delta"),
+                   default="compiled",
+                   help="correctness-monitor output selection (ref "
+                        "JSFXCorrectnessCheck.h:1042): write the golden "
+                        "shadow's audio or the compiled-minus-shadow null")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("verify")

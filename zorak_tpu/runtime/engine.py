@@ -256,16 +256,30 @@ class PluginInstance:
         if isinstance(source, (str, Path)):
             self.note_recent_file(str(source))
 
+    MONITOR_MODES = ("compiled", "shadow", "delta")
+
     def render(self, x: np.ndarray, block_size: int = 512,
                fetch_audio: bool = True, sync_state: bool = True,
-               midi=None) -> RenderResult:
+               midi=None, monitor: str = "compiled") -> RenderResult:
         """x: float32 [channels, samples] at self.srate.
 
         midi: optional list of (sample_offset, b1, b2, b3) at host rate.
         fetch_audio=False keeps the rendered audio on device and returns
         on-device stats in details (peak/rms) instead — the fast path when
         the host link is slow or the result feeds further device compute.
+
+        monitor: correctness-monitor output selection (ref:
+        src/JSFXCorrectnessCheck.h:1042 Compiled/Shadow/Delta) —
+        "compiled" renders normally; "shadow" / "delta" ALSO run the
+        golden executor on the same input+MIDI from the same starting
+        state and return its audio / the compiled-minus-shadow delta,
+        while the instance's go-forward state follows the compiled
+        (primary) engine.
         """
+        if monitor not in self.MONITOR_MODES:
+            raise ValueError(f"monitor must be one of {self.MONITOR_MODES}")
+        if monitor != "compiled":
+            return self._render_monitor(x, block_size, midi, monitor)
         x = np.ascontiguousarray(x, dtype=np.float32)
         if x.shape[0] < self.nch:
             pad = np.zeros((self.nch - x.shape[0], x.shape[1]), dtype=np.float32)
@@ -332,6 +346,60 @@ class PluginInstance:
             state=self.shadow.state,
             details={"spec_error": self.spec_error} if self.spec_error else {},
         )
+
+    def _render_monitor(self, x: np.ndarray, block_size: int, midi,
+                        monitor: str) -> RenderResult:
+        """Both engines render the same span from the same state; the
+        RenderResult's audio is the shadow's output ("shadow") or the
+        compiled-minus-shadow null ("delta"), f32-rounded like the
+        harness.  Go-forward instance state (shadow state writeback,
+        oversampling tail) follows the compiled path, matching the
+        reference monitor, which taps signals without forking the
+        session (ref: src/JSFXCorrectnessCheck.h:1042)."""
+        t0 = time.perf_counter()
+        st0 = self.shadow.state.clone()
+        up0 = None if self._up_tail is None else self._up_tail.copy()
+        rc = self.render(x, block_size=block_size, midi=midi)
+
+        if self.kernel is None:
+            # the compiled path IS the golden executor: identical output
+            y_s = rc.audio
+            delta = np.zeros_like(rc.audio)
+        else:
+            live_state, live_tail = self.shadow.state, self._up_tail
+            self.shadow.state = st0
+            self._up_tail = up0
+            try:
+                xx = np.ascontiguousarray(x, dtype=np.float32)
+                if xx.shape[0] < self.nch:
+                    pad = np.zeros((self.nch - xx.shape[0], xx.shape[1]),
+                                   dtype=np.float32)
+                    xx = np.concatenate([xx, pad], axis=0)
+                elif xx.shape[0] > self.nch:
+                    xx = xx[: self.nch]
+                F = self.oversample
+                x_eng = upsample_linear(xx, F, self._up_tail) if F > 1 else xx
+                rs = self._render_shadow(xx, x_eng, block_size, midi,
+                                         t_start=t0)
+            finally:
+                self.shadow.state = live_state
+                self._up_tail = live_tail
+            y_s = rs.audio
+            delta = rc.audio.astype(np.float32) - y_s.astype(np.float32)
+
+        audio = y_s if monitor == "shadow" else delta
+        details = dict(rc.details)
+        details["monitor"] = monitor
+        details["max_delta"] = (float(np.max(np.abs(delta)))
+                                if delta.size else 0.0)
+        wall = time.perf_counter() - t0
+        audio_seconds = x.shape[-1] / self.srate if x.size else 0.0
+        return RenderResult(
+            audio=audio, srate=self.srate, engine=rc.engine,
+            wall_seconds=wall,
+            realtime_factor=(audio_seconds / wall) if wall > 0
+            else float("inf"),
+            state=self.shadow.state, details=details)
 
     def _render_vector_gated(self, x_host: np.ndarray, x_eng: np.ndarray,
                              kern_midi, mode: str, t_start: float,
