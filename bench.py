@@ -348,25 +348,32 @@ def main() -> int:
     kern = specialize_sample_kernel(program, shadow.state, 2, segment_len=SEG)
     log("specialized DDT")
 
-    rng = np.random.RandomState(11)
-    # staged on device ONCE: H2D on the dev tunnel runs ~75 MB/s at bad
-    # placements — a 23 MB per-render re-upload would dominate the render
-    # (round-3 post-mortem: 85x instead of >10,000x).  render_device
-    # passes jax.Array inputs through untouched.
-    x = jax.device_put((rng.randn(2, N_SAMPLES) * 0.25).astype(np.float32))
-    jax.block_until_ready(x)
+    # FRESH on-device input per timed run.  Two honesty rules learned the
+    # hard way on the axon tunnel (round-3 post-mortem):
+    #  * re-dispatching identical (executable, buffers) pairs returns in
+    #    ~0.3 ms without running anything — every timed run must use a
+    #    fresh input;
+    #  * block_until_ready does not reliably sync over the tunnel — the
+    #    only trustworthy completion signal is fetching a value computed
+    #    FROM the result, so each run times render + a 4-sample on-device
+    #    reduction fetch (scalar D2H, negligible after warmup).
+    # Inputs are generated ON device (seeded jax PRNG): H2D runs ~75 MB/s
+    # at bad placements and a 23 MB upload would dominate the render.
+    gen_fn = jax.jit(lambda key: jax.random.normal(
+        key, (2, N_SAMPLES), dtype=jnp.float32) * 0.25)
 
     # stats computed on device; only 3 scalars cross the link
     stats_fn = jax.jit(lambda a: (jnp.max(jnp.abs(a)),
                                   jnp.sum(jnp.isfinite(a)),
                                   jnp.sum(jnp.abs(a))))
+    sync_fn = jax.jit(lambda a: jnp.abs(a[:, -4:]).sum())
 
+    x = gen_fn(jax.random.PRNGKey(0))
+    _ = float(sync_fn(x))
     y, carry = kern.render_device(x)
-    jax.block_until_ready((y, carry))
+    _ = float(sync_fn(y))          # warms render + the D2H scalar path
     log("render pipeline compiled + first run done")
 
-    # time FIRST (block_until_ready syncs execution without any D2H — the
-    # tunnel's device->host path can stall independently of compute).
     # INVARIANT: run #1 always happens — a slow compile must never zero
     # the artifact again (round-2 post-mortem).  The deadline anchors to
     # NOW, not T0: startup device-recovery probes must not eat the
@@ -375,9 +382,11 @@ def main() -> int:
     best = 0.0
     runs = 0
     while runs < 1 or (runs < 5 and time.time() < deadline):
+        x = gen_fn(jax.random.PRNGKey(runs + 1))
+        _ = float(sync_fn(x))      # input fully materialized before t0
         t0 = time.perf_counter()
         y, carry = kern.render_device(x)
-        jax.block_until_ready((y, carry))
+        _ = float(sync_fn(y))      # fetch-forced completion
         dt = time.perf_counter() - t0
         best = max(best, SECONDS / dt)
         runs += 1

@@ -1462,6 +1462,92 @@ def _dyn_write_bound(sym, idx_node) -> Optional[int]:
     return best
 
 
+def _node_integral(x) -> bool:
+    """Conservatively prove an index expression is integer-valued (an
+    EEL2 f64 holding an exact integer).  Integrality makes truncation
+    commute with the time split in `_mod_slope`, so a uniform-delay read
+    can safely lower as one dynamic_slice."""
+    if not isinstance(x, GNode):
+        return isinstance(x, float) and _is_int(x)
+    if x.kind in ("ind", "ringidx", "maskidx"):
+        return True                     # cursor positions / masked indices
+    if x.kind == "bin":
+        if x.op in ("&", "|", "~", "<<", ">>", "%",
+                    "<", "<=", ">", ">=", "==", "!="):
+            return True                 # EEL2 bitwise/compare: int results
+        if x.op in ("+", "-", "*", "min", "max"):
+            return all(_node_integral(a) for a in x.args)
+        return False
+    if x.kind == "call":
+        if x.op in ("floor", "ceil", "not", "sign"):
+            return True
+        if x.op in ("abs", "fabs"):
+            return _node_integral(x.args[0])
+        return False
+    if x.kind == "select":
+        return (_node_integral(x.args[1]) and _node_integral(x.args[2]))
+    return False
+
+
+def _mod_slope(x, mod: int) -> Optional[int]:
+    """Slope of an index expression in the per-sample time index, valid
+    modulo `mod`: 0 = time-invariant over the segment, 1 = `t +
+    invariant`, None = anything else (a genuinely time-varying delay).
+
+    Wrapping subexpressions are congruence-transparent when their
+    modulus matches: pow2 masks (`eel_and` is two's-complement, == mod
+    for negatives too), wrapped cursors (`jnp.mod`, true mod), and the
+    runtime-wrap idiom `select(X < 0, X + M, X)`."""
+    memo: Dict[int, object] = {}
+
+    def rec(n):
+        if not isinstance(n, GNode):
+            return 0 if (isinstance(n, float) and _is_int(n)) else None
+        got = memo.get(id(n), "?")
+        if got != "?":
+            return got
+        memo[id(n)] = None              # cycle-safe default
+        r = None
+        if n.kind == "ind":
+            r = 1
+        elif n.kind == "ringidx":
+            r = 1 if int(n.meta["mod"]) == mod else None
+        elif n.kind == "maskidx":
+            if int(n.meta["mod"]) == mod:
+                r = rec(n.args[0])
+        elif n.kind == "bin":
+            if n.op in ("+", "-"):
+                a, b = rec(n.args[0]), rec(n.args[1])
+                if a is not None and b is not None:
+                    s = a + b if n.op == "+" else a - b
+                    r = s if s in (0, 1) else None
+            elif n.op in ("*", "/", "%", "min", "max", "pow", "atan2",
+                          "&", "|", "~", "<<", ">>",
+                          "<", "<=", ">", ">=", "==", "!="):
+                if rec(n.args[0]) == 0 and rec(n.args[1]) == 0:
+                    r = 0
+        elif n.kind == "call":
+            if rec(n.args[0]) == 0:
+                r = 0
+        elif n.kind == "select":
+            c, tv, ev = n.args
+            # wrap idiom: both branches congruent (tv = ev + mod)
+            if (isinstance(tv, GNode) and tv.kind == "bin"
+                    and tv.op == "+"
+                    and ((tv.args[0] is ev and tv.args[1] == float(mod))
+                         or (tv.args[1] is ev
+                             and tv.args[0] == float(mod)))):
+                r = rec(ev)
+            elif rec(c) == 0:
+                a, b = rec(tv), rec(ev)
+                if a == b and a in (0, 1):
+                    r = a
+        memo[id(n)] = r
+        return r
+
+    return rec(x)
+
+
 def _linearize(node: Union[GNode, float], key, cache: Dict[int, Set],
                ring_writes: Optional[Dict] = None):
     """Match node == A * prev(key) + B with A, B free of prev(key).
@@ -3333,13 +3419,29 @@ class SpecializedSampleKernel:
                 order (multi-writer rings: last writer wins)."""
                 return write_stream(region, len(sym.ring_writes[region]) - 1)
 
+            ring2_cache: Dict[Tuple[int, int], Any] = {}
+
+            def ring_window(region, var, offset, k):
+                """`rings[region]` at cursor positions (var+offset ..
+                +k-1) mod M — the same elements as a cursor_idx gather,
+                read as ONE dynamic_slice of the doubled ring (contiguous
+                reads; TPU gathers at these shapes run ~7x slower)."""
+                mod = region[1]
+                if k > mod:   # window re-wraps: keep the general gather
+                    return rings[region][cursor_idx(var, offset, mod, 0, k)]
+                ring2 = ring2_cache.get(region)
+                if ring2 is None:
+                    ring2 = jnp.concatenate([rings[region], rings[region]])
+                    ring2_cache[region] = ring2
+                start = jnp.mod(EM.to_i64(scalars[var]) + offset, mod)
+                return jax.lax.dynamic_slice(ring2, (start,), (k,))
+
             def ring_delayed(region, delay):
                 w = sym.ring_writes[region][-1]
                 if delay == 0:
                     return ring_source(region)
                 k = min(delay, L)
-                idx = cursor_idx(w.var, w.offset - delay, w.mod, 0, k)
-                prefix = rings[region][idx]
+                prefix = ring_window(region, w.var, w.offset - delay, k)
                 if k >= L:
                     # the whole read window predates this segment: carry
                     # history only — no dependence on the current source
@@ -3355,7 +3457,15 @@ class SpecializedSampleKernel:
             def dyn_ring_read(x):
                 """Read with a time-varying slot index: resolve each sample
                 against whichever write (this segment or ring history) last
-                touched that slot."""
+                touched that slot.
+
+                Uniform-delay fast path: when the slot index is provably
+                `t + invariant (mod M)` with integral terms — a constant-
+                per-render tap like DDT's `m[(wofs - dL) & MASK]` — the
+                per-sample gather (TPU gathers run ~7x slower than
+                contiguous reads at these shapes) collapses to ONE
+                dynamic_slice at a traced offset, reading the exact same
+                elements."""
                 region = x.meta["region"]
                 origin, mod = region
                 sigma = EM.to_i64(_arr(emit(x.args[0])))  # slot in [0,mod)
@@ -3364,22 +3474,32 @@ class SpecializedSampleKernel:
                     src_arr = (rings[region] if region not in static_regions
                                else jnp.asarray(static_regions[region]))
                     return src_arr[sigma]
+                uniform = (_mod_slope(x.args[0], mod) == 1
+                           and _node_integral(x.args[0]))
                 w = ws[-1]
                 src = ring_source(region)
-                prefix_idx = cursor_idx(w.var, w.offset, mod, 0, mod)
-                full = jnp.concatenate([rings[region][prefix_idx], src])
+                full = jnp.concatenate(
+                    [ring_window(region, w.var, w.offset, mod), src])
                 w0c = EM.to_i64(scalars[w.var]) + w.offset
                 pre = [u for u in ws if u.order < x.meta["order"]]
                 if not pre:
+                    if uniform:
+                        d0 = jnp.mod(w0c - sigma[0] - 1, mod) + 1
+                        return jax.lax.dynamic_slice(full, (mod - d0,), (L,))
                     dtil = jnp.mod(w0c + t64 - sigma - 1, mod) + 1
                     return full[mod + t64 - dtil]
-                dtil = jnp.mod(w0c + t64 - sigma, mod)
-                base = full[mod + t64 - dtil]
+                if uniform:
+                    d0 = jnp.mod(w0c - sigma[0], mod)
+                    base = jax.lax.dynamic_slice(full, (mod - d0,), (L,))
+                else:
+                    dtil = jnp.mod(w0c + t64 - sigma, mod)
+                    base = full[mod + t64 - dtil]
                 if pre[-1] is w:
                     return base
                 # same-slot same-sample reads see the latest PRECEDING
                 # writer, not the region's final (last-writer) value
-                return jnp.where(dtil == 0,
+                zero = (d0 == 0) if uniform else (dtil == 0)
+                return jnp.where(zero,
                                  write_stream(region, ws.index(pre[-1])),
                                  base)
 
