@@ -192,18 +192,35 @@ def _section_catalog(budget_s: float) -> dict:
     xc = (rng.randn(2, short) * 0.25).astype(np.float32)
     # specialize BEFORE the first device dispatch: the multi-minute
     # 100%-CPU specialization phase starves an ACTIVE tunnel session
-    # into the wedged "TPU device error" state (round-2/3 post-mortems)
-    log("suite catalog: specializing")
+    # into the wedged "TPU device error" state (round-2/3 post-mortems).
+    # The health probe runs CONCURRENTLY in a thread — it is network-
+    # bound (the first D2H fetch of a child process can take minutes at
+    # bad placements), and serializing it after the 2-3 min CPU phase
+    # ate the whole round-3 budget before one plugin warmed.
+    import threading
+    probe_done = threading.Event()
+
+    def _probe():
+        wait_device_healthy(min(600.0, budget_s))
+        probe_done.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    log("suite catalog: specializing (device probe in parallel)")
     renderers, skipped = build_catalog_renderers(
         "/root/reference", segment_len=1 << 16)
     log(f"suite catalog: specialized {len(renderers)} "
         f"(skipped {len(skipped)})")
-    wait_device_healthy(min(300.0, max(0.0, t_end - time.time())))
+    probe_done.wait(timeout=max(0.0, t_end - time.time()))
     # per-plugin warmup with a clock check: a cold compile cache must not
-    # blow the artifact deadline — plugins warmed in time are measured
+    # blow the artifact deadline — plugins warmed in time are measured.
+    # INVARIANT: the first MIN_WARM plugins warm regardless of the clock
+    # (round-3 post-mortem: a slow probe left the section empty; a small
+    # late number beats none), and each warmup updates the result line so
+    # a later wedge costs the tail, not the section.
+    MIN_WARM = 3
     warmed: dict = {}
     for slug, r in renderers.items():
-        if time.time() > t_end:
+        if time.time() > t_end and len(warmed) >= MIN_WARM:
             break
         xi = xc[None, : r.nch] if xc.shape[0] >= r.nch else \
             np.broadcast_to(xc[None, :1], (1, r.nch, short))
@@ -222,24 +239,37 @@ def _section_catalog(budget_s: float) -> dict:
                 break
             except Exception as exc:  # noqa: BLE001
                 log(f"suite catalog: {slug} failed: {str(exc)[:160]}")
-                if attempt or time.time() > t_end:
+                if attempt or (time.time() > t_end
+                               and len(warmed) >= MIN_WARM):
                     break
                 if "UNAVAILABLE" in str(exc) or "device error" in str(exc):
-                    wait_device_healthy(max(0.0, t_end - time.time()))
+                    wait_device_healthy(
+                        max(120.0, t_end - time.time()))
                 else:
                     time.sleep(30.0)
+        if warmed and len(warmed) % 6 == 0:
+            _catalog_sweep(warmed, len(renderers), short, out)
+
     if warmed:
-        t0 = time.perf_counter()
-        outs = [r.render_files(xi) for r, xi in warmed.values()]
-        jax.block_until_ready(outs)
-        wall = time.perf_counter() - t0
-        out["catalog_sweep_rtx"] = round(
-            len(warmed) * short / SRATE / wall, 1)
-        out["catalog_plugins_vectorized"] = len(warmed)
-        out["catalog_plugins_total"] = len(renderers)
-        log(f"suite catalog: {out['catalog_sweep_rtx']}x "
-            f"({len(warmed)}/{len(renderers)} plugins)")
+        _catalog_sweep(warmed, len(renderers), short, out)
     return out
+
+
+def _catalog_sweep(warmed: dict, total: int, short: int, out: dict) -> None:
+    """Timed sweep over the plugins warmed SO FAR; prints the result line
+    so a later wedge costs only the un-swept tail."""
+    import jax
+
+    t0 = time.perf_counter()
+    outs = [r.render_files(xi) for r, xi in warmed.values()]
+    jax.block_until_ready(outs)
+    wall = time.perf_counter() - t0
+    out["catalog_sweep_rtx"] = round(len(warmed) * short / SRATE / wall, 1)
+    out["catalog_plugins_vectorized"] = len(warmed)
+    out["catalog_plugins_total"] = total
+    log(f"suite catalog: {out['catalog_sweep_rtx']}x "
+        f"({len(warmed)}/{total} plugins)")
+    print(json.dumps(out), flush=True)
 
 
 _SECTIONS = {
