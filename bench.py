@@ -37,8 +37,13 @@ import numpy as np
 
 DDT_PATH = Path("/root/reference/plugins/Spatialization/DDT/src/DDT.jsfx")
 SRATE = 48000.0
-SEG = 1 << 17
-N_SAMPLES = SEG * 22          # ~60.07 s; exact segment multiple
+# 8 segments of ~7.5 s won the fetch-forced segment sweep once linrecs
+# solve as batched doubling scans (1 seg 677x / 2 segs 832x / 4 segs
+# 1255x / 8 segs 1381x at the slow round-3 placement): fewer segments
+# cut stage launches but grow each O(M+L) ring materialization; 8 is
+# the knee.  The doubling form keeps the big-segment compile tractable.
+SEG = (1 << 15) * 11
+N_SAMPLES = SEG * 8           # ~60.07 s; exact segment multiple
 SECONDS = N_SAMPLES / SRATE
 TARGET_RTX = 1000.0
 T0 = time.time()
@@ -199,18 +204,24 @@ def _section_catalog(budget_s: float) -> dict:
     # ate the whole round-3 budget before one plugin warmed.
     import threading
     probe_done = threading.Event()
+    stop_probe = threading.Event()
 
     def _probe():
-        wait_device_healthy(min(600.0, budget_s))
-        probe_done.set()
+        # keep probing until it succeeds (or the section ends): the first
+        # D2H fetch of a process can take MINUTES at bad placements, and
+        # giving up early left round-3's timed sweep without a warmed
+        # fetch path
+        while not stop_probe.is_set():
+            if wait_device_healthy(90.0):
+                probe_done.set()
+                return
 
     threading.Thread(target=_probe, daemon=True).start()
     log("suite catalog: specializing (device probe in parallel)")
     renderers, skipped = build_catalog_renderers(
         "/root/reference", segment_len=1 << 16)
     log(f"suite catalog: specialized {len(renderers)} "
-        f"(skipped {len(skipped)})")
-    probe_done.wait(timeout=max(0.0, t_end - time.time()))
+        f"(skipped {len(skipped)}); warming (H2D+compute need no D2H)")
     # per-plugin warmup with a clock check: a cold compile cache must not
     # blow the artifact deadline — plugins warmed in time are measured.
     # INVARIANT: the first MIN_WARM plugins warm regardless of the clock
@@ -221,7 +232,10 @@ def _section_catalog(budget_s: float) -> dict:
     warmed: dict = {}
     for slug, r in renderers.items():
         if time.time() > t_end and len(warmed) >= MIN_WARM:
+            log(f"suite catalog: budget exhausted after {len(warmed)}")
             break
+        log(f"suite catalog: warming {slug} "
+            f"({len(warmed)} done, {t_end - time.time():.0f}s left)")
         xi = xc[None, : r.nch] if xc.shape[0] >= r.nch else \
             np.broadcast_to(xc[None, :1], (1, r.nch, short))
         xi = np.ascontiguousarray(xi)
@@ -247,28 +261,56 @@ def _section_catalog(budget_s: float) -> dict:
                         max(120.0, t_end - time.time()))
                 else:
                     time.sleep(30.0)
-        if warmed and len(warmed) % 6 == 0:
-            _catalog_sweep(warmed, len(renderers), short, out)
+        if len(warmed) in (1, MIN_WARM) or (warmed and len(warmed) % 6 == 0):
+            # incremental safety-net sweeps: no fetch (each fetch-forced
+            # sweep costs a cold remote compile of its reduce)
+            _catalog_sweep(warmed, len(renderers), short, out,
+                           fetch_ok=False)
 
     if warmed:
-        _catalog_sweep(warmed, len(renderers), short, out)
+        # give the D2H warmup probe a bounded chance to land so the final
+        # sweep can use fetch-forced completion (honest timing)
+        probe_done.wait(timeout=max(0.0, min(120.0, t_end - time.time())))
+        _catalog_sweep(warmed, len(renderers), short, out,
+                       fetch_ok=probe_done.is_set())
+    stop_probe.set()
     return out
 
 
-def _catalog_sweep(warmed: dict, total: int, short: int, out: dict) -> None:
+def _catalog_sweep(warmed: dict, total: int, short: int, out: dict,
+                   fetch_ok: bool = False) -> None:
     """Timed sweep over the plugins warmed SO FAR; prints the result line
-    so a later wedge costs only the un-swept tail."""
-    import jax
+    so a later wedge costs only the un-swept tail.
 
+    fetch_ok: when the D2H path is warmed, force completion by fetching a
+    scalar reduced from every output (block_until_ready alone does not
+    reliably sync over the tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    if fetch_ok:
+        # ONE jitted reduce over all outputs (eager per-op dispatch over
+        # the tunnel costs ~seconds each); compiled UNTIMED on the warm
+        # outputs first, then the timed sweep pays one dispatch + one
+        # scalar fetch
+        reduce_fn = jax.jit(
+            lambda os: sum(jnp.abs(o[..., -4:]).sum() for o in os))
+        outs = [r.render_files(xi) for r, xi in warmed.values()]
+        _ = float(reduce_fn(outs))
     t0 = time.perf_counter()
     outs = [r.render_files(xi) for r, xi in warmed.values()]
-    jax.block_until_ready(outs)
+    if fetch_ok:
+        s = float(reduce_fn(outs))
+    else:
+        s = None
+        jax.block_until_ready(outs)
     wall = time.perf_counter() - t0
     out["catalog_sweep_rtx"] = round(len(warmed) * short / SRATE / wall, 1)
     out["catalog_plugins_vectorized"] = len(warmed)
     out["catalog_plugins_total"] = total
+    out["catalog_fetch_forced"] = bool(fetch_ok)
     log(f"suite catalog: {out['catalog_sweep_rtx']}x "
-        f"({len(warmed)}/{total} plugins)")
+        f"({len(warmed)}/{total} plugins, fetch_forced={fetch_ok}, s={s})")
     print(json.dumps(out), flush=True)
 
 
@@ -400,8 +442,12 @@ def main() -> int:
 
     x = gen_fn(jax.random.PRNGKey(0))
     _ = float(sync_fn(x))
-    y, carry = kern.render_device(x)
-    _ = float(sync_fn(y))          # warms render + the D2H scalar path
+    # fused single-dispatch render: the jitted program returns the output
+    # -tail reduction itself, and fresh renders feed the device-resident
+    # master carry (no clone dispatch) — per-run tunnel cost is ONE
+    # dispatch + ONE scalar fetch
+    y, carry, s = kern.render_device_sync(x)
+    _ = float(s)                   # warms render + the D2H scalar path
     log("render pipeline compiled + first run done")
 
     # INVARIANT: run #1 always happens — a slow compile must never zero
@@ -415,8 +461,8 @@ def main() -> int:
         x = gen_fn(jax.random.PRNGKey(runs + 1))
         _ = float(sync_fn(x))      # input fully materialized before t0
         t0 = time.perf_counter()
-        y, carry = kern.render_device(x)
-        _ = float(sync_fn(y))      # fetch-forced completion
+        y, carry, s = kern.render_device_sync(x)
+        _ = float(s)               # fetch-forced completion
         dt = time.perf_counter() - t0
         best = max(best, SECONDS / dt)
         runs += 1

@@ -24,6 +24,7 @@ outside this subset raise SpecializeError and fall back to other engines.
 from __future__ import annotations
 
 import math
+import os
 import sys
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional, Sequence, Set, Tuple, Union
@@ -73,6 +74,10 @@ class _SegmentRetry(Exception):
     def __init__(self, segment_len: int):
         super().__init__(f"segment retry {segment_len}")
         self.segment_len = int(segment_len)
+
+
+# batched same-level linrec solving (opt-out knob for A/B timing probes)
+_LINREC_BATCH = not os.environ.get("ZORAK_NO_LINREC_BATCH")
 
 
 class SpecializeError(Exception):
@@ -2931,6 +2936,122 @@ class SpecializedSampleKernel:
             for a in n.args:
                 push(a)
 
+    def _linrec_wave_map(self) -> Dict[Any, Tuple[Any, ...]]:
+        """Group linrec plans into dependency 'waves' batchable as ONE
+        doubling scan each (stage count, not element count, dominates a
+        segment scan body on TPU — k same-level recurrences cost the same
+        log2(L) stages as one).
+
+        The current-value dependency walk is CONSERVATIVE: prev-refs and
+        ring reads are followed without the emitter's delay >= L history
+        cuts, so it may report a dependency (or a cycle) the emission
+        would not have.  Over-approximation only splits or disables
+        waves; it never merges two linrecs that genuinely depend on each
+        other — and the emitter's wave solver still falls back to
+        per-recurrence emission if a wave turns out unemittable.
+
+        Returns {linrec key -> tuple of same-wave keys} for waves of
+        size >= 2; keys in conservative cycles are left out (they emit
+        individually, exactly as before).
+        """
+        got = getattr(self, "_linrec_waves_cache", None)
+        if got is not None:
+            return got
+        P_plans, sym = self.plans, self.sym
+        lin_set = {k for k, p in P_plans.items() if p.kind == "linrec"}
+
+        # linrec -> set of linrecs its emission transitively needs
+        edges: Dict[Any, Set[Any]] = {}
+        key_memo: Dict[Any, Set[Any]] = {}
+        CYCLE = object()
+
+        def node_deps(node, out, seen, stack_keys):
+            if not isinstance(node, GNode) or id(node) in seen:
+                return
+            seen.add(id(node))
+            if node.kind == "prev":
+                key_deps(node.meta["key"], out, stack_keys)
+                return
+            if node.kind in ("ringref", "dynringref"):
+                region = node.meta.get("region")
+                for w in sym.ring_writes.get(region, ()):
+                    node_deps(w.value, out, seen, stack_keys)
+                for dw in sym.dyn_writes:
+                    if region is not None and dw.origin == region[0]:
+                        for x in (dw.idx, dw.value, dw.gate):
+                            node_deps(x, out, seen, stack_keys)
+            for a in node.args:
+                node_deps(a, out, seen, stack_keys)
+
+        def key_deps(k, out, stack_keys):
+            p = P_plans.get(k)
+            if p is None:
+                return
+            if p.kind == "linrec":
+                out.add(k)
+                return
+            if k in stack_keys:
+                out.add(CYCLE)     # conservative walk cycle: poison
+                return
+            cached = key_memo.get(k)
+            if cached is not None:
+                out |= cached
+                return
+            sub: Set[Any] = set()
+            stack_keys.add(k)
+            if p.kind == "stream":
+                node_deps(p.out, sub, set(), stack_keys)
+            elif p.kind == "scan":
+                for g in self.scan_groups[p.step]:
+                    gp = P_plans.get(g)
+                    if gp is not None and isinstance(gp.out, GNode):
+                        node_deps(gp.out, sub, set(), stack_keys)
+            stack_keys.discard(k)
+            key_memo[k] = sub
+            out |= sub
+
+        for k in lin_set:
+            out: Set[Any] = set()
+            p = P_plans[k]
+            for e in (p.A, p.B):
+                node_deps(e, out, set(), {k})
+            edges[k] = out
+
+        # poison: walk cycles, self-references, or deps through CYCLE
+        fallback = {k for k, d in edges.items() if CYCLE in d or k in d}
+
+        # levels by longest path over linrec edges; cycles -> fallback
+        level: Dict[Any, int] = {}
+
+        def level_of(k, visiting):
+            if k in level:
+                return level[k]
+            if k in visiting or k in fallback:
+                fallback.add(k)
+                return 0
+            visiting.add(k)
+            lv = 0
+            for d in edges[k] & lin_set:
+                lv = max(lv, level_of(d, visiting) + 1)
+            visiting.discard(k)
+            level[k] = lv
+            return lv
+
+        for k in lin_set:
+            level_of(k, set())
+
+        waves: Dict[int, List[Any]] = {}
+        for k in lin_set - fallback:
+            waves.setdefault(level[k], []).append(k)
+        by_key: Dict[Any, Tuple[Any, ...]] = {}
+        for lv, ks in waves.items():
+            if len(ks) >= 2:
+                tk = tuple(sorted(ks, key=repr))
+                for k in ks:
+                    by_key[k] = tk
+        self._linrec_waves_cache = by_key
+        return by_key
+
     # -- planning ------------------------------------------------------------
 
     def _plan(self, sym: _SymExec) -> None:
@@ -3436,18 +3557,53 @@ class SpecializedSampleKernel:
                 start = jnp.mod(EM.to_i64(scalars[var]) + offset, mod)
                 return jax.lax.dynamic_slice(ring2, (start,), (k,))
 
+            ring_delayed_cache: Dict[Tuple[Any, Any], Any] = {}
+
+            def ring_hist(region):
+                """The region's whole ring in write order (element mod-1 =
+                most recent past sample): ONE dynamic_slice of the doubled
+                ring, shared by every tap of the region."""
+                got = ring_delayed_cache.get((region, "hist"))
+                if got is None:
+                    w = sym.ring_writes[region][-1]
+                    got = ring_window(region, w.var, w.offset, region[1])
+                    ring_delayed_cache[(region, "hist")] = got
+                return got
+
+            def ring_hist_full(region):
+                """[history | this segment's final write stream] — length
+                mod+L; tap at delay d<L = full[mod-d : mod-d+L], a STATIC
+                slice (fuses into consumers; a per-tap dynamic_slice
+                materializes O(L) each — DDT has ~200 taps)."""
+                got = ring_delayed_cache.get((region, "full"))
+                if got is None:
+                    got = jnp.concatenate([ring_hist(region),
+                                           ring_source(region)])
+                    ring_delayed_cache[(region, "full")] = got
+                return got
+
             def ring_delayed(region, delay):
-                w = sym.ring_writes[region][-1]
+                ck = (region, delay)
+                got = ring_delayed_cache.get(ck)
+                if got is not None:
+                    return got
                 if delay == 0:
                     return ring_source(region)
-                k = min(delay, L)
-                prefix = ring_window(region, w.var, w.offset - delay, k)
-                if k >= L:
-                    # the whole read window predates this segment: carry
-                    # history only — no dependence on the current source
-                    # (keeps long feedback legal and cycle-free)
-                    return prefix[:L]
-                return jnp.concatenate([prefix, ring_source(region)[: L - k]])
+                mod = region[1]
+                if delay >= L:
+                    # the whole read window predates this segment: slice
+                    # the src-free history only — no graph dependence on
+                    # the current source (keeps long feedback legal and
+                    # cycle-free)
+                    h = ring_hist(region)
+                    val = jax.lax.slice(h, (mod - delay,),
+                                        (mod - delay + L,))
+                else:
+                    f = ring_hist_full(region)
+                    val = jax.lax.slice(f, (mod - delay,),
+                                        (mod - delay + L,))
+                ring_delayed_cache[ck] = val
+                return val
 
             def _full(v):
                 if isinstance(v, float):
@@ -3478,8 +3634,7 @@ class SpecializedSampleKernel:
                            and _node_integral(x.args[0]))
                 w = ws[-1]
                 src = ring_source(region)
-                full = jnp.concatenate(
-                    [ring_window(region, w.var, w.offset, mod), src])
+                full = ring_hist_full(region)
                 w0c = EM.to_i64(scalars[w.var]) + w.offset
                 pre = [u for u in ws if u.order < x.meta["order"]]
                 if not pre:
@@ -3603,6 +3758,60 @@ class SpecializedSampleKernel:
                 for i, g in enumerate(scan_group):
                     var_stream[g] = ys[:, i]
 
+            linrec_waves = ({} if not _LINREC_BATCH
+                            else self._linrec_wave_map())
+
+            def solve_linrec_wave(wave) -> bool:
+                """Emit every linrec of a dependency wave and solve them
+                as ONE batched doubling scan (split by scalar/vector A).
+                Returns False (state restored) if emission of any member
+                recursed into the wave itself — the conservative wave map
+                missed a dependency — so the caller falls back to the
+                per-recurrence path."""
+                live = [k for k in wave if k not in var_stream]
+                if len(live) < 2:
+                    return False
+                saved_ip = set(in_progress)
+                saved_re = set(ring_emitting)
+                in_progress.update(live)
+                emitted = []
+                try:
+                    for k in live:
+                        p = P_plans[k]
+                        emitted.append((k, emit(p.A), _full(emit(p.B))))
+                except SpecializeError:
+                    in_progress.clear()
+                    in_progress.update(saved_ip)
+                    ring_emitting.clear()
+                    ring_emitting.update(saved_re)
+                    rand_ctx.pop("building", None)
+                    return False
+                in_progress.difference_update(set(live) - saved_ip)
+                scalar_g = [e for e in emitted if jnp.ndim(e[1]) == 0]
+                vector_g = [e for e in emitted if jnp.ndim(e[1]) != 0]
+                for grp, batched in ((scalar_g,
+                                      EM.linrec_doubling_scalar_batch),
+                                     (vector_g,
+                                      EM.linrec_doubling_vector_batch)):
+                    if not grp:
+                        continue
+                    if len(grp) == 1:
+                        k, A, Bv = grp[0]
+                        var_stream[k] = EM.linrec_assoc_scan(
+                            A, Bv, scalars[k])
+                        continue
+                    Am = jnp.stack([jnp.broadcast_to(
+                        jnp.asarray(e[1], jnp.float64), e[2].shape)
+                        for e in grp]) if grp is vector_g else \
+                        jnp.stack([jnp.asarray(e[1], jnp.float64)
+                                   for e in grp])
+                    Bm = jnp.stack([e[2] for e in grp])
+                    z0 = jnp.stack([scalars[e[0]] for e in grp])
+                    out = batched(Am, Bm, z0)
+                    for i, e in enumerate(grp):
+                        var_stream[e[0]] = out[i]
+                return True
+
             def stream_of(key):
                 got = var_stream.get(key)
                 if got is not None:
@@ -3622,9 +3831,14 @@ class SpecializedSampleKernel:
                 elif plan.kind == "stream":
                     val = _full(emit(plan.out))
                 elif plan.kind == "linrec":
-                    A = emit(plan.A)
-                    B = _full(emit(plan.B))
-                    val = EM.linrec_assoc_scan(A, B, scalars[key])
+                    wave = linrec_waves.get(key)
+                    if wave is not None and solve_linrec_wave(wave) \
+                            and key in var_stream:
+                        val = var_stream[key]
+                    else:
+                        A = emit(plan.A)
+                        B = _full(emit(plan.B))
+                        val = EM.linrec_assoc_scan(A, B, scalars[key])
                 elif plan.kind == "scan":
                     solve_scan_group(plan.step)
                     val = var_stream[key]
@@ -3718,8 +3932,22 @@ class SpecializedSampleKernel:
                     continue
                 src = ring_source(region)
                 k = min(L, w.mod)
-                idx = cursor_idx(w.var, w.offset, w.mod, L - k, L)
-                new_rings[region] = rings[region].at[idx].set(src[L - k:])
+                mod = w.mod
+                # the last k writes land at consecutive mod-M positions
+                # starting at `start` — write them CONTIGUOUSLY into a
+                # doubled ring and select the halves, instead of a
+                # scatter (TPU scatters at 64k+ elements serialize; this
+                # is 3 contiguous O(M) ops).  Positions below the wrap
+                # end take the doubled tail (written LATER), the rest
+                # take the first half (original or in-window write).
+                start = jnp.mod(EM.to_i64(scalars[w.var]) + w.offset
+                                + (L - k), mod)
+                ring2 = jnp.concatenate([rings[region], rings[region]])
+                ring2 = jax.lax.dynamic_update_slice(
+                    ring2, src[L - k:], (start,))
+                q = jnp.arange(mod, dtype=jnp.int64)
+                new_rings[region] = jnp.where(q < start + k - mod,
+                                              ring2[mod:], ring2[:mod])
             return (new_svec, new_rings), y
 
         return seg
@@ -3837,27 +4065,54 @@ class SpecializedSampleKernel:
             self._seg_fns[L] = fn
         return fn
 
-    def _render_fn(self, T: int, L: int, midi_k: int = 0):
+    def _render_fn(self, T: int, L: int, midi_k: int = 0,
+                   sync: bool = False, no_donate: bool = False):
         """One jitted function for the whole render: reshape + lax.scan over
         full segments + remainder — a single device dispatch (critical when
-        the host link has high per-call latency)."""
-        key = ("render", T, L, midi_k)
-        fn = self._seg_fns.get(key)
-        if fn is not None:
-            return fn
+        the host link has high per-call latency).
+
+        sync: append a tiny on-device output-tail reduction to the
+        returned tuple — fetching that ONE scalar is the only reliable
+        render-completion signal over high-latency host links (it saves
+        the separate reduce dispatch a caller would otherwise pay).
+        no_donate: compile without carry donation so the fn can be fed
+        the device-resident master initial carry directly (fresh renders
+        skip the clone dispatch); carry outputs are deep-copied on device
+        so no output leaf aliases the master."""
         import jax
         import jax.numpy as jnp
 
+        def _finish(inner):
+            if not (sync or no_donate):
+                return inner
+
+            def f(*a):
+                out = inner(*a)
+                carry2 = out[1]
+                if no_donate:
+                    carry2 = jax.tree_util.tree_map(jnp.copy, carry2)
+                out = (out[0], carry2) + tuple(out[2:])
+                if sync:
+                    out = out + (jnp.abs(out[0][:, -4:]).sum(),)
+                return out
+            return f
+
+        donate = () if no_donate else (0,)
+        key = ("render", T, L, midi_k, sync, no_donate)
+        fn = self._seg_fns.get(key)
+        if fn is not None:
+            return fn
+
         if self.coupled:
-            fn = jax.jit(self._coupled_run(T), donate_argnums=(0,))
+            fn = jax.jit(_finish(self._coupled_run(T)), donate_argnums=donate)
             self._seg_fns[key] = fn
             return fn
         if self._hop is not None:
-            key = ("render", T, L, self._hop_phase)
+            key = ("render", T, L, self._hop_phase, sync, no_donate)
             fn = self._seg_fns.get(key)
             if fn is None:
-                fn = jax.jit(self._hop_run(T, self._hop_phase),
-                             donate_argnums=(0,))
+                fn = jax.jit(_finish(self._hop_run(T, self._hop_phase)),
+                             donate_argnums=donate)
                 self._seg_fns[key] = fn
             return fn
 
@@ -3887,7 +4142,17 @@ class SpecializedSampleKernel:
                     if rem else None
             else:
                 body, body_rem = seg, seg_rem
-            if nfull:
+            if nfull == 1:
+                # single segment: straight-line body (no lax.scan wrapper
+                # — XLA fuses across the whole program, and the carry
+                # needs no loop-boundary materialization)
+                if rand_gated:
+                    carry2, y1 = body(carry, (x64[:, :L], ctrl[:rows_per_seg]))
+                else:
+                    carry2, y1 = seg(carry, (x64[:, :L], ctrl[:rows_per_seg],
+                                             rand[:L]))
+                yseg = y1[None]
+            elif nfull:
                 xin = x64[:, : nfull * L].reshape(nch, nfull, L).transpose(1, 0, 2)
                 cin = ctrl[: nfull * rows_per_seg].reshape(nfull, rows_per_seg,
                                                            n_ctrl)
@@ -3915,7 +4180,7 @@ class SpecializedSampleKernel:
             y = jnp.concatenate(ys, axis=1) if len(ys) > 1 else ys[0]
             return y.astype(jnp.float32), carry2
 
-        fn = jax.jit(run, donate_argnums=(0,))
+        fn = jax.jit(_finish(run), donate_argnums=donate)
         self._seg_fns[key] = fn
         return fn
 
@@ -3950,8 +4215,20 @@ class SpecializedSampleKernel:
                 mev[b, k] = e
         return mev, mn
 
+    def render_device_sync(self, x: np.ndarray, carry=None, midi=None,
+                           ctrl=None):
+        """Single-dispatch render: like render_device but the jitted
+        program also returns a tiny output-tail reduction, and FRESH
+        renders feed the device-resident master carry directly (no clone
+        dispatch).  Returns (y_dev, carry, sync_scalar) — fetching
+        float(sync_scalar) is a reliable completion signal over
+        high-latency host links (block_until_ready is not; see bench.py).
+        """
+        return self.render_device(x, carry, midi=midi, ctrl=ctrl,
+                                  _sync=True)
+
     def render_device(self, x: np.ndarray, carry=None, midi=None,
-                      ctrl=None):
+                      ctrl=None, _sync=False):
         """x: float32 [nch, T].  Returns (y_dev float32 jnp [nch, T], carry).
 
         midi: optional [(offset, b1, b2, b3)] at the kernel's rate, only
@@ -3981,7 +4258,12 @@ class SpecializedSampleKernel:
                 self._carry0_dev = jax.device_put(self.initial_carry())
                 self._carry0_clone = jax.jit(
                     lambda c: jax.tree_util.tree_map(jnp.copy, c))
-            carry = self._carry0_clone(self._carry0_dev)
+            if _sync:
+                # the no-donate render fn reads the master in place and
+                # deep-copies its carry outputs — no clone dispatch
+                carry = self._carry0_dev
+            else:
+                carry = self._carry0_clone(self._carry0_dev)
             if self._hop is not None:
                 self._hop_phase = self._hop_phase0
         elif self.rand_gated:
@@ -4042,26 +4324,31 @@ class SpecializedSampleKernel:
         import jax as _jax
         if not (isinstance(x, _jax.Array) and x.dtype == np.float32):
             x = np.ascontiguousarray(x, np.float32)
+        no_donate = bool(_sync and fresh)
         if self.coupled and self.accepts_midi:
             mev, mn = self._midi_planes(midi, T)
-            fn = self._render_fn(T, L, midi_k=mev.shape[1])
+            fn = self._render_fn(T, L, midi_k=mev.shape[1], sync=_sync,
+                                 no_donate=no_donate)
             out = fn(carry, x, ctrl, rand, mev, mn)
         else:
             if midi and not self.accepts_midi:
                 raise SpecializeError(
                     "MIDI events supplied but this kernel has no @block "
                     "midirecv path")
-            fn = self._render_fn(T, L)
+            fn = self._render_fn(T, L, sync=_sync, no_donate=no_donate)
             if self._hop is not None:
                 # the hop counter's phase advances deterministically; the
                 # next resumed render segments accordingly
                 self._hop_phase = (self._hop_phase + T) % self._hop_len
             out = fn(carry, x, ctrl, rand)
+        sync_scalar = None
+        if _sync:
+            sync_scalar, out = out[-1], out[:-1]
         if len(out) == 3:
             y_dev, carry, mo = out
             self.last_midi_out = self._decode_midi_out(np.asarray(mo))
-            return y_dev, carry
-        return out
+            return (y_dev, carry, sync_scalar) if _sync else (y_dev, carry)
+        return (*out, sync_scalar) if _sync else out
 
     def _decode_midi_out(self, mo: np.ndarray):
         """Staged per-block OUT planes -> [(abs_offset, b1, b2, b3)]."""
