@@ -54,7 +54,7 @@ T0 = time.time()
 ARTIFACT: dict = {"metric": "ddt_offline_render_rtx", "value": 0.0,
                   "unit": "x_realtime_48k_stereo", "vs_baseline": 0.0,
                   "engine": "tpu-vector", "audio_ok": None, "runs": 0,
-                  "suite": {}}
+                  "dispatch_ms": None, "suite": {}}
 
 
 def log(msg: str) -> None:
@@ -69,6 +69,33 @@ def set_value(value: float, runs: int) -> None:
     ARTIFACT["value"] = round(value, 1)
     ARTIFACT["vs_baseline"] = round(value / TARGET_RTX, 3)
     ARTIFACT["runs"] = runs
+
+
+def measure_dispatch_ms(n: int = 15) -> float:
+    """Median round-trip of a trivial dispatch + scalar fetch.
+
+    Recorded next to every RT× figure so tunnel-placement variance
+    (round-1 saw ~0.2-1 ms effective dispatches, round-3 ~10-50 ms —
+    a 10x swing on latency-bound configs) is attributable: a number
+    that moved WITH dispatch_ms is placement, one that moved without
+    it is a real regression.  Each iteration chains y = f(y) so the
+    (executable, buffers) pair is fresh (identical pairs return in
+    ~0.3 ms without executing — round-3 post-mortem)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda v: v + 1.0)
+    y = jnp.zeros((8,), jnp.float32)
+    y = f(y)
+    _ = float(y[0])                      # warm compile + D2H path
+    times = []
+    for _i in range(n):
+        t0 = time.perf_counter()
+        y = f(y)
+        _ = float(y[0])
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return round(times[len(times) // 2] * 1000.0, 3)
 
 
 def wait_device_healthy(budget_s: float) -> bool:
@@ -314,11 +341,15 @@ def _catalog_sweep(warmed: dict, total: int, short: int, out: dict,
     print(json.dumps(out), flush=True)
 
 
+# catalog runs FIRST: it is the most wedge-prone section (per-plugin
+# compile storms) and was lost to a late wedge two rounds running when it
+# inherited whatever device state the kernel sections left behind
+# (round-3 post-mortem; BASELINE.md north-star config 5)
 _SECTIONS = {
-    "stft": (_section_stft, 420.0),
-    "denoiser": (_section_denoiser, 420.0),
-    "convolution": (_section_convolution, 420.0),
-    "catalog": (_section_catalog, None),     # None = all remaining budget
+    "catalog": (_section_catalog, 780.0),
+    "stft": (_section_stft, 300.0),
+    "denoiser": (_section_denoiser, 300.0),
+    "convolution": (_section_convolution, 300.0),
 }
 
 
@@ -346,6 +377,41 @@ def _section_child(name: str, budget_s: float) -> int:
     os._exit(0)
 
 
+def _last_json_line(raw: bytes):
+    last = None
+    for line in (raw or b"").decode(errors="replace").splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                last = json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    return last
+
+
+def _spawn_section(name: str, child_budget: float):
+    """Run one suite section in a fresh subprocess.  Returns (rc, result):
+    a dict result is salvaged from the child's LAST stdout JSON line even
+    when the child dies or times out — the catalog section emits
+    incremental sweep lines exactly so a late wedge costs the un-swept
+    tail, not the whole field (round-3 post-mortem)."""
+    log(f"suite {name}: spawning (budget {child_budget:.0f}s)")
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--section", name, f"{child_budget:.0f}"],
+            stdout=subprocess.PIPE, stderr=None,
+            timeout=child_budget + 240.0, cwd=os.path.dirname(
+                os.path.abspath(__file__)))
+        return r.returncode, _last_json_line(r.stdout)
+    except subprocess.TimeoutExpired as exc:
+        log(f"suite {name}: child timed out; killed")
+        return "timeout", _last_json_line(exc.stdout)
+    except Exception as exc:  # noqa: BLE001
+        log(f"suite {name} spawn failed: {exc}")
+        return f"{type(exc).__name__}: {str(exc)[:200]}", None
+
+
 def run_suite_configs(budget_s: float) -> None:
     """BASELINE.json configs beyond DDT, each in a fresh subprocess."""
     suite: dict = ARTIFACT["suite"]
@@ -355,36 +421,29 @@ def run_suite_configs(budget_s: float) -> None:
         if remaining < 60.0:
             log(f"suite {name}: skipped (out of budget)")
             break
-        child_budget = remaining if cap is None else min(cap, remaining)
-        log(f"suite {name}: spawning (budget {child_budget:.0f}s)")
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--section", name, f"{child_budget:.0f}"],
-                stdout=subprocess.PIPE, stderr=None,
-                timeout=child_budget + 240.0, cwd=os.path.dirname(
-                    os.path.abspath(__file__)))
-            last = None
-            for line in r.stdout.decode(errors="replace").splitlines():
-                line = line.strip()
-                if line.startswith("{"):
-                    try:
-                        last = json.loads(line)
-                    except json.JSONDecodeError:
-                        pass
-            if r.returncode == 0 and isinstance(last, dict) and last:
-                suite.update(last)
-            else:
-                suite[name + "_error"] = (
-                    f"child exit {r.returncode}, result {last!r}")
-                log(f"suite {name} failed: {suite[name + '_error']}")
-        except subprocess.TimeoutExpired:
-            suite[name + "_error"] = "child timeout (device wedge?)"
-            log(f"suite {name}: child timed out; killed")
-        except Exception as exc:  # noqa: BLE001
-            suite[name + "_error"] = f"{type(exc).__name__}: {str(exc)[:200]}"
-            log(f"suite {name} spawn failed: {suite[name + '_error']}")
+        rc, result = _spawn_section(name, min(cap, remaining))
+        if isinstance(result, dict) and result:
+            suite.update(result)   # partial beats none
+        if rc != 0 or not result:
+            suite[name + "_error"] = f"child exit {rc}, result {result!r}"
+            log(f"suite {name} failed: {suite[name + '_error']}")
+        elif name + "_error" in suite:
+            del suite[name + "_error"]
         emit()
+        # the catalog number was lost to a wedged window two rounds
+        # running: when it died without a sweep figure, retry ONCE in a
+        # fresh process after a recovery wait (fresh tunnel client)
+        if name == "catalog" and "catalog_sweep_rtx" not in suite \
+                and t_end - time.time() > 360.0:
+            log("suite catalog: no sweep figure — waiting 120s, then "
+                "retrying in a fresh process")
+            time.sleep(120.0)
+            rc, result = _spawn_section(
+                "catalog", min(cap, t_end - time.time()))
+            if isinstance(result, dict) and result:
+                suite.update(result)
+                suite.pop("catalog_error", None)
+            emit()
 
 
 def main() -> int:
@@ -442,6 +501,11 @@ def main() -> int:
 
     x = gen_fn(jax.random.PRNGKey(0))
     _ = float(sync_fn(x))
+    try:
+        ARTIFACT["dispatch_ms"] = measure_dispatch_ms()
+        log(f"dispatch round-trip: {ARTIFACT['dispatch_ms']} ms (median)")
+    except Exception as exc:  # noqa: BLE001
+        log(f"dispatch probe failed: {exc}")
     # fused single-dispatch render: the jitted program returns the output
     # -tail reduction itself, and fresh renders feed the device-resident
     # master carry (no clone dispatch) — per-run tunnel cost is ONE

@@ -178,6 +178,9 @@ class TestDeviceExec:
         from zorak_tpu.lowering import devgen as DG
 
         monkeypatch.setattr(DG.DeviceSection, "_UNROLL_MERGE_BUDGET", 48)
+        # this test introspects trace-time merge counts, so the trace must
+        # actually run (a disk trace-cache hit skips it)
+        monkeypatch.setenv("ZORAK_TRACE_CACHE", "0")
         body = ["vi = 0;", "acc = 0;", "while (vi < 16) (",
                 "  v = 100 + vi * 8;"]
         for k in range(10):

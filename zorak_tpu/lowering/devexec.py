@@ -87,7 +87,7 @@ class DeviceExecKernel:
                     probe = {s: DeviceSection(
                         program, snapshot, s, self._dyn, size,
                         consts={"samplesblock": float(self.B)},
-                        rand_pool=rand_pool) for s in secs}
+                        rand_pool=rand_pool, reify=True) for s in secs}
                     self._any_gmem = any(p.uses_gmem
                                          for p in probe.values())
                     self._any_mout = any(p.uses_midi_out
@@ -106,7 +106,7 @@ class DeviceExecKernel:
                         force_gmem=self._any_gmem,
                         force_midi_out=self._any_mout,
                         rand_pool=self._rand_cap, reduced_heap=True,
-                        fft_sizes=self._fft_sizes)
+                        fft_sizes=self._fft_sizes, reify=True)
 
                 _dbg(f"section builds (heap {size})")
                 self.sample = build("sample", self.B)
@@ -213,7 +213,7 @@ class DeviceExecKernel:
                 consts={"samplesblock": float(rem)},
                 force_gmem=self._any_gmem, force_midi_out=self._any_mout,
                 rand_pool=self._rand_cap, reduced_heap=True,
-                fft_sizes=self._fft_sizes)
+                fft_sizes=self._fft_sizes, reify=True)
             blk_r = DeviceSection(
                 self.P, self.snap, "block", self._dyn,
                 self.sample.mem_size,
@@ -222,7 +222,8 @@ class DeviceExecKernel:
                 force_midi_out=self._any_mout,
                 rand_pool=self._rand_cap,
                 reduced_heap=True,
-                fft_sizes=self._fft_sizes) if self.block is not None \
+                fft_sizes=self._fft_sizes,
+                reify=True) if self.block is not None \
                 else None
             secs = (samp_r, blk_r)
             self._rem_cache[rem] = secs

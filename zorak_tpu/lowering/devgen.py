@@ -144,7 +144,7 @@ class DeviceSection:
                  body: Optional[Sequence[Node]] = None,
                  force_gmem: bool = False, force_midi_out: bool = False,
                  rand_pool: int = 0, reduced_heap: bool = False,
-                 fft_sizes: Sequence[int] = ()):
+                 fft_sizes: Sequence[int] = (), reify: bool = False):
         """force_gmem / force_midi_out: include the gmem segment / MIDI-OUT
         table in the heap layout even when THIS section doesn't touch them,
         so several sections (block/slider/sample in the sequential device
@@ -161,6 +161,12 @@ class DeviceSection:
         # draw SEQUENCE matches the golden exactly.  0 = rand forbidden.
         self.rand_cells = int(rand_pool)
         self.reduced_heap = bool(reduced_heap)
+        # reify: allow the disk trace cache (tracecache.py) to serve this
+        # section's step as a jax.export artifact.  Only the sequential
+        # device executor opts in: exported calls have no vmap batching
+        # rule, so the lane-batched coupled pipeline must keep plain jit.
+        self.reify = bool(reify)
+        self._n_merges = 0
         # explicit statement list (e.g. an extracted hop-call body) instead
         # of a named section
         self.body = list(body) if body is not None \
@@ -411,16 +417,27 @@ class DeviceSection:
         return self.vars, self.mem
 
     def cached_step(self, vars_vec, mem, midi=None):
-        """step() behind a jax.jit boundary.  Inside an outer trace the
-        call lowers to one pjit eqn whose jaxpr comes from the pjit
-        tracing cache, so the (expensive, pure-Python) devgen trace of
-        the section body runs once per shape signature instead of once
-        per enclosing jit trace.  XLA inlines the call, so the compiled
-        program is identical to inlining step() directly."""
-        import jax
-
+        """step() behind a jit boundary AND the disk trace cache.  Inside
+        an outer trace the call lowers to one pjit eqn whose jaxpr comes
+        from the pjit tracing cache, so the (expensive, pure-Python)
+        devgen trace of the section body runs once per shape signature
+        instead of once per enclosing jit trace — and tracecache.py
+        reifies the lowered step to disk as a jax.export artifact, so
+        LATER PROCESSES replay it in seconds instead of re-tracing
+        (Sample.jsfx: ~an hour of single-core Python per section set).
+        XLA inlines the call either way, so the compiled program is
+        identical to inlining step() directly.  Reification is opt-in
+        (see `reify` in __init__): exported calls cannot be vmapped, so
+        only the un-batched devexec path uses the disk layer."""
         if self._step_jit is None:
-            self._step_jit = jax.jit(self.step)
+            if self.reify:
+                from .tracecache import step_callable
+
+                self._step_jit = step_callable(self)
+            else:
+                import jax
+
+                self._step_jit = jax.jit(self.step)
         if midi is None:
             return self._step_jit(vars_vec, mem)
         return self._step_jit(vars_vec, mem, midi=midi)

@@ -125,8 +125,100 @@ def eel_invsqrt(x):
     return y0 * (1.5 - 0.5 * x * y0 * y0)
 
 
+# ---------------------------------------------------------------------------
+# TPU-accurate trig
+#
+# The TPU f64-emulation pass (double-f32 pairs, ~2^-48 rel on +,-,*,/)
+# computes sin/cos through an argument reduction whose pi/2 constant is
+# only pair-precision, so per-call error grows to ~1e-12..1e-11 for
+# |x| in the filter-coefficient range (w0 in (0, pi], wrapped phases in
+# [0, 2pi]).  One-pole smoothers amplify a per-sample coefficient error
+# by their DC gain (x100..x1000), which is exactly the ~1e-8 scalar
+# drift the devexec null saw on 3DPanner (JSFXCorrectnessCheck.h:35
+# contract is 1e-8).  Fix: our own Cody-Waite reduction with 12-bit
+# constant parts — products k*Ci (|k| <= 2^12) fit in ONE f32 word, so
+# each subtraction cancels exactly in the pair format — then the
+# emulation's sin/cos on |r| <= pi/4, where it is ~3e-15 accurate.
+# Net per-call error ~1e-14; amplified it stays <=1e-11.
+#
+# CPU backends keep libm (bit-exact vs the golden executors); the
+# accurate path activates per-process via _use_tpu_trig().
+
+def _split12(v: float, parts: int):
+    """Split v into `parts` leading 12-bit pieces + an f64 tail."""
+    import math as _math
+    out = []
+    rem = v
+    for _ in range(parts):
+        m, e = _math.frexp(rem)
+        piece = _math.ldexp(_math.floor(m * 4096.0), e - 12)
+        out.append(piece)
+        rem -= piece
+    out.append(rem)
+    return out
+
+_PIO2_PARTS = _split12(1.5707963267948966, 3)   # C1,C2,C3 (12b) + tail
+_TWO_OVER_PI = 0.6366197723675814
+_TRIG_XMAX = 4096.0 * 1.5707963267948966        # |k| <= 2^12 exactness cap
+
+_TPU_TRIG = None
+
+
+def _use_tpu_trig() -> bool:
+    global _TPU_TRIG
+    if _TPU_TRIG is None:
+        import os
+
+        env = os.environ.get("ZORAK_TPU_TRIG")
+        if env is not None:
+            _TPU_TRIG = env not in ("0", "off", "")
+        else:
+            import jax
+
+            _TPU_TRIG = jax.default_backend() == "tpu"
+    return _TPU_TRIG
+
+
+def _reduced_sincos(x):
+    k = jnp.round(x * _TWO_OVER_PI)
+    r = x - k * _PIO2_PARTS[0]
+    r = r - k * _PIO2_PARTS[1]
+    r = r - k * _PIO2_PARTS[2]
+    r = r - k * _PIO2_PARTS[3]
+    s, c = jnp.sin(r), jnp.cos(r)
+    q = jnp.mod(k, 4.0)
+    sin_x = jnp.where(q == 0.0, s,
+                      jnp.where(q == 1.0, c,
+                                jnp.where(q == 2.0, -s, -c)))
+    cos_x = jnp.where(q == 0.0, c,
+                      jnp.where(q == 1.0, -s,
+                                jnp.where(q == 2.0, -c, s)))
+    big = jnp.abs(x) > _TRIG_XMAX
+    return (jnp.where(big, jnp.sin(x), sin_x),
+            jnp.where(big, jnp.cos(x), cos_x))
+
+
+def eel_sin(x):
+    if not _use_tpu_trig():
+        return jnp.sin(x)
+    return _reduced_sincos(x)[0]
+
+
+def eel_cos(x):
+    if not _use_tpu_trig():
+        return jnp.cos(x)
+    return _reduced_sincos(x)[1]
+
+
+def eel_tan(x):
+    if not _use_tpu_trig():
+        return jnp.tan(x)
+    s, c = _reduced_sincos(x)
+    return s / c
+
+
 UNARY = {
-    "sin": jnp.sin, "cos": jnp.cos, "tan": jnp.tan,
+    "sin": eel_sin, "cos": eel_cos, "tan": eel_tan,
     "asin": jnp.arcsin, "acos": jnp.arccos, "atan": jnp.arctan,
     "exp": jnp.exp, "log": jnp.log, "log10": jnp.log10,
     "sqrt": jnp.sqrt, "abs": jnp.abs, "fabs": jnp.abs,
