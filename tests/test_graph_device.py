@@ -95,6 +95,73 @@ class TestIPCProbeGraphDevice:
                 name
 
 
+class TestCoupledNodesInGraph:
+    """Comm-free coupled kernels (device @block fused in the scan) are
+    graph-legal (VERDICT r3 #6): the node's control neither reads nor
+    writes the shared world, so its fused device render interleaves with
+    the lockstep of the comm-using nodes."""
+
+    COUPLED_SRC = """\
+@init
+g = 1;
+@block
+avg = acc / max(samplesblock, 1);
+g = 1 / (1 + avg*avg);
+acc = 0;
+@sample
+acc += abs(spl0);
+spl0 = spl0 * g;
+spl1 = spl1 * g;
+"""
+
+    def test_coupled_node_rides_device_beside_ipc_pair(self):
+        progs = _ipc_programs()
+        coupled = compile_plugin_source(self.COUPLED_SRC)
+        n = 64 * 6
+        res = {}
+        for prefer in ("shadow", "auto"):
+            g = RenderGraph(block_size=64, prefer=prefer)
+            g.add("tx", progs[0], sliders={0: 0.0})
+            g.add("rx", progs[1], sliders={0: 1.0})
+            g.add("meter", coupled)
+            g.init_all()
+            rng = np.random.RandomState(5)
+            x = (rng.randn(2, n) * 0.3).astype(np.float32)
+            res[prefer] = (g, g.run({"tx": x, "rx": x, "meter": x}))
+        gd = res["auto"][0]
+        assert gd.node_engines == ["tpu-vector"] * 3, gd.spec_errors
+        assert gd.kernels[2] is not None and gd.kernels[2].coupled
+        for name in ("tx", "rx", "meter"):
+            assert np.array_equal(res["shadow"][1][name],
+                                  res["auto"][1][name]), name
+        assert np.abs(res["auto"][1]["meter"]).max() > 0.0
+        # the coupled node's final control state wrote back
+        vs = res["shadow"][0].plugins[2].state.V
+        vd = gd.plugins[2].state.V
+        # XLA may contract mul+add to FMA inside the fused @block scan —
+        # a 1-ulp f64 wobble vs the golden's strict IEEE order (same
+        # allowance as tests/test_devexec.py)
+        assert abs(vs["g"] - vd["g"]) <= 1e-12
+        assert abs(vs["acc"] - vd["acc"]) <= 1e-12
+        # comm world evolved identically around it
+        assert res["shadow"][0].plugins[0].state.V["seq"] \
+            == gd.plugins[0].state.V["seq"]
+
+    def test_coupled_node_touching_bus_keeps_shadow(self):
+        src = self.COUPLED_SRC + "\n"
+        src = src.replace("acc = 0;",
+                          "acc = 0;\nmsg_send(1, 1, g, 0, 0, 0);")
+        prog = compile_plugin_source(src)
+        g = RenderGraph(block_size=64, prefer="auto")
+        g.add("node", prog)
+        g.init_all()
+        assert g.node_engines[0] == "cpu-shadow"
+        # rejected either by devgen's trial trace (msg_send not device-
+        # executable outside the solo fold) or by the graph's bus check
+        err = g.spec_errors.get("node", "")
+        assert "msg_send" in err or "bus" in err
+
+
 class TestRealCatalogPairs:
     """The reference's real cross-instance sessions on the device graph:
     3DPannerManager <-> 3DPanner gmem metadata broadcast (the Manager

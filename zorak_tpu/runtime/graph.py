@@ -32,6 +32,36 @@ from ..ir.program import PluginProgram
 from ..shadow import compile_shadow
 
 
+def _sections_touch_comm(program: PluginProgram) -> bool:
+    """True when any DSP section (slider/block/sample) reads or writes the
+    shared world: msg_*/comm builtins or the gmem segment.  @init-time
+    joins/attaches already ran on the host before kernels build, so they
+    don't count."""
+    from ..frontend.astnodes import CallExpr, Mem, Name, walk
+    from ..lowering.devgen import DeviceSection
+
+    fns = DeviceSection._COMM_FNS | DeviceSection._GMEM_FNS
+    seen: set = set()
+
+    def scan(nodes) -> bool:
+        for root in nodes:
+            for n in walk(root):
+                if isinstance(n, Mem) and isinstance(n.base, Name) \
+                        and n.base.ident == "gmem":
+                    return True
+                if isinstance(n, CallExpr):
+                    if n.func in fns:
+                        return True
+                    if n.func in program.fn_defs and n.func not in seen:
+                        seen.add(n.func)
+                        if scan([program.fn_defs[n.func].body]):
+                            return True
+        return False
+
+    return any(scan(program.sections.get(s) or [])
+               for s in ("slider", "block", "sample"))
+
+
 @dataclass
 class GraphNode:
     name: str
@@ -96,12 +126,19 @@ class RenderGraph:
                 kern = specialize_sample_kernel(
                     node.program, plug.state, nch,
                     block_size=self.block_size)
-                if kern.coupled:
-                    # the coupled device pipeline handles solo renders;
-                    # graph lockstep needs the host-trajectory form
+                if kern.coupled and _sections_touch_comm(node.program):
+                    # a device @block that reads or writes the bus would
+                    # need its comm traffic staged per block in lockstep
+                    # with the other nodes; such nodes keep the shadow
                     raise SpecializeError(
-                        "coupled @block: graph lockstep needs the "
-                        "host-trajectory (uncoupled) form")
+                        "coupled @block touching the bus: graph lockstep "
+                        "needs the host-trajectory (uncoupled) form")
+                # comm-free coupled nodes are graph-legal: their control
+                # neither reads nor writes the shared world, so the fused
+                # device pipeline renders them independently while their
+                # begin/end block bookkeeping stays in lockstep (ref:
+                # DspJsfxMessageBus.cpp:529,609 — the reference bus
+                # connects native instances of every plugin)
                 self.kernels[i] = kern
                 self.node_engines[i] = "tpu-vector"
             except SpecializeError as exc:
@@ -159,19 +196,28 @@ class RenderGraph:
             outs[node.name] = np.zeros((ch, total), dtype=np.float32)
 
         bs = self.block_size
-        steppers = [kern.trajectory_stepper() if kern is not None else None
+        steppers = [kern.trajectory_stepper()
+                    if kern is not None and not kern.coupled else None
                     for kern in self.kernels]
         # phase 1: lockstep control — identical begin/step/end order to
         # the all-shadow loop, so the bus ring and gmem segments evolve
-        # identically; shadow-fallback nodes render their audio inline
+        # identically; shadow-fallback nodes render their audio inline.
+        # Coupled device nodes run their @block ON DEVICE in phase 2 —
+        # they are comm-free by construction (_build_kernels), so only
+        # their begin/end bookkeeping participates here, keeping ring
+        # cursors and drop accounting identical to the all-shadow graph.
         for start in range(0, total, bs):
             stop = min(start + bs, total)
-            for node, plug, host, stp in zip(
-                    self.nodes, self.plugins, self.hosts, steppers):
+            for node, plug, host, kern, stp in zip(
+                    self.nodes, self.plugins, self.hosts, self.kernels,
+                    steppers):
                 if stp is not None:
                     host.begin_block(stp.state)
                     stp.step(stop - start)
                     host.end_block(stp.state)
+                elif kern is not None:       # coupled device node
+                    host.begin_block(plug.state)
+                    host.end_block(plug.state)
                 else:
                     x = self._node_input(node, chans[node.name], inputs,
                                          start, stop)
@@ -184,9 +230,11 @@ class RenderGraph:
                 zip(self.nodes, self.plugins, self.kernels, steppers)):
             if kern is None:
                 continue
-            ctrl = stp.finish()
             x = self._node_input(node, chans[node.name], inputs, 0, total)
-            y, carry = kern.render(x, ctrl=ctrl)
+            if stp is not None:
+                y, carry = kern.render(x, ctrl=stp.finish())
+            else:
+                y, carry = kern.render(x)    # fused device @block
             outs[node.name][:, :] = y
             kern.writeback(carry, plug.state)
         return outs
