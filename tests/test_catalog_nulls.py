@@ -102,6 +102,33 @@ def test_catalog_null_perturbed(spec):
     _null(spec, slider_overrides=over)
 
 
+# -- big-plugin devexec coverage in the DEFAULT gate (VERDICT r3 #7) ---------
+#
+# The flagship plugins the vectorizer rejects used to be exercised only
+# under RUN_SLOW=1, so a regression in their handling never failed CI.
+# A tiny-T null (256 samples, block 64) is enough to cover the devexec
+# build + render + writeback path, and with the devgen trace cache
+# (lowering/tracecache.py) + the persistent XLA compile cache the warm
+# cost is seconds; the cold cost (~1-3 min each) is paid once per
+# container.  Sample.jsfx joins when its first device render lands.
+
+_DEVEXEC_TINY = ["3DPanner", "Texture"]
+
+
+@pytest.mark.parametrize("slug", _DEVEXEC_TINY)
+def test_big_plugin_devexec_tiny_null(slug):
+    specs = {s.slug: s for s in _vectorizable_specs()}
+    if slug not in specs:
+        pytest.skip("reference catalog not available")
+    prog = specs[slug].load_program()
+    ch = max(1, prog.io_channels["process"])
+    x = (np.random.RandomState(23).randn(ch, 256) * 0.3).astype(np.float32)
+    rep = null_test_plugin(prog, x, block_size=64, golden="native",
+                           compare_state=True, compare_mem=True,
+                           engine="devexec")
+    assert rep.passed, f"{slug}: {rep.summary()}"
+
+
 def _reads_midi(s):
     try:
         return "midirecv" in s.entry_path.read_text(errors="replace")
