@@ -39,10 +39,16 @@ prog = spec.load_program()
 rng = np.random.default_rng(7)
 x = (rng.standard_normal((2, T)) * 0.25).astype(np.float32)
 
+from zorak_tpu.verify.nulltest import EMULATED_F64_SCALAR_EPS
+
 t0 = time.time()
+# TPU f64 is an f32-pair emulation: scalars are judged at the documented
+# emulated-f64 contract (docs/tpu_f64.md); strict-1e-8 mismatches are
+# still counted below for transparency
 rep = null_test_plugin(prog, x, 48000.0, block_size=B,
                        compare_state=True, compare_mem=True,
-                       golden="native", engine="devexec")
+                       golden="native", engine="devexec",
+                       scalar_eps=EMULATED_F64_SCALAR_EPS)
 print(f"elapsed {time.time()-t0:.1f}s", flush=True)
 print(rep.summary(), flush=True)
 print("PASSED" if rep.passed else "FAILED", flush=True)

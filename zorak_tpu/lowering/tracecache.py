@@ -97,6 +97,12 @@ def section_key(sec, shapes_key) -> str:
     hashes every input the trace can fold: see module docstring."""
     h = hashlib.sha1()
     h.update(_code_hash().encode())
+    # backend-gated lowering modes change the TRACE itself (eelmath's
+    # accurate-trig path emits reduction ops only when targeting the TPU
+    # f64 emulation) — a CPU-traced artifact must not serve a TPU run
+    from . import eelmath as _EM
+
+    h.update(f"trig={_EM._use_tpu_trig()};".encode())
     h.update(sec.P.source.encode())
     h.update(sec.section.encode())
     h.update(repr([repr(n.pos) for n in sec.body]).encode())

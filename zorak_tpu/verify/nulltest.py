@@ -16,6 +16,16 @@ import numpy as np
 AUDIO_EPS = 1.0e-5   # ref: JSFXCorrectnessCheck.h:34
 SCALAR_EPS = 1.0e-8  # ref: JSFXCorrectnessCheck.h:35
 MEM_PAGE = 1024      # ref: JSFXCorrectnessCheck.h:38 (kMemPageDoubles)
+# Scalar/mem contract for renders on the TPU's EMULATED f64 (a ~48-bit
+# significand f32-pair format): per-op results sit 1-3 f64 ulps off
+# strict IEEE — sub-ulp in pair precision, unfixable by lowering — and
+# chaotic DSP recurrences amplify the rounding-ORDER difference past
+# 1e-8 over a few thousand samples (measured: 3DPanner max |delta|
+# 1.1e-8 at T=3000, saturating; docs/tpu_f64.md).  5e-8 mirrors the
+# 1-ulp-f32 allowance the audio contract already grants (6e-8 at 1.0)
+# and is only legitimate when the SAME exported program is bit-exact on
+# true-f64 hardware (the CPU tiny nulls assert exactly that).
+EMULATED_F64_SCALAR_EPS = 5.0e-8
 
 
 @dataclass
@@ -34,6 +44,9 @@ class NullReport:
     midi_mismatch: Optional[Tuple[str, object, object]] = None
     # (mask_name, ref_mask, test_mask)
     mask_mismatch: Optional[Tuple[str, int, int]] = None
+    # the scalar/mem epsilon this report was judged at (SCALAR_EPS, or
+    # EMULATED_F64_SCALAR_EPS for TPU emulated-f64 renders)
+    scalar_eps_used: float = SCALAR_EPS
 
     @property
     def max_delta_dbfs(self) -> float:
@@ -52,6 +65,8 @@ class NullReport:
         db_s = f"{db:.1f} dBFS" if math.isfinite(db) else "-inf dBFS"
         status = "PASS" if self.passed else "FAIL"
         extra = ""
+        if self.scalar_eps_used != SCALAR_EPS:
+            extra += f", scalar_eps={self.scalar_eps_used:g}"
         if self.mem_mismatch is not None:
             a, page, rv, tv = self.mem_mismatch
             extra += f", mem[{a}] (page {page}): {rv!r} vs {tv!r}"
@@ -279,7 +294,8 @@ def null_test_plugin(program, x: np.ndarray, srate: float = 48000.0,
                      compare_state: bool = True, golden: str = "python",
                      compare_mem: bool = False, midi=None,
                      export_dir=None, name: str = "nulltest",
-                     engine: str = "vector") -> NullReport:
+                     engine: str = "vector",
+                     scalar_eps: Optional[float] = None) -> NullReport:
     """Render x through the golden shadow AND the device kernel; compare.
 
     x: float32 [channels, samples].  golden: "python" (exact reference
@@ -290,6 +306,13 @@ def null_test_plugin(program, x: np.ndarray, srate: float = 48000.0,
     [(abs_offset, b1, b2, b3)] events fed to both sides.
     engine: "vector" (the time-vectorizing specializer) or "devexec"
     (the sequential whole-plugin device executor).
+    scalar_eps: override of the 1e-8 scalar/mem contract
+    (JSFXCorrectnessCheck.h:35).  The documented use is the EMULATED_F64
+    contract on TPU renders (see docs/tpu_f64.md): the chip's f64 is a
+    ~48-bit-significand pair format whose per-op results sit 1-3 f64
+    ulps off strict IEEE, and chaotic DSP state amplifies that sub-ulp
+    rounding-order difference past 1e-8 over a few thousand samples even
+    though the LOWERING is bit-exact on true-f64 hardware.
     """
     from ..lowering import specialize_sample_kernel
 
@@ -343,14 +366,17 @@ def null_test_plugin(program, x: np.ndarray, srate: float = 48000.0,
     y_test, carry = kern.render(x, midi=midi if midi else None)
 
     rep = compare_audio(y_ref, y_test)
+    seps = SCALAR_EPS if scalar_eps is None else float(scalar_eps)
+    rep.scalar_eps_used = seps
     if compare_state:
         kern.writeback(carry, snap_owner.state)
-        compare_states(gold.state, snap_owner.state, report=rep)
+        compare_states(gold.state, snap_owner.state, eps=seps, report=rep)
         compare_pending_masks(gold.state, snap_owner.state, report=rep)
         if midi or gold_midi_out or kern.last_midi_out:
             compare_midi_out(gold_midi_out, kern.last_midi_out, report=rep)
         if compare_mem:
-            compare_memory_pages(gold.state, snap_owner.state, report=rep)
+            compare_memory_pages(gold.state, snap_owner.state, eps=seps,
+                                 report=rep)
     if export_dir is not None:
         export_bundle(export_dir, y_ref, y_test, srate, rep, name=name)
     return rep
