@@ -403,12 +403,20 @@ class DeviceSection:
         # within one @block invocation — open/read/close)
         self._files = self._fresh_file_service()
         t_last = _time.time()
-        for si, stmt in enumerate(self.body):
-            self.ex(stmt)
-            if _DEVGEN_DEBUG and _time.time() - t_last > 30.0:
-                t_last = _time.time()
-                _trace_note(f"@{self.section} stmt {si + 1}/"
-                            f"{len(self.body)} (merges {self._n_merges})")
+        # reified sections trace with the accurate trig reduction FORCED
+        # so the exported artifact is one cross-platform program (a CPU-
+        # built trace serves the TPU run and vice versa; see eelmath)
+        import contextlib
+
+        ctx = EM.accurate_trig(True) if self.reify \
+            else contextlib.nullcontext()
+        with ctx:
+            for si, stmt in enumerate(self.body):
+                self.ex(stmt)
+                if _DEVGEN_DEBUG and _time.time() - t_last > 30.0:
+                    t_last = _time.time()
+                    _trace_note(f"@{self.section} stmt {si + 1}/"
+                                f"{len(self.body)} (merges {self._n_merges})")
         if _DEVGEN_DEBUG and self._merge_hist:
             top = sorted(self._merge_hist.items(), key=lambda kv: -kv[1])
             _trace_note(f"@{self.section} merge sources (top 12 of "

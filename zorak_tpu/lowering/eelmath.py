@@ -162,9 +162,12 @@ _TWO_OVER_PI = 0.6366197723675814
 _TRIG_XMAX = 4096.0 * 1.5707963267948966        # |k| <= 2^12 exactness cap
 
 _TPU_TRIG = None
+_TRIG_FORCED = None
 
 
 def _use_tpu_trig() -> bool:
+    if _TRIG_FORCED is not None:
+        return _TRIG_FORCED
     global _TPU_TRIG
     if _TPU_TRIG is None:
         import os
@@ -177,6 +180,32 @@ def _use_tpu_trig() -> bool:
 
             _TPU_TRIG = jax.default_backend() == "tpu"
     return _TPU_TRIG
+
+
+class accurate_trig:
+    """Force the reduced-sincos path on (or off) for a trace region.
+
+    Reified devexec sections always trace WITH the accurate reduction so
+    the exported artifact is one cross-platform program with identical
+    numerics on CPU and TPU — a CPU-built trace then serves the TPU run
+    (Sample.jsfx's ~hour-long trace must be paid once, on either side).
+    On CPU the reduction costs ≤1e-14-scale deviation from libm, far
+    inside every contract."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+        self.prev = None
+
+    def __enter__(self):
+        global _TRIG_FORCED
+        self.prev = _TRIG_FORCED
+        _TRIG_FORCED = self.enabled
+        return self
+
+    def __exit__(self, *exc):
+        global _TRIG_FORCED
+        _TRIG_FORCED = self.prev
+        return False
 
 
 def _reduced_sincos(x):

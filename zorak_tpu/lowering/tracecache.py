@@ -97,12 +97,11 @@ def section_key(sec, shapes_key) -> str:
     hashes every input the trace can fold: see module docstring."""
     h = hashlib.sha1()
     h.update(_code_hash().encode())
-    # backend-gated lowering modes change the TRACE itself (eelmath's
-    # accurate-trig path emits reduction ops only when targeting the TPU
-    # f64 emulation) — a CPU-traced artifact must not serve a TPU run
-    from . import eelmath as _EM
-
-    h.update(f"trig={_EM._use_tpu_trig()};".encode())
+    # backend-gated lowering modes would change the TRACE itself; reified
+    # sections force the accurate-trig reduction ON (devgen.step), making
+    # the artifact backend-independent — keyed here so any future change
+    # to that policy invalidates cleanly
+    h.update(f"trig={bool(sec.reify)};".encode())
     h.update(sec.P.source.encode())
     h.update(sec.section.encode())
     h.update(repr([repr(n.pos) for n in sec.body]).encode())
