@@ -26,6 +26,12 @@ MEM_PAGE = 1024      # ref: JSFXCorrectnessCheck.h:38 (kMemPageDoubles)
 # and is only legitimate when the SAME exported program is bit-exact on
 # true-f64 hardware (the CPU tiny nulls assert exactly that).
 EMULATED_F64_SCALAR_EPS = 5.0e-8
+# The emulated contract is SCALE-AWARE (|delta| <= eps * max(1, |ref|)):
+# pair arithmetic carries RELATIVE error, so an absolute 1e-8 on a var
+# sitting at 20.0 would demand 5e-10 relative — below what a 48-bit
+# significand can even represent drift-free (Texture's knee_t ~= 20.2
+# fails absolute at 6.2e-7 but is 3.1e-8 RELATIVE).  True-f64 backends
+# keep the reference's absolute semantics.
 
 
 @dataclass
@@ -99,23 +105,29 @@ def compare_audio(reference: np.ndarray, test: np.ndarray,
 
 def compare_states(ref_state, test_state, eps: float = SCALAR_EPS,
                    report: Optional[NullReport] = None,
-                   skip: frozenset = frozenset()) -> NullReport:
-    """Compare user vars (+ spl registers) between two shadow states."""
+                   skip: frozenset = frozenset(),
+                   relative: bool = False) -> NullReport:
+    """Compare user vars (+ spl registers) between two shadow states.
+
+    relative=True switches to the scale-aware emulated-f64 semantics
+    (|delta| <= eps * max(1, |ref|)); default is the reference's
+    absolute compare (JSFXCorrectnessCheck.h nearlyEqual)."""
     rep = report or NullReport()
     for name, rv in ref_state.V.items():
         if name in skip:
             continue
         tv = test_state.V.get(name, 0.0)
-        if _differs(rv, tv, eps):
+        if _differs(rv, tv, eps, relative):
             rep.var_mismatches.append((name, float(rv), float(tv)))
     for i in range(64):
-        if _differs(ref_state.spl[i], test_state.spl[i], eps):
+        if _differs(ref_state.spl[i], test_state.spl[i], eps, relative):
             rep.var_mismatches.append((f"spl{i}", ref_state.spl[i], test_state.spl[i]))
     return rep
 
 
 def compare_memory_pages(ref_state, test_state, eps: float = SCALAR_EPS,
-                         report: Optional[NullReport] = None) -> NullReport:
+                         report: Optional[NullReport] = None,
+                         relative: bool = False) -> NullReport:
     """Compare mem[] in 1024-double pages up to max(used_ref, used_test),
     zero-filling past each side's extent; latch the FIRST mismatch with its
     page number (ref: JSFXCorrectnessCheck.h:991-1040)."""
@@ -133,9 +145,10 @@ def compare_memory_pages(ref_state, test_state, eps: float = SCALAR_EPS,
     if b_full.size < used:
         b_full = np.concatenate([b_full, np.zeros(used - b_full.size)])
     d = np.abs(a_full - b_full)
+    tol = eps * np.maximum(np.abs(a_full), 1.0) if relative else eps
     both_nan = np.isnan(a_full) & np.isnan(b_full)
     one_nan = np.isnan(a_full) ^ np.isnan(b_full)
-    idx = np.where(((d > eps) | one_nan) & ~both_nan)[0]
+    idx = np.where(((d > tol) | one_nan) & ~both_nan)[0]
     if idx.size:
         a0 = int(idx[0])
         rep.mem_mismatch = (a0, a0 // MEM_PAGE,
@@ -199,12 +212,14 @@ def compare_pending_masks(ref_state, test_state,
     return rep
 
 
-def _differs(a: float, b: float, eps: float) -> bool:
+def _differs(a: float, b: float, eps: float,
+             relative: bool = False) -> bool:
     if a != a and b != b:  # both NaN -> equal
         return False
     if a == b:
         return False
-    return not (abs(a - b) <= eps)
+    tol = eps * max(abs(a), 1.0) if relative else eps
+    return not (abs(a - b) <= tol)
 
 
 def apply_slider_state(state, program,
@@ -367,16 +382,18 @@ def null_test_plugin(program, x: np.ndarray, srate: float = 48000.0,
 
     rep = compare_audio(y_ref, y_test)
     seps = SCALAR_EPS if scalar_eps is None else float(scalar_eps)
+    srel = scalar_eps is not None     # overridden => emulated-f64 semantics
     rep.scalar_eps_used = seps
     if compare_state:
         kern.writeback(carry, snap_owner.state)
-        compare_states(gold.state, snap_owner.state, eps=seps, report=rep)
+        compare_states(gold.state, snap_owner.state, eps=seps, report=rep,
+                       relative=srel)
         compare_pending_masks(gold.state, snap_owner.state, report=rep)
         if midi or gold_midi_out or kern.last_midi_out:
             compare_midi_out(gold_midi_out, kern.last_midi_out, report=rep)
         if compare_mem:
             compare_memory_pages(gold.state, snap_owner.state, eps=seps,
-                                 report=rep)
+                                 report=rep, relative=srel)
     if export_dir is not None:
         export_bundle(export_dir, y_ref, y_test, srate, rep, name=name)
     return rep
