@@ -246,3 +246,78 @@ class TestDeviceExec:
         _gold, y_ref = _golden_render(prog, x)
         assert np.abs(res.audio.astype(np.float64)
                       - y_ref.astype(np.float64)).max() <= 1e-6
+
+
+class TestSectionedMode:
+    """Host-driven per-section render (devexec 'sectioned' mode): the
+    size-robust fallback for plugins whose fused program exceeds the
+    remote TPU compiler's ~7 MB kill cap (Sample.jsfx: 24 MB fused).
+    Must be a drop-in for the fused program: same audio, same final
+    state, same MIDI/pending behavior."""
+
+    SRC = ("slider1:10<0,100,1>Amt\n"
+           "@init\nbuf = 1000;\n"
+           "@slider\ng = slider1 / 100;\n"
+           "gq = g * g;\n"
+           "@block\n"
+           "bc += 1;\n"
+           "avg = acc / max(samplesblock, 1);\n"
+           "acc = 0;\n"
+           "bc == 3 ? ( slider1 = 50; sliderchange(slider1); );\n"
+           "drive = 1 / (1 + avg);\n"
+           "@sample\n"
+           "acc += abs(spl0);\n"
+           "k = abs(spl0) * 3;\n"
+           "i = 0; v = 0;\n"
+           "while (i < k) ( v += buf[i] * 0.1; i += 1; );\n"
+           "buf[floor(abs(spl0)*7)] = spl0;\n"
+           "spl0 = spl0 * g * drive + v * gq * 0.01;\n")
+
+    def test_sectioned_matches_fused_and_golden(self, monkeypatch):
+        monkeypatch.setattr(DeviceExecKernel, "_SPLIT_WEIGHT", 30)
+        prog = compile_plugin_source(self.SRC)
+        x = noise(1, 2100)   # 4 full blocks + 52-sample remainder
+        gold, y_ref = _golden_render(prog, x)
+
+        results = {}
+        for mode in ("fused", "sectioned"):
+            monkeypatch.setenv("ZORAK_DEVEXEC_MODE", mode)
+            snap = make_initialized_shadow(prog, 48000.0, None)
+            kern = DeviceExecKernel(prog, snap.state, 1, block_size=512)
+            y, carry = kern.render(x)
+            kern.writeback(carry, snap.state)
+            results[mode] = (np.asarray(y), snap.state)
+            rep = compare_audio(y_ref, y)
+            assert rep.audio_passed and rep.max_abs_delta <= 1e-6, \
+                (mode, rep.summary())
+            rep2 = compare_states(gold.state, snap.state, eps=1e-9)
+            compare_memory_pages(gold.state, snap.state, report=rep2)
+            assert rep2.passed, (mode, rep2.summary())
+        # sectioned mode actually split the @block/@slider bodies
+        monkeypatch.setenv("ZORAK_DEVEXEC_MODE", "sectioned")
+        snap = make_initialized_shadow(prog, 48000.0, None)
+        kern = DeviceExecKernel(prog, snap.state, 1, block_size=512)
+        kern.render(x)
+        assert len(kern._split_parts("block", 512)) >= 2
+
+    def test_sectioned_midi_and_mout(self, monkeypatch):
+        src = ("@init\nlast = 0;\n"
+               "@block\n"
+               "while (midirecv(ofs, m1, m23)) (\n"
+               "  last = m23 & 127;\n"
+               "  midisend(ofs, m1, m23);\n"
+               ");\n"
+               "@sample\nspl0 = spl0 * 0.5 + last / 254;\n")
+        prog = compile_plugin_source(src)
+        x = noise(1, 1024)
+        midi = [(10, 0x90, 60, 100), (600, 0x80, 60, 0)]
+        outs = {}
+        for mode in ("fused", "sectioned"):
+            monkeypatch.setenv("ZORAK_DEVEXEC_MODE", mode)
+            snap = make_initialized_shadow(prog, 48000.0, None)
+            kern = DeviceExecKernel(prog, snap.state, 1, block_size=512)
+            y, carry = kern.render(x, midi=midi)
+            outs[mode] = (np.asarray(y), list(kern.last_midi_out))
+        np.testing.assert_array_equal(outs["fused"][0], outs["sectioned"][0])
+        assert outs["fused"][1] == outs["sectioned"][1]
+        assert outs["sectioned"][1]   # events actually came back

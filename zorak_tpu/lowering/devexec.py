@@ -185,6 +185,9 @@ class DeviceExecKernel:
         self._mpos = self.sample.slots[("var", MIDI_POS_SLOT)]
         self._render_fns: Dict[Tuple[int, int], Any] = {}
         self._rem_cache: Dict[int, Any] = {}
+        self._part_cache: Dict[Tuple[str, int], Any] = {}
+        self._sect_fns: Dict[Any, Any] = {}
+        self._mode: Optional[str] = None
         self.last_midi_out: List[Tuple[int, int, int, int]] = []
         self.coupled = True          # device @block (engine introspection)
         self.rand_gated = False
@@ -228,6 +231,243 @@ class DeviceExecKernel:
             secs = (samp_r, blk_r)
             self._rem_cache[rem] = secs
         return secs
+
+    # -- sectioned mode --------------------------------------------------------
+    #
+    # The remote TPU compile helper SIGKILLs programs past ~7 MB of MLIR
+    # (and a killed compile wedges the device for minutes).  Plugins
+    # whose FUSED render program exceeds a safe size run "sectioned"
+    # instead: one XLA program per section — with @block/@slider bodies
+    # statement-split into parts when a single section is itself too
+    # big — and a host-driven block loop threading the device-resident
+    # (vars, mem) carry.  @sample cannot be dispatch-split (sample n's
+    # later statements run before sample n+1's earlier ones), so its
+    # scan stays one program; it is the smallest section in practice
+    # (Sample.jsfx: 4.6 MB vs @block's 6.4 MB before splitting).
+    # Slower than fused (several dispatches per block over the tunnel)
+    # but it is the difference between the catalog's 13-kLoC flagship
+    # rendering on the TPU and not rendering at all.
+
+    _FUSED_MAX_TEXT = int(__import__("os").environ.get(
+        "ZORAK_DEVEXEC_FUSED_MAX_TEXT", 5_000_000))
+    _SPLIT_WEIGHT = int(__import__("os").environ.get(
+        "ZORAK_SECTION_SPLIT_WEIGHT", 20_000))
+
+    def _decide_mode(self, T: int, midi_k: int) -> str:
+        import os
+
+        forced = os.environ.get("ZORAK_DEVEXEC_MODE")
+        if forced in ("fused", "sectioned"):
+            return forced
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return "fused"     # XLA:CPU has no program-size cap
+        fn = jax.jit(self._make_run(T, midi_k), donate_argnums=(0,))
+        carry = jax.eval_shape(lambda: self.initial_carry())
+        import jax.numpy as jnp
+
+        x_sd = jax.ShapeDtypeStruct((self.nch, T), jnp.float32)
+        args = [carry, x_sd]
+        if self.accepts_midi:
+            args += [jax.ShapeDtypeStruct((max(1, T // self.B + (1 if T % self.B else 0)), midi_k, 4), jnp.float64),
+                     jax.ShapeDtypeStruct((max(1, T // self.B + (1 if T % self.B else 0)),), jnp.float64)]
+        try:
+            low = fn.lower(*args)
+            nbytes = len(low.as_text())
+        except Exception:
+            return "sectioned"
+        if nbytes > self._FUSED_MAX_TEXT:
+            return "sectioned"
+        return "fused"
+
+    def _split_parts(self, section: str, nblk: int):
+        """Statement-split a section body into DeviceSection parts, each
+        under the split weight budget; parts that fail to trace on their
+        own (e.g. a file open/read/close sequence crossing a boundary)
+        merge with their successor and retry."""
+        import jax
+        import jax.numpy as jnp
+
+        key = (section, nblk)
+        got = self._part_cache.get(key)
+        if got is not None:
+            return got
+        body = list(self.P.sections.get(section) or [])
+        weigher = self.sample
+        weights = [max(1, weigher._node_weight(st)) for st in body]
+        budget = max(self._SPLIT_WEIGHT, max(weights, default=1))
+        groups: List[List] = []
+        cur: List = []
+        w = 0
+        for st, sw in zip(body, weights):
+            if cur and w + sw > budget:
+                groups.append(cur)
+                cur, w = [], 0
+            cur.append(st)
+            w += sw
+        if cur:
+            groups.append(cur)
+
+        def build(stmts):
+            return DeviceSection(
+                self.P, self.snap, section, self._dyn,
+                self.sample.mem_size,
+                consts={"samplesblock": float(nblk)},
+                body=stmts,
+                force_gmem=self._any_gmem, force_midi_out=self._any_mout,
+                rand_pool=self._rand_cap, reduced_heap=True,
+                fft_sizes=self._fft_sizes, reify=True)
+
+        parts: List[DeviceSection] = []
+        i = 0
+        while i < len(groups):
+            stmts = groups[i]
+            while True:
+                sec = build(stmts)
+                try:
+                    kw = {}
+                    if sec.uses_midi_in:
+                        kw["midi"] = (
+                            jax.ShapeDtypeStruct((1, 4), jnp.float64),
+                            jax.ShapeDtypeStruct((), jnp.float64))
+                    jax.eval_shape(
+                        sec.cached_step,
+                        jax.ShapeDtypeStruct((sec.n_vars,), jnp.float64),
+                        jax.ShapeDtypeStruct((sec.total_mem,), jnp.float64),
+                        **kw)
+                    break
+                except DevgenError:
+                    if i + 1 >= len(groups):
+                        raise
+                    stmts = stmts + groups[i + 1]
+                    del groups[i + 1]
+            parts.append(sec)
+            i += 1
+        self._part_cache[key] = parts
+        return parts
+
+    def _make_sectioned(self, T: int, midi_k: int = 1):
+        """Host-driven render with the same signature and return
+        convention as _make_run's fused program."""
+        import jax
+        import jax.numpy as jnp
+
+        B, nch = self.B, self.nch
+        nfull = T // B
+        rem = T - nfull * B
+        spl_in = jnp.asarray(self._spl_in)
+        pend = jnp.asarray(self._pend)
+        mpos, hw = self._mpos, self._hw
+        mo_base, mo_cells = self.sample.midi_out_base, \
+            self.sample.midi_out_cells
+        use_midi = self.accepts_midi
+        use_mout = self._any_mout
+        jfns = self._sect_fns
+
+        def jit1(name, f, donate=(0, 1)):
+            fn = jfns.get(name)
+            if fn is None:
+                fn = jax.jit(f, donate_argnums=donate)
+                jfns[name] = fn
+            return fn
+
+        def part_fn(sec, tag):
+            if sec.uses_midi_in:
+                return jit1((tag, "m"),
+                            lambda bv, bm, me, mc:
+                            sec.cached_step(bv, bm, midi=(me, mc)))
+            return jit1(tag, lambda bv, bm: sec.cached_step(bv, bm))
+
+        def slider_fn(sec, tag):
+            def f(bv, bm):
+                p = bv[pend[0]] + bv[pend[1]] + bv[pend[2]]
+
+                def run(a):
+                    return sec.cached_step(a[0], a[1])
+
+                return jax.lax.cond(p != 0.0, run, lambda a: a, (bv, bm))
+            return jit1(tag, f)
+
+        def sample_fn(sec, tag):
+            def f(bv, bm, xblk):
+                def body(c, x_t):
+                    cv, cm = c
+                    cv = cv.at[spl_in].set(x_t)
+                    cv, cm = sec.cached_step(cv, cm)
+                    return (cv, cm), cv[spl_in]
+
+                (bv, bm), y = jax.lax.scan(body, (bv, bm), xblk)
+                return bv, bm, y
+            return jit1(tag, f)
+
+        prep = jit1("prep", lambda bv, bm: (
+            bv.at[mpos].set(0.0) if use_midi else bv,
+            bm.at[mo_base:mo_base + mo_cells].set(0.0) if use_mout else bm))
+        clear_pend = jit1("clear_pend",
+                          lambda bv: bv.at[pend].set(0.0), donate=(0,))
+
+        has_block = self.block is not None
+        has_slider = self.slider is not None
+        if has_block:
+            bparts = self._split_parts("block", B)
+            bparts_r = self._split_parts("block", rem) if rem else None
+        sparts = self._split_parts("slider", B) if has_slider else []
+        samp_fn = sample_fn(self.sample, ("samp", B))
+        if rem:
+            samp_r = self._rem_cache.get(("samp", rem))
+            if samp_r is None:
+                samp_r = DeviceSection(
+                    self.P, self.snap, "sample", self._dyn,
+                    self.sample.mem_size,
+                    consts={"samplesblock": float(rem)},
+                    force_gmem=self._any_gmem,
+                    force_midi_out=self._any_mout,
+                    rand_pool=self._rand_cap, reduced_heap=True,
+                    fft_sizes=self._fft_sizes, reify=True)
+                self._rem_cache[("samp", rem)] = samp_r
+            samp_fn_r = sample_fn(samp_r, ("samp", rem))
+
+        def run(carry, x32, mev=None, mn=None):
+            bv, bm = carry
+            bv = jnp.asarray(bv, jnp.float64)
+            bm = jnp.asarray(bm, jnp.float64)
+            x64 = jnp.asarray(x32).astype(jnp.float64).T
+            ys = []
+            mouts = []
+            rows = nfull + (1 if rem else 0)
+            for b in range(rows):
+                n = B if b < nfull else rem
+                xblk = x64[b * B: b * B + n]
+                if has_block:
+                    if use_midi or use_mout:
+                        bv, bm = prep(bv, bm)
+                    for pi, sec in enumerate(
+                            bparts if b < nfull else bparts_r):
+                        f = part_fn(sec, ("blk", n, pi))
+                        if sec.uses_midi_in:
+                            bv, bm = f(bv, bm, jnp.asarray(mev[b]),
+                                       jnp.asarray(mn[b]))
+                        else:
+                            bv, bm = f(bv, bm)
+                    if has_slider:
+                        for pi, sec in enumerate(sparts):
+                            bv, bm = slider_fn(sec, ("sld", pi))(bv, bm)
+                        bv = clear_pend(bv)
+                fs = samp_fn if b < nfull else samp_fn_r
+                bv, bm, y = fs(bv, bm, xblk)
+                ys.append(y)
+                if use_mout:
+                    mouts.append(bm[mo_base:mo_base + mo_cells][None, :])
+            y = jnp.concatenate(ys, axis=0) if len(ys) > 1 else ys[0]
+            out = y.T.astype(jnp.float32)
+            if use_mout:
+                mo = (jnp.concatenate(mouts, axis=0) if len(mouts) > 1
+                      else mouts[0])
+                return out, (bv, bm), mo
+            return out, (bv, bm)
+
+        return run
 
     def _make_run(self, T: int, midi_k: int = 1):
         import jax
@@ -332,7 +572,20 @@ class DeviceExecKernel:
         key = (T, midi_k)
         fn = self._render_fns.get(key)
         if fn is None:
-            fn = jax.jit(self._make_run(T, midi_k), donate_argnums=(0,))
+            if self._mode is None:
+                self._mode = self._decide_mode(T, midi_k)
+                if self._mode != "fused":
+                    import os
+                    import sys
+
+                    if os.environ.get("ZORAK_DEVEXEC_DEBUG"):
+                        print(f"[devexec] mode={self._mode} (fused program "
+                              f"over {self._FUSED_MAX_TEXT} bytes)",
+                              file=sys.stderr, flush=True)
+            if self._mode == "sectioned":
+                fn = self._make_sectioned(T, midi_k)
+            else:
+                fn = jax.jit(self._make_run(T, midi_k), donate_argnums=(0,))
             self._render_fns[key] = fn
         return fn
 

@@ -102,6 +102,12 @@ def section_key(sec, shapes_key) -> str:
     # the artifact backend-independent — keyed here so any future change
     # to that policy invalidates cleanly
     h.update(f"trig={bool(sec.reify)};".encode())
+    # env-tunable trace-shaping budgets (devgen class attrs read from
+    # ZORAK_UNROLL_* at import) change the emitted program
+    h.update(repr((sec._UNROLL_MERGE_BUDGET,
+                   sec._UNROLL_WEIGHT_BUDGET,
+                   sec._UNROLL_TRACED_WEIGHT_BUDGET,
+                   sec._MERGE_BUDGET)).encode())
     h.update(sec.P.source.encode())
     h.update(sec.section.encode())
     h.update(repr([repr(n.pos) for n in sec.body]).encode())
