@@ -13,7 +13,11 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# RUN_TPU=1 leaves the platform alone so tests/test_tpu_device.py can run
+# the real chip (requires the axon sitecustomize dir on PYTHONPATH, see
+# CLAUDE.md); everything else stays CPU-forced.
+if os.environ.get("RUN_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache: the coupled-pipeline plugins (TSEQ, ERBTilt)
 # have multi-minute first compiles; cache them across test runs.  The dir

@@ -2535,20 +2535,11 @@ class SpecializedSampleKernel:
 
         return run
 
-    def _coupled_run(self, T: int, gmem_mode: Optional[str] = None):
-        """Unjitted fused block/sample pipeline: lax.scan over blocks; each
-        step runs the device-compiled @block, gathers the control row from
-        device state, then the vectorized B-sample segment — the whole
-        render is ONE XLA program (the reference interleaves host @block
-        interpretation with the sample loop per block).
-
-        gmem_mode (producer/consumer pipelines across mesh lanes,
-        block-synchronous like the in-process bus):
-          "emit":    the run also returns the gmem heap tail AFTER each
-                     block as a [rows, cells] stream,
-          "consume": the run takes a staged [rows, cells] stream written
-                     into the gmem tail BEFORE each block,
-          "both":    consume then emit."""
+    def _coupled_steps(self, T: int, gmem_mode: Optional[str] = None):
+        """Prelude of the fused block/sample pipeline: the per-block step
+        closures plus staging metadata, shared by _coupled_run (solo
+        renders, lane pipelines) and the graph scheduler's joint
+        gmem-lockstep scan (lockstep_gmem_run)."""
         import jax
         import jax.numpy as jnp
 
@@ -2659,6 +2650,39 @@ class SpecializedSampleKernel:
                     out[0] if len(out) == 1 else out
             return step
 
+        from types import SimpleNamespace
+        return SimpleNamespace(
+            B=B, nfull=nfull, rem=rem, nch=nch, n_rand=n_rand,
+            n_ctrl=n_ctrl, use_midi=use_midi, use_mout=use_mout,
+            g_emit=g_emit, g_consume=g_consume,
+            g_cells=g_cells, mo_cells=mo_cells,
+            step_full=(make_step(dev, seg) if nfull else None),
+            step_rem=(make_step(dev_rem, seg_rem) if rem else None))
+
+    def _coupled_run(self, T: int, gmem_mode: Optional[str] = None):
+        """Unjitted fused block/sample pipeline: lax.scan over blocks; each
+        step runs the device-compiled @block, gathers the control row from
+        device state, then the vectorized B-sample segment — the whole
+        render is ONE XLA program (the reference interleaves host @block
+        interpretation with the sample loop per block).
+
+        gmem_mode (producer/consumer pipelines across mesh lanes,
+        block-synchronous like the in-process bus):
+          "emit":    the run also returns the gmem heap tail AFTER each
+                     block as a [rows, cells] stream,
+          "consume": the run takes a staged [rows, cells] stream written
+                     into the gmem tail BEFORE each block,
+          "both":    consume then emit."""
+        import jax
+        import jax.numpy as jnp
+
+        ns = self._coupled_steps(T, gmem_mode)
+        B, nfull, rem, nch = ns.B, ns.nfull, ns.rem, ns.nch
+        n_rand = ns.n_rand
+        use_midi, use_mout = ns.use_midi, ns.use_mout
+        g_emit, g_consume = ns.g_emit, ns.g_consume
+        mo_cells, g_cells = ns.mo_cells, ns.g_cells
+
         def run(carry, x32, ctrl, rand, mev=None, mn=None, gin=None):
             # ctrl rows unused (device-sourced); mev/mn = per-block staged
             # MIDI planes [rows, K, 4], [rows] when @block midirecvs;
@@ -2689,7 +2713,7 @@ class SpecializedSampleKernel:
                     else (xin, rin)
                 if g_consume:
                     xs = xs + (gin[:nfull],)
-                carry, yb = jax.lax.scan(make_step(dev, seg), carry, xs)
+                carry, yb = jax.lax.scan(ns.step_full, carry, xs)
                 yb = split(yb, blocky=True)
                 ys.append(yb.transpose(1, 0, 2).reshape(nch, nfull * B))
             if rem:
@@ -2698,7 +2722,7 @@ class SpecializedSampleKernel:
                     xs_r = xs_r + (mev[nfull], mn[nfull])
                 if g_consume:
                     xs_r = xs_r + (gin[nfull],)
-                carry, y_r = make_step(dev_rem, seg_rem)(carry, xs_r)
+                carry, y_r = ns.step_rem(carry, xs_r)
                 y_r = split(y_r, blocky=False)
                 ys.append(y_r)
             y = jnp.concatenate(ys, axis=1) if len(ys) > 1 else ys[0]
@@ -4399,8 +4423,14 @@ class SpecializedSampleKernel:
         y_dev, carry = self.render_device(x, carry, midi=midi, ctrl=ctrl)
         return np.asarray(y_dev), carry
 
-    def writeback(self, carry, state) -> None:
-        """Flush final carry into a ShadowState (for state parity checks)."""
+    def writeback(self, carry, state, sync_gmem: bool = True) -> None:
+        """Flush final carry into a ShadowState (for state parity checks).
+
+        sync_gmem=False: skip flushing the heap-tail gmem view to the
+        shared segment — the graph's gmem-lockstep path owns the
+        authoritative final segment (the scan-threaded vector, which
+        includes LATER nodes' same-block writes this node's private tail
+        never saw) and writes it back itself."""
         if self.n_rand and self._rng_state is not None:
             from ..semantics import mt19937np as MT
 
@@ -4435,7 +4465,9 @@ class SpecializedSampleKernel:
             (svec, rings), bvars, bmem = carry
             bm = np.asarray(bmem)
             devsec = self._devblock if self.coupled else self._hop
-            if devsec.uses_gmem:
+            if devsec.uses_gmem and not sync_gmem:
+                bm = bm[:devsec.gmem_base]
+            elif devsec.uses_gmem:
                 # the heap tail is the gmem segment view: flush it to the
                 # shared array with page-seq bumps (change detection)
                 gm = bm[devsec.gmem_base:devsec.gmem_base
@@ -4580,3 +4612,115 @@ class _TrajStepper:
         if not self.rows:
             return np.zeros((0, len(kern.ctrl_order)), dtype=np.float64)
         return np.stack(self.rows)
+
+
+def lockstep_gmem_run(kernels: Sequence["SpecializedSampleKernel"],
+                      seg_ids: Sequence[int], T: int):
+    """Joint fused render for a graph's gmem-coupled device nodes.
+
+    The all-shadow graph gives gmem SEQUENTIAL SAME-BLOCK visibility:
+    InstanceComm aliases each node's st.gmem to the shared segment array,
+    so in host processing order node i's @block sees node j<i's writes
+    from the SAME block and node j>i's from the previous one (ref
+    src/DspJsfxGmem.h, DspJsfxMessageBus.cpp:529,609 — the reference bus
+    connects native instances of every plugin).  This reproduces that
+    schedule as ONE lax.scan over blocks: each step runs every node's
+    device @block + fused sample segment IN NODE ORDER, threading the
+    carried gmem vector(s) through them — a single XLA program per
+    render, no per-block host dispatches (TPU tunnel latency makes
+    per-block round trips the dominant cost otherwise).
+
+    kernels: coupled kernels in host processing order, one shared block
+    size.  seg_ids: per-kernel small-int id of the attached segment
+    (nodes sharing a segment thread one gmem vector).
+
+    Returns unjitted run(carries, xs, rands, mevs, mns, g0) ->
+    (ys, carries, gfin, mos): per-node f32 outputs, final carries, final
+    per-segment gmem contents, and per-node staged MIDI-out planes
+    (None for nodes without midisend)."""
+    import jax
+    import jax.numpy as jnp
+
+    B = kernels[0].B
+    if any(k.B != B for k in kernels):
+        raise SpecializeError("gmem lockstep needs one shared block size")
+    parts = [k._coupled_steps(T, "both") for k in kernels]
+    nfull, rem = parts[0].nfull, parts[0].rem
+
+    def run(carries, xs, rands, mevs, mns, g0):
+        xs64 = [jnp.asarray(x).astype(jnp.float64) for x in xs]
+
+        def stage_full(i):
+            p = parts[i]
+            xin = xs64[i][:, :nfull * B].reshape(p.nch, nfull, B) \
+                .transpose(1, 0, 2)
+            rin = jnp.asarray(rands[i][:nfull * B]).reshape(
+                nfull, B, p.n_rand)
+            entry = (xin, rin)
+            if p.use_midi:
+                entry = entry + (jnp.asarray(mevs[i][:nfull]),
+                                 jnp.asarray(mns[i][:nfull]))
+            return entry
+
+        def joint_step(carry, sc):
+            node_c, gs = carry
+            node_c = list(node_c)
+            gs = list(gs)
+            ys = []
+            mos = []
+            for i, p in enumerate(parts):
+                entry = sc[i] + (gs[seg_ids[i]],)
+                node_c[i], out = p.step_full(node_c[i], entry)
+                out = list(out)
+                ys.append(out.pop(0))
+                mos.append(out.pop(0) if p.use_mout else None)
+                gs[seg_ids[i]] = out.pop(0)
+            return (tuple(node_c), tuple(gs)), (tuple(ys), tuple(mos))
+
+        carry = (tuple(carries), tuple(jnp.asarray(g) for g in g0))
+        yb = mob = None
+        if nfull:
+            scxs = tuple(stage_full(i) for i in range(len(parts)))
+            carry, (yb, mob) = jax.lax.scan(joint_step, carry, scxs)
+        y_rem = [None] * len(parts)
+        mo_rem = [None] * len(parts)
+        if rem:
+            node_c, gs = list(carry[0]), list(carry[1])
+            for i, p in enumerate(parts):
+                xs_r = (xs64[i][:, nfull * B:],
+                        jnp.asarray(rands[i][nfull * B:]))
+                if p.use_midi:
+                    xs_r = xs_r + (jnp.asarray(mevs[i][nfull]),
+                                   jnp.asarray(mns[i][nfull]))
+                xs_r = xs_r + (gs[seg_ids[i]],)
+                node_c[i], out = p.step_rem(node_c[i], xs_r)
+                out = list(out)
+                y_rem[i] = out.pop(0)
+                mo_rem[i] = out.pop(0) if p.use_mout else None
+                gs[seg_ids[i]] = out.pop(0)
+            carry = (tuple(node_c), tuple(gs))
+        ys = []
+        mos = []
+        for i, p in enumerate(parts):
+            pieces = []
+            if nfull:
+                pieces.append(yb[i].transpose(1, 0, 2).reshape(
+                    p.nch, nfull * B))
+            if rem:
+                pieces.append(y_rem[i])
+            y = pieces[0] if len(pieces) == 1 \
+                else jnp.concatenate(pieces, axis=1)
+            ys.append(y.astype(jnp.float32))
+            if p.use_mout:
+                mp = []
+                if nfull:
+                    mp.append(mob[i])
+                if rem:
+                    mp.append(mo_rem[i][None, :])
+                mos.append(mp[0] if len(mp) == 1
+                           else jnp.concatenate(mp, axis=0))
+            else:
+                mos.append(None)
+        return tuple(ys), carry[0], carry[1], tuple(mos)
+
+    return run

@@ -32,34 +32,39 @@ from ..ir.program import PluginProgram
 from ..shadow import compile_shadow
 
 
-def _sections_touch_comm(program: PluginProgram) -> bool:
-    """True when any DSP section (slider/block/sample) reads or writes the
-    shared world: msg_*/comm builtins or the gmem segment.  @init-time
-    joins/attaches already ran on the host before kernels build, so they
-    don't count."""
+def _comm_touch(program: PluginProgram) -> "tuple[bool, bool]":
+    """(touches_msg, touches_gmem) over the DSP sections
+    (slider/block/sample): msg_*/comm builtins vs the gmem segment.
+    @init-time joins/attaches already ran on the host before kernels
+    build, so they don't count.  The distinction matters on the device
+    path: gmem maps natively into the device heap (devgen) and a graph
+    can thread it block-synchronously through a joint scan
+    (lockstep_gmem_run), while msg ring traffic only folds in the solo
+    regime — msg-touching coupled nodes keep the shadow."""
     from ..frontend.astnodes import CallExpr, Mem, Name, walk
     from ..lowering.devgen import DeviceSection
 
-    fns = DeviceSection._COMM_FNS | DeviceSection._GMEM_FNS
     seen: set = set()
+    hit = [False, False]
 
-    def scan(nodes) -> bool:
+    def scan(nodes) -> None:
         for root in nodes:
             for n in walk(root):
                 if isinstance(n, Mem) and isinstance(n.base, Name) \
                         and n.base.ident == "gmem":
-                    return True
+                    hit[1] = True
                 if isinstance(n, CallExpr):
-                    if n.func in fns:
-                        return True
-                    if n.func in program.fn_defs and n.func not in seen:
+                    if n.func in DeviceSection._COMM_FNS:
+                        hit[0] = True
+                    elif n.func in DeviceSection._GMEM_FNS:
+                        hit[1] = True
+                    elif n.func in program.fn_defs and n.func not in seen:
                         seen.add(n.func)
-                        if scan([program.fn_defs[n.func].body]):
-                            return True
-        return False
+                        scan([program.fn_defs[n.func].body])
 
-    return any(scan(program.sections.get(s) or [])
-               for s in ("slider", "block", "sample"))
+    for s in ("slider", "block", "sample"):
+        scan(program.sections.get(s) or [])
+    return hit[0], hit[1]
 
 
 @dataclass
@@ -83,6 +88,7 @@ class RenderGraph:
         self.kernels: List[Optional[object]] = []
         self.node_engines: List[str] = []
         self.spec_errors: Dict[str, str] = {}
+        self._lockstep_fns: Dict[object, object] = {}
 
     def add(self, name: str, program: PluginProgram,
             sliders: Optional[Dict[int, float]] = None,
@@ -126,10 +132,12 @@ class RenderGraph:
                 kern = specialize_sample_kernel(
                     node.program, plug.state, nch,
                     block_size=self.block_size)
-                if kern.coupled and _sections_touch_comm(node.program):
-                    # a device @block that reads or writes the bus would
-                    # need its comm traffic staged per block in lockstep
-                    # with the other nodes; such nodes keep the shadow
+                msg_t, gmem_t = _comm_touch(node.program)
+                if kern.coupled and msg_t:
+                    # a device @block that reads or writes the message
+                    # ring would need its msg traffic staged per block in
+                    # lockstep with the other nodes; such nodes keep the
+                    # shadow (gmem, by contrast, threads natively — below)
                     raise SpecializeError(
                         "coupled @block touching the bus: graph lockstep "
                         "needs the host-trajectory (uncoupled) form")
@@ -138,13 +146,63 @@ class RenderGraph:
                 # device pipeline renders them independently while their
                 # begin/end block bookkeeping stays in lockstep (ref:
                 # DspJsfxMessageBus.cpp:529,609 — the reference bus
-                # connects native instances of every plugin)
+                # connects native instances of every plugin).  Coupled
+                # nodes touching a SHARED gmem segment join the joint
+                # gmem-lockstep scan (one XLA program threading the
+                # segment through every member in node order) — resolved
+                # group-wise after this loop.
+                if kern.coupled and gmem_t \
+                        and not kern._devblock.uses_gmem:
+                    # gmem touched outside the device @block (e.g. a
+                    # vectorized @sample region) cannot be threaded
+                    # block-synchronously — keep the shadow, honestly
+                    raise SpecializeError(
+                        "coupled node touches gmem outside the device "
+                        "@block: joint lockstep scan cannot thread it")
                 self.kernels[i] = kern
-                self.node_engines[i] = "tpu-vector"
+                if kern.coupled and gmem_t \
+                        and host.attached_gmem is not None:
+                    self.node_engines[i] = "tpu-lockstep"
+                else:
+                    self.node_engines[i] = "tpu-vector"
             except SpecializeError as exc:
                 self.spec_errors[node.name] = str(exc)
             # DROP (not flush) any probe-time sends buffered in the outbox
             host.outbox.clear()
+        self._resolve_gmem_groups()
+
+    def _resolve_gmem_groups(self) -> None:
+        """Demote gmem-lockstep candidates whose segment is also touched
+        (in DSP sections) by any node OUTSIDE the joint scan — a host-
+        path node interleaves its gmem reads/writes per block in phase 1
+        while the joint scan replays all blocks in phase 2, so sharing a
+        segment across the two schedules would break the all-shadow
+        ordering.  Per-segment: either every section-level toucher is in
+        the scan, or none rides the device for that segment."""
+        from ..lowering import SpecializeError
+
+        seg_touchers: Dict[int, List[int]] = {}
+        seg_outside: Dict[int, bool] = {}
+        for i, (node, host) in enumerate(zip(self.nodes, self.hosts)):
+            seg = host.attached_gmem
+            if seg is None:
+                continue
+            _msg, gmem_t = _comm_touch(node.program)
+            if not gmem_t:
+                continue
+            sid = id(seg)
+            if self.node_engines[i] == "tpu-lockstep":
+                seg_touchers.setdefault(sid, []).append(i)
+            else:
+                seg_outside[sid] = True
+        for sid, members in seg_touchers.items():
+            if seg_outside.get(sid):
+                for i in members:
+                    self.kernels[i] = None
+                    self.node_engines[i] = "cpu-shadow"
+                    self.spec_errors[self.nodes[i].name] = (
+                        "shared gmem segment also touched by a host-path "
+                        "node: joint lockstep scan cannot include it")
 
     # -- render ----------------------------------------------------------------
 
@@ -228,7 +286,7 @@ class RenderGraph:
         # every vector node dispatches independently)
         for i, (node, plug, kern, stp) in enumerate(
                 zip(self.nodes, self.plugins, self.kernels, steppers)):
-            if kern is None:
+            if kern is None or self.node_engines[i] == "tpu-lockstep":
                 continue
             x = self._node_input(node, chans[node.name], inputs, 0, total)
             if stp is not None:
@@ -237,4 +295,76 @@ class RenderGraph:
                 y, carry = kern.render(x)    # fused device @block
             outs[node.name][:, :] = y
             kern.writeback(carry, plug.state)
+        self._run_gmem_lockstep(inputs, total, outs, chans)
         return outs
+
+    def _run_gmem_lockstep(self, inputs, total: int, outs, chans) -> None:
+        """Joint fused scan for the gmem-coupled device nodes: every
+        member's device @block + sample segment steps inside ONE
+        lax.scan in host processing order, threading the shared
+        segment(s) — sequential same-block gmem visibility, exactly the
+        all-shadow graph (see lockstep_gmem_run)."""
+        lock = [i for i, e in enumerate(self.node_engines)
+                if e == "tpu-lockstep"]
+        if not lock:
+            return
+        import jax
+
+        from ..lowering.specialize import lockstep_gmem_run
+
+        kerns = [self.kernels[i] for i in lock]
+        seg_objs: List[object] = []
+        seg_ids: List[int] = []
+        for i in lock:
+            seg = self.hosts[i].attached_gmem
+            if seg not in seg_objs:
+                seg_objs.append(seg)
+            seg_ids.append(seg_objs.index(seg))
+        key = (tuple(lock), tuple(seg_ids), total)
+        fn = self._lockstep_fns.get(key)
+        if fn is None:
+            fn = jax.jit(lockstep_gmem_run(kerns, seg_ids, total))
+            self._lockstep_fns[key] = fn
+        xs = []
+        rands = []
+        mevs = []
+        mns = []
+        carries = []
+        for j, i in enumerate(lock):
+            node, kern = self.nodes[i], kerns[j]
+            xs.append(self._node_input(node, chans[node.name], inputs,
+                                       0, total))
+            rands.append(kern._rand_streams(total, reset=True))
+            if kern._devblock.uses_midi_in:
+                mev, mn = kern._midi_planes(None, total)
+            else:
+                rows = -(-total // kern.B) if total else 0
+                mev = np.zeros((rows, 1, 4))
+                mn = np.zeros((rows,))
+            mevs.append(mev)
+            mns.append(mn)
+            carries.append(kern.initial_carry())
+        g0 = tuple(np.asarray(s.cells, dtype=np.float64).copy()
+                   for s in seg_objs)
+        ys, fcarries, gfin, mos = fn(tuple(carries), tuple(xs),
+                                     tuple(rands), tuple(mevs),
+                                     tuple(mns), g0)
+        for j, i in enumerate(lock):
+            node, plug, kern = self.nodes[i], self.plugins[i], kerns[j]
+            outs[node.name][:, :] = np.asarray(ys[j])
+            # the joint scan owns the shared segment; per-node tails are
+            # stale (they miss later nodes' same-block writes)
+            kern.writeback(fcarries[j], plug.state, sync_gmem=False)
+            if mos[j] is not None:
+                kern.last_midi_out = kern._decode_midi_out(
+                    np.asarray(mos[j]))
+        for seg, gf in zip(seg_objs, gfin):
+            gnp = np.asarray(gf, dtype=np.float64)
+            old = np.asarray(seg.cells, dtype=np.float64)
+            n = min(len(old), len(gnp))
+            changed = np.nonzero(old[:n] != gnp[:n])[0]
+            seg.cells[:n] = gnp[:n]
+            if changed.size:
+                seg.bump(int(changed.min()), int(changed.max()),
+                         getattr(self.hosts[lock[0]],
+                                 "instance_id_int", 0))
