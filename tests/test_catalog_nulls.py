@@ -112,7 +112,7 @@ def test_catalog_null_perturbed(spec):
 # cost is seconds; the cold cost (~1-3 min each) is paid once per
 # container.  Sample.jsfx joins when its first device render lands.
 
-_DEVEXEC_TINY = ["3DPanner", "Texture"]
+_DEVEXEC_TINY = ["3DPanner", "Texture", "Sample"]
 
 
 @pytest.mark.parametrize("slug", _DEVEXEC_TINY)
@@ -120,6 +120,11 @@ def test_big_plugin_devexec_tiny_null(slug):
     specs = {s.slug: s for s in _vectorizable_specs()}
     if slug not in specs:
         pytest.skip("reference catalog not available")
+    if slug == "Sample" and not RUN_SLOW:
+        # Sample's cold devgen trace is ~27 min of single-core Python
+        # (reified thereafter; see lowering/tracecache.py) — too heavy
+        # for the fast tier's first run on a fresh container
+        pytest.skip("Sample tiny null under RUN_SLOW=1 (cold trace ~27min)")
     prog = specs[slug].load_program()
     ch = max(1, prog.io_channels["process"])
     x = (np.random.RandomState(23).randn(ch, 256) * 0.3).astype(np.float32)

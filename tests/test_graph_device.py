@@ -147,6 +147,87 @@ spl1 = spl1 * g;
         assert res["shadow"][0].plugins[0].state.V["seq"] \
             == gd.plugins[0].state.V["seq"]
 
+    LOCKSTEP_SRC = """\
+slider1:0<0,7,1>Slot
+@init
+gmem_attach("lockbus");
+slot = slider1;
+@block
+avg = acc / max(samplesblock, 1);
+peer = gmem[1 - slot];
+gmem[slot] = avg;
+g = 1 / (1 + 4 * peer);
+acc = 0;
+@sample
+acc += abs(spl0);
+spl0 = spl0 * g;
+spl1 = spl1 * g;
+"""
+
+    def test_gmem_coupled_pair_joint_lockstep_scan(self):
+        # TWO coupled nodes exchanging through one gmem segment: the
+        # joint scan threads the segment through both device @blocks in
+        # node order, reproducing the all-shadow graph's sequential
+        # same-block visibility (a@block writes gmem[0], b@block READS
+        # it the same block — a one-block-late scheme would diverge)
+        prog = compile_plugin_source(self.LOCKSTEP_SRC)
+        n = 64 * 6 + 17     # exercise the remainder step too
+        res = {}
+        for prefer in ("shadow", "auto"):
+            g = RenderGraph(block_size=64, prefer=prefer)
+            g.add("a", prog, sliders={0: 0.0})
+            g.add("b", prog, sliders={0: 1.0})
+            g.init_all()
+            rng = np.random.RandomState(3)
+            x = (rng.randn(2, n) * 0.4).astype(np.float32)
+            res[prefer] = (g, g.run({"a": x, "b": x}))
+        gd = res["auto"][0]
+        assert gd.node_engines == ["tpu-lockstep", "tpu-lockstep"], \
+            (gd.node_engines, gd.spec_errors)
+        for name in ("a", "b"):
+            assert np.array_equal(res["shadow"][1][name],
+                                  res["auto"][1][name]), name
+        assert np.abs(res["auto"][1]["a"]).max() > 0.0
+        # the shared segment matched cell-for-cell after writeback
+        seg_s = res["shadow"][0].hosts[0].attached_gmem
+        seg_d = res["auto"][0].hosts[0].attached_gmem
+        assert seg_s is not None and seg_d is not None
+        assert seg_s.cells[:2].any()
+        assert np.array_equal(seg_s.cells, seg_d.cells)
+        # per-node control state wrote back (FMA wobble allowance as in
+        # the coupled-node test above)
+        for i in range(2):
+            vs = res["shadow"][0].plugins[i].state.V
+            vd = res["auto"][0].plugins[i].state.V
+            for k in ("g", "peer", "avg", "acc"):
+                assert abs(vs[k] - vd[k]) <= 1e-12, (i, k, vs[k], vd[k])
+
+    def test_gmem_segment_shared_with_host_node_demotes(self):
+        # an UNCOUPLED node reading the same segment runs its @block on
+        # the host per block (phase 1) — the joint scan cannot include
+        # it, so the coupled members fall back rather than reorder gmem
+        prog = compile_plugin_source(self.LOCKSTEP_SRC)
+        watcher = compile_plugin_source(
+            "@init\ngmem_attach(\"lockbus\");\n"
+            "@block\nw = gmem[0];\n@sample\nspl0 = spl0 * (1 + 0*w);\n"
+            "spl1 = spl1;\n")
+        res = {}
+        n = 64 * 4
+        for prefer in ("shadow", "auto"):
+            g = RenderGraph(block_size=64, prefer=prefer)
+            g.add("a", prog, sliders={0: 0.0})
+            g.add("w", watcher)
+            g.init_all()
+            rng = np.random.RandomState(4)
+            x = (rng.randn(2, n) * 0.3).astype(np.float32)
+            res[prefer] = (g, g.run({"a": x, "w": x}))
+        gd = res["auto"][0]
+        assert gd.node_engines[0] == "cpu-shadow", gd.node_engines
+        assert "host-path" in gd.spec_errors.get("a", "")
+        for name in ("a", "w"):
+            assert np.array_equal(res["shadow"][1][name],
+                                  res["auto"][1][name]), name
+
     def test_coupled_node_touching_bus_keeps_shadow(self):
         src = self.COUPLED_SRC + "\n"
         src = src.replace("acc = 0;",
@@ -215,17 +296,29 @@ class TestRealCatalogPairs:
                     assert v == dv, (i, k, v, dv)
 
     def test_cmd_pair_gmem_buses(self):
-        # CMD's @block is COUPLED (it logs audio-derived data), so the
-        # lockstep host-trajectory decomposition does not apply — the
-        # graph records the reason and falls back to the shadow loop
-        # honestly; outputs still match the all-shadow graph.  Putting
-        # coupled pairs on the device coupled-gmem pipeline is tracked
-        # as the next graph milestone (the solo mechanism exists:
-        # kern.coupled_gmem_pipeline, exercised by dryrun_multichip).
+        # CMD's @block is COUPLED (it logs audio-derived data) and its
+        # comm is pure gmem (drain_messages is a stub — ref
+        # CrossMixDeclutter.jsfx:282-286: "Message traffic is disabled in
+        # the CMD hot path"), so the pair rides the joint gmem-lockstep
+        # scan: both device @blocks + fused sample segments in ONE
+        # lax.scan threading the shared TurnPulse bus segment in node
+        # order — bit-matching the all-shadow graph's heartbeat/slot
+        # handshake (VERDICT r3 #6).
         res = self._pair("CMD", "CMD", 64 * 4)
         gd = res["auto"][0]
-        assert gd.node_engines == ["cpu-shadow", "cpu-shadow"]
-        assert "coupled" in gd.spec_errors.get("a", "")
+        assert gd.node_engines == ["tpu-lockstep", "tpu-lockstep"], \
+            (gd.node_engines, gd.spec_errors)
         for name in ("a", "b"):
             assert np.array_equal(res["shadow"][1][name],
                                   res["auto"][1][name]), name
+        # the shared bus segment (slot heartbeats, published band
+        # energies, piston state) matched — strict compare on the
+        # header/slot structure; published float payloads carry the same
+        # FMA wobble allowance as device @block vars (the synthetic
+        # lockstep test above holds the mechanism to BIT equality)
+        seg_s = res["shadow"][0].hosts[0].attached_gmem
+        seg_d = res["auto"][0].hosts[0].attached_gmem
+        assert seg_s is not None and seg_d is not None
+        assert seg_s.cells.any()
+        np.testing.assert_allclose(seg_d.cells, seg_s.cells,
+                                   rtol=1e-12, atol=1e-12)
