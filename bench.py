@@ -257,9 +257,20 @@ def _section_catalog(budget_s: float) -> dict:
     # a later wedge costs the tail, not the section.
     MIN_WARM = 3
     warmed: dict = {}
+    # an early progress marker: even a fully-wedged window then leaves a
+    # salvageable JSON line (round-4 post-mortem: a device erroring from
+    # warmup start printed NOTHING, so the parent salvaged None)
+    out["catalog_plugins_total"] = len(renderers)
+    out["catalog_plugins_vectorized"] = 0
+    print(json.dumps(out), flush=True)
     for slug, r in renderers.items():
         if time.time() > t_end and len(warmed) >= MIN_WARM:
             log(f"suite catalog: budget exhausted after {len(warmed)}")
+            break
+        if time.time() > t_end + 180.0:
+            # hard stop EVEN with nothing warmed: returning a partial
+            # result beats being killed by the parent's child timeout
+            log(f"suite catalog: hard deadline ({len(warmed)} warmed)")
             break
         log(f"suite catalog: warming {slug} "
             f"({len(warmed)} done, {t_end - time.time():.0f}s left)")
@@ -284,10 +295,14 @@ def _section_catalog(budget_s: float) -> dict:
                                and len(warmed) >= MIN_WARM):
                     break
                 if "UNAVAILABLE" in str(exc) or "device error" in str(exc):
+                    # BOUNDED recovery wait: waiting out the whole budget
+                    # on one plugin starves the rest of the sweep — the
+                    # device often recovers mid-section, and later
+                    # plugins then still warm (round-4 post-mortem)
                     wait_device_healthy(
-                        max(120.0, t_end - time.time()))
+                        min(120.0, max(15.0, t_end - time.time())))
                 else:
-                    time.sleep(30.0)
+                    time.sleep(min(30.0, max(5.0, t_end - time.time())))
         if len(warmed) in (1, MIN_WARM) or (warmed and len(warmed) % 6 == 0):
             # incremental safety-net sweeps: no fetch (each fetch-forced
             # sweep costs a cold remote compile of its reduce)
@@ -430,19 +445,22 @@ def run_suite_configs(budget_s: float) -> None:
         elif name + "_error" in suite:
             del suite[name + "_error"]
         emit()
-        # the catalog number was lost to a wedged window two rounds
+        # the catalog number was lost to a wedged window THREE rounds
         # running: when it died without a sweep figure, retry ONCE in a
-        # fresh process after a recovery wait (fresh tunnel client)
-        if name == "catalog" and "catalog_sweep_rtx" not in suite \
-                and t_end - time.time() > 360.0:
+        # fresh process after a recovery wait (fresh tunnel client).
+        # The retry is UNCONDITIONAL on remaining budget and may overrun
+        # the suite deadline by up to ~10 min — the catalog sweep is the
+        # BASELINE north-star field; a late number beats a missing one.
+        if name == "catalog" and "catalog_sweep_rtx" not in suite:
             log("suite catalog: no sweep figure — waiting 120s, then "
                 "retrying in a fresh process")
             time.sleep(120.0)
             rc, result = _spawn_section(
-                "catalog", min(cap, t_end - time.time()))
+                "catalog", max(480.0, min(cap, t_end - time.time())))
             if isinstance(result, dict) and result:
                 suite.update(result)
-                suite.pop("catalog_error", None)
+                if "catalog_sweep_rtx" in suite:
+                    suite.pop("catalog_error", None)
             emit()
 
 

@@ -22,7 +22,7 @@ RUN_SLOW = os.environ.get("RUN_SLOW") == "1"
 
 # fused/coupled pipelines whose compile is minutes-scale per slider config
 HEAVY = {"TSEQ", "ERBTilt", "DOT", "SpectralStabilizer", "CMD",
-         "PsychoConvolver", "Roomalizer", "Contour"}
+         "PsychoConvolver", "Roomalizer", "Contour", "3DPanner"}
 
 
 def _vectorizable_specs():

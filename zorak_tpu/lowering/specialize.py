@@ -124,7 +124,24 @@ class RingIdx:
     origin: int = 0
 
 
-SymVal = Union[CV, TS, IndAff, RingIdx]
+@dataclass(frozen=True)
+class GRingIdx:
+    """GATED ring cursor value: (state[var] + G_t + offset) mod M plus a
+    concrete origin, where G_t is the exclusive prefix count of the
+    cursor's per-sample gate stream (sym.gate_of[var]) — the cursor
+    advances by one only on samples where the gate fires (the JSFX
+    ctrl/audio-gated delay-tank idiom, ref 3DPanner.jsfx:2461-2462:
+    `sceneverb_active ? ( buf[wpos] = ..; wpos = (wpos+1) & mask; )`).
+    incl=True is the post-advance value (inclusive prefix): select(p,
+    X+1, X) on an exclusive cursor X is EXACTLY anchor + G_t + p_t."""
+    var: Any
+    offset: int
+    mod: int
+    origin: int = 0
+    incl: bool = False
+
+
+SymVal = Union[CV, TS, IndAff, RingIdx, GRingIdx]
 
 _COMPOUND_SC = {
     "+=": lambda c, r: c + r,
@@ -358,6 +375,22 @@ class _DynWrite:
         self.mod = 0
 
 
+class _GRingWrite:
+    """Ring write at a GATED cursor position (inside the gate's branch):
+    executes only on samples where the cursor's gate fires, landing at
+    consecutive mod-M positions in gate-count (G-) space."""
+    __slots__ = ("var", "offset", "mod", "origin", "value", "order", "gate")
+
+    def __init__(self, var, offset, mod, origin, value, order, gate):
+        self.var = var
+        self.offset = offset
+        self.mod = mod
+        self.origin = origin
+        self.value = value
+        self.order = order
+        self.gate = gate
+
+
 class _SymExec:
     def __init__(self, program: PluginProgram, snapshot, nch: int,
                  induction_vars: Dict[Any, int],
@@ -366,7 +399,8 @@ class _SymExec:
                  control_vars: Optional[Set[Any]] = None,
                  mod_inductions: Optional[Dict[Any, int]] = None,
                  const_overrides: Optional[Dict[Any, float]] = None,
-                 settled_vars: Optional[Set[Any]] = None):
+                 settled_vars: Optional[Set[Any]] = None,
+                 gated_mod_inductions: Optional[Dict[Any, int]] = None):
         self.P = program
         self.snap = snapshot              # ShadowState after init/slider
         # block-invariant constants (post-@block values; the block runs
@@ -377,6 +411,13 @@ class _SymExec:
         # wrapped counters: v = (v + 1) mod M each sample (either via
         # `v >= M ? v = 0` or `v = (v+1) & mask`) -> env key -> modulus M
         self.mod_inductions = mod_inductions or {}
+        # GATED wrapped counters: v advances (v+1) mod M only on samples
+        # where a per-sample gate fires (env key -> modulus M); the gate
+        # node itself is recorded per pass in gate_of when the cursor's
+        # select-merge is seen
+        self.gated_mod_inductions = gated_mod_inductions or {}
+        self.gate_of: Dict[Any, GNode] = {}
+        self.gring_writes: Dict[Tuple[int, int], List[_GRingWrite]] = {}
         self.known_cells = known_mem_cells
         self.assigned = assigned_vars_of_sample(program)
         # optimistic SCCP-style constants: vars syntactically assigned in
@@ -438,6 +479,9 @@ class _SymExec:
             # the carried scalar is the wrapped cursor in [0, M); its value
             # at sample t is (c0 + t) mod M — a ring position with offset 0
             val: SymVal = RingIdx(key, 0, self.mod_inductions[key], 0)
+        elif key in self.gated_mod_inductions:
+            # pre-advance value: anchor + (exclusive gate prefix) mod M
+            val = GRingIdx(key, 0, self.gated_mod_inductions[key], 0)
         elif key in self.inductions:
             val = IndAff(key, 0)
         elif key in self.settled and key not in self.settled_violations:
@@ -479,6 +523,11 @@ class _SymExec:
         if isinstance(sv, RingIdx):
             return GNode("ringidx", meta={"var": sv.var, "offset": sv.offset,
                                           "mod": sv.mod, "origin": sv.origin})
+        if isinstance(sv, GRingIdx):
+            return GNode("gringidx",
+                         meta={"var": sv.var, "offset": sv.offset,
+                               "mod": sv.mod, "origin": sv.origin,
+                               "incl": sv.incl})
         raise AssertionError(sv)
 
     def binop(self, op: str, a: SymVal, b: SymVal) -> SymVal:
@@ -497,6 +546,13 @@ class _SymExec:
                 return RingIdx(a.var, a.offset, a.mod, a.origin + d)
             if op == "+" and isinstance(b, RingIdx) and isinstance(a, CV) and _is_int(a.v):
                 return RingIdx(b.var, b.offset, b.mod, b.origin + int(a.v))
+            if isinstance(a, GRingIdx) and isinstance(b, CV) and _is_int(b.v):
+                d = int(b.v) if op == "+" else -int(b.v)
+                return GRingIdx(a.var, a.offset, a.mod, a.origin + d, a.incl)
+            if op == "+" and isinstance(b, GRingIdx) and isinstance(a, CV) \
+                    and _is_int(a.v):
+                return GRingIdx(b.var, b.offset, b.mod, b.origin + int(a.v),
+                                b.incl)
         if op == "&" and isinstance(a, IndAff) and isinstance(b, CV):
             m = b.v
             if _is_int(m) and int(m) > 0 and (int(m) + 1) & int(m) == 0:
@@ -508,6 +564,10 @@ class _SymExec:
             m = b.v
             if _is_int(m) and int(m) + 1 == a.mod and (int(m) + 1) & int(m) == 0:
                 return RingIdx(a.var, a.offset + a.origin, a.mod, 0)
+        if op == "&" and isinstance(a, GRingIdx) and isinstance(b, CV):
+            m = b.v
+            if _is_int(m) and int(m) + 1 == a.mod and (int(m) + 1) & int(m) == 0:
+                return GRingIdx(a.var, a.offset + a.origin, a.mod, 0, a.incl)
         if op == "&" and isinstance(a, TS) and isinstance(b, CV):
             # time-varying value masked to a power-of-2 ring: tag it so
             # mem addressing can recognize dynamic ring/table indexing
@@ -544,7 +604,7 @@ class _SymExec:
         s = self.binop("+", base, idx)
         if isinstance(s, CV):
             return CV(float(SC.mem_address(s.v, 0.0)))
-        if isinstance(s, (IndAff, RingIdx)):
+        if isinstance(s, (IndAff, RingIdx, GRingIdx)):
             return s  # integral by construction; bias is a no-op
         return s
 
@@ -604,10 +664,30 @@ class _SymExec:
             return TS(GNode("ringref",
                             meta={"region": region, "var": addr.var,
                                   "offset": addr.offset, "order": self.order}))
+        if isinstance(addr, GRingIdx):
+            if addr.origin < 0:
+                raise SpecializeError(
+                    "gated ring read at negative base "
+                    "(unnormalized wrap index?)")
+            region = (addr.origin, addr.mod)
+            self.order += 1
+            return TS(GNode("gringref",
+                            meta={"region": region, "var": addr.var,
+                                  "offset": addr.offset, "incl": addr.incl,
+                                  "order": self.order}))
         if isinstance(addr, TS):
             m = self._match_dynaddr(addr.node)
             if m is not None:
                 origin, mod, idx_node = m
+                gd = _match_gated_dyn(idx_node, mod)
+                if gd is not None:
+                    var, off, dnode = gd
+                    self.order += 1
+                    return TS(GNode("gdynringref", args=(idx_node,),
+                                    meta={"region": (origin, mod),
+                                          "var": var, "offset": off,
+                                          "dnode": dnode,
+                                          "order": self.order}))
                 self.order += 1
                 return TS(GNode("dynringref", args=(idx_node,),
                                 meta={"region": (origin, mod),
@@ -701,6 +781,25 @@ class _SymExec:
                 addr.var, addr.offset, addr.mod, addr.origin,
                 self._node(val), self.order))
             return
+        if isinstance(addr, GRingIdx):
+            if addr.origin < 0:
+                raise SpecializeError(
+                    "gated ring write at negative base "
+                    "(unnormalized wrap index?)")
+            if addr.incl:
+                raise SpecializeError(
+                    "ring write at a post-advance gated cursor — "
+                    "write-before-advance is the supported idiom")
+            region = (addr.origin, addr.mod)
+            self.order += 1
+            # the write sits inside the gate's branch: capture the ambient
+            # condition; plan time requires it to BE the cursor's gate
+            # (write fires exactly when the cursor advances, so writes
+            # land at consecutive G-space positions)
+            self.gring_writes.setdefault(region, []).append(_GRingWrite(
+                addr.var, addr.offset, addr.mod, addr.origin,
+                self._node(val), self.order, self._gate))
+            return
         if isinstance(addr, IndAff):
             raise SpecializeError("unbounded cursor mem write (no mask)")
         if isinstance(addr, TS):
@@ -736,9 +835,40 @@ class _SymExec:
         """Recognize conditional ring-wrap normalization idioms
         (`r < 0 ? r += M` after a delay subtract; `v >= M ? v = 0` /
         `v -= M` on a wrapped cursor) merging to an EXACT mod-M position.
-        Returns the normalized RingIdx or None."""
-        if not (isinstance(cnode, GNode) and cnode.kind == "bin"
-                and isinstance(ev, RingIdx)):
+        Returns the normalized RingIdx/GRingIdx or None."""
+        if not (isinstance(cnode, GNode) and cnode.kind == "bin"):
+            return None
+        if isinstance(ev, GRingIdx):
+            # gated-cursor dual: same wrap algebra on anchor+G positions
+            x, lim = cnode.args
+            if not (isinstance(x, GNode) and x.kind == "gringidx"
+                    and isinstance(lim, float)):
+                return None
+            m = x.meta
+            if (m["var"], m["offset"], m["mod"], m["origin"],
+                    m["incl"]) != (ev.var, ev.offset, ev.mod, ev.origin,
+                                   ev.incl):
+                return None
+            M = ev.mod
+            if cnode.op == "<" and lim == 0.0 and -M <= ev.origin <= 0:
+                if isinstance(tv, GRingIdx) and ev.incl == tv.incl \
+                        and (tv.var, tv.offset, tv.mod) == \
+                        (ev.var, ev.offset, ev.mod) \
+                        and tv.origin == ev.origin + M:
+                    return GRingIdx(ev.var, ev.offset + ev.origin, M, 0,
+                                    ev.incl)
+            if cnode.op in (">=", ">") and 0 <= ev.origin <= M \
+                    and lim == float(M if cnode.op == ">=" else M - 1):
+                if isinstance(tv, CV) and tv.v == 0.0 and ev.origin == 1:
+                    return GRingIdx(ev.var, ev.offset + 1, M, 0, ev.incl)
+                if isinstance(tv, GRingIdx) and ev.incl == tv.incl \
+                        and (tv.var, tv.offset, tv.mod) == \
+                        (ev.var, ev.offset, ev.mod) \
+                        and tv.origin == ev.origin - M:
+                    return GRingIdx(ev.var, ev.offset + ev.origin, M, 0,
+                                    ev.incl)
+            return None
+        if not isinstance(ev, RingIdx):
             return None
         x, lim = cnode.args
         if not (isinstance(x, GNode) and x.kind == "ringidx"
@@ -764,6 +894,29 @@ class _SymExec:
                     (ev.var, ev.offset, ev.mod) and tv.origin == ev.origin - M:
                 return RingIdx(ev.var, ev.offset + ev.origin, M, 0)
         return None
+
+    def _gated_cursor_merge(self, cnode, tv, ev) -> Optional["GRingIdx"]:
+        """select(gate, wrapped(X+1), X) on a gated cursor X (both arms
+        pre-advance/exclusive) folds EXACTLY to the post-advance value
+        anchor + inclusive-gate-prefix + offset, for ANY gate stream:
+        p ? (a+G+o+1) : (a+G+o) == a + (G+p) + o.  Records the gate."""
+        if not (isinstance(tv, GRingIdx) and isinstance(ev, GRingIdx)):
+            return None
+        if tv.incl or ev.incl:
+            return None
+        if (tv.var, tv.mod) != (ev.var, ev.mod) \
+                or tv.var not in self.gated_mod_inductions:
+            return None
+        if tv.origin != 0 or ev.origin != 0:
+            return None
+        if tv.offset != ev.offset + 1:
+            return None
+        prev_gate = self.gate_of.get(tv.var)
+        if prev_gate is not None and prev_gate is not cnode:
+            raise SpecializeError(
+                "gated cursor advanced under two different gates")
+        self.gate_of[tv.var] = cnode
+        return GRingIdx(tv.var, ev.offset, tv.mod, 0, True)
 
     def _merged_exec(self, cond: SymVal, then_fn, else_fn,
                      scope: Optional[Dict[str, SymVal]] = None) -> SymVal:
@@ -854,7 +1007,9 @@ class _SymExec:
             if tv == ev:  # CV by value, TS by node identity
                 merged[key] = tv
             else:
-                norm = self._wrap_normalize(cnode, tv, ev)
+                norm = self._gated_cursor_merge(cnode, tv, ev)
+                if norm is None:
+                    norm = self._wrap_normalize(cnode, tv, ev)
                 if norm is None and isinstance(cnode, GNode) \
                         and cnode.kind == "call" and cnode.op == "not":
                     # inverted condition (`r >= 0 ? : r += M` style): the
@@ -872,6 +1027,9 @@ class _SymExec:
 
         if isinstance(tval, CV) and isinstance(eval_, CV) and tval.v == eval_.v:
             return tval
+        gm = self._gated_cursor_merge(cnode, tval, eval_)
+        if gm is not None:
+            return gm
         return TS(GNode("select", args=(cnode, self._node(tval), self._node(eval_))))
 
     # -- evaluation ----------------------------------------------------------
@@ -1239,6 +1397,135 @@ def _match_mod_induction(node, key) -> Optional[int]:
     return None
 
 
+def _node_interval(node, memo=None) -> Optional[Tuple[float, float]]:
+    """Static value interval of a time-series node, or None when
+    unbounded.  Sound over +,-,*,min,max,abs,floor,ceil and the EEL clamp
+    idioms (`x < lo ? x = lo` / `x > hi ? x = hi` lower to relational
+    selects that are exactly max(x, lo) / min(x, hi)); everything else
+    (inputs, ctrl streams, recurrences) is unknown.  Used to bound
+    ctrl-dependent delay-tap expressions (ref 3DPanner.jsfx:2441-2448:
+    sv_dN = floor((a + b*sv_size)*srate) with sv_size clamped to [0,1])."""
+    if isinstance(node, float):
+        return (node, node)
+    if not isinstance(node, GNode):
+        return None
+    if memo is None:
+        memo = {}
+    got = memo.get(id(node))
+    if got is not None:
+        return got if got != "none" else None
+    memo[id(node)] = "none"   # cycle guard -> unknown
+
+    def iv(x):
+        return _node_interval(x, memo)
+
+    out: Optional[Tuple[float, float]] = None
+    if node.kind == "bin" and node.op in ("+", "-", "*", "min", "max"):
+        a, b = iv(node.args[0]), iv(node.args[1])
+        if a is not None and b is not None:
+            if node.op == "+":
+                out = (a[0] + b[0], a[1] + b[1])
+            elif node.op == "-":
+                out = (a[0] - b[1], a[1] - b[0])
+            elif node.op == "*":
+                cs = (a[0] * b[0], a[0] * b[1], a[1] * b[0], a[1] * b[1])
+                out = (min(cs), max(cs))
+            elif node.op == "min":
+                out = (min(a[0], b[0]), min(a[1], b[1]))
+            else:
+                out = (max(a[0], b[0]), max(a[1], b[1]))
+    elif node.kind == "call" and node.op in ("floor", "ceil", "abs"):
+        a = iv(node.args[0])
+        if a is not None:
+            if node.op == "floor":
+                out = (math.floor(a[0]), math.floor(a[1]))
+            elif node.op == "ceil":
+                out = (math.ceil(a[0]), math.ceil(a[1]))
+            else:
+                lo = 0.0 if a[0] <= 0.0 <= a[1] else min(abs(a[0]), abs(a[1]))
+                out = (lo, max(abs(a[0]), abs(a[1])))
+    elif node.kind == "select":
+        cond, tv, ev = node.args
+        # relational clamps: select(X < c, c', X) == max-like when c'>=c
+        # is not required — the EXACT identity select(X < c, c, X) ==
+        # max(X, c) (and the > / >= , <= duals) needs c' == c and the
+        # SAME X on both sides
+        if isinstance(cond, GNode) and cond.kind == "bin" \
+                and cond.op in ("<", "<=", ">", ">="):
+            X, c = cond.args
+            ivc = iv(c)
+            if ev is X and ivc is not None and ivc[0] == ivc[1] \
+                    and isinstance(tv, (float, GNode)):
+                ivt = iv(tv)
+                ivx = iv(X)
+                if ivt is not None and ivt[0] == ivt[1] \
+                        and ivt[0] == ivc[0]:
+                    cval = ivc[0]
+                    if ivx is None:
+                        ivx = (-math.inf, math.inf)
+                    if cond.op in ("<", "<="):
+                        out = (max(ivx[0], cval), max(ivx[1], cval))
+                    else:
+                        out = (min(ivx[0], cval), min(ivx[1], cval))
+        if out is None:
+            a, b = iv(tv), iv(ev)
+            if a is not None and b is not None:
+                out = (min(a[0], b[0]), max(a[1], b[1]))
+    memo[id(node)] = out if out is not None else "none"
+    return out
+
+
+def _match_gated_dyn(idx_node, mod: int):
+    """maskidx( gringidx(var, off) - D ) with the matching modulus ->
+    (var, off, D_node): a delay tap off a gated cursor at a time-varying
+    (typically ctrl-derived) delay.  Legality (the bounded D keeps every
+    read in carry history) is interval-checked at plan time."""
+    if not (isinstance(idx_node, GNode) and idx_node.kind == "maskidx"
+            and idx_node.meta["mod"] == mod):
+        return None
+    inner = idx_node.args[0]
+    if not (isinstance(inner, GNode) and inner.kind == "bin"
+            and inner.op == "-"):
+        return None
+    g, d = inner.args
+    if not (isinstance(g, GNode) and g.kind == "gringidx"
+            and g.meta["mod"] == mod and not g.meta["incl"]
+            and g.meta["origin"] == 0):
+        return None
+    return (g.meta["var"], g.meta["offset"], d)
+
+
+def _match_gated_mod_induction(node, key) -> Optional[int]:
+    """select(gate, <wrap pattern of prev+1>, prev) — a wrapped counter
+    that advances only when a per-sample gate fires (the gated delay-tank
+    cursor idiom, ref 3DPanner.jsfx:2461-2462).  Returns the modulus M,
+    or None.  The gate must not itself consume the cursor (its prefix
+    count would then feed its own definition)."""
+    if not (isinstance(node, GNode) and node.kind == "select"):
+        return None
+    cond, tv, ev = node.args
+    if not (isinstance(ev, GNode) and ev.kind == "prev"
+            and ev.meta["key"] == key):
+        return None
+    if not isinstance(tv, GNode):
+        return None
+    M = _match_mod_induction(tv, key)
+    if M is None:
+        return None
+    # gate self-dependence check
+    stack = [cond]
+    seen: Set[int] = set()
+    while stack:
+        x = stack.pop()
+        if not isinstance(x, GNode) or id(x) in seen:
+            continue
+        seen.add(id(x))
+        if x.kind == "prev" and x.meta["key"] == key:
+            return None
+        stack.extend(a for a in x.args if isinstance(a, GNode))
+    return M
+
+
 def _feq(a: float, b: float) -> bool:
     return a == b or (math.isnan(a) and math.isnan(b))
 
@@ -1435,6 +1722,11 @@ def _dyn_write_bound(sym, idx_node) -> Optional[int]:
         return None
     if idx_node.kind == "maskidx":
         return int(idx_node.meta["mod"])
+    if idx_node.kind == "gringidx":
+        # a gated cursor is in [0, M) by construction
+        if idx_node.meta["offset"] == 0 and idx_node.meta["origin"] == 0:
+            return int(idx_node.meta["mod"])
+        return None
     if idx_node.kind != "prev":
         return None
     key = idx_node.meta["key"]
@@ -2770,6 +3062,7 @@ class SpecializedSampleKernel:
     def _discover_symexec(self, settled: Set[Any]) -> _SymExec:
         inductions: Dict[Any, int] = {}
         mod_inductions: Dict[Any, int] = {}
+        gated_inductions: Dict[Any, int] = {}
         cells: Set[int] = set()
         sym = None
         for _ in range(8):
@@ -2777,7 +3070,8 @@ class SpecializedSampleKernel:
                            self.B, control_vars=self.control_vars,
                            mod_inductions=mod_inductions,
                            const_overrides=self._block_consts,
-                           settled_vars=settled)
+                           settled_vars=settled,
+                           gated_mod_inductions=gated_inductions)
             try:
                 sym.run(self._sample_stmts)
             except SpecializeError:
@@ -2790,12 +3084,14 @@ class SpecializedSampleKernel:
                 raise _SettledRetry(sym.settled_violations)
             new_ind = dict(inductions)
             new_modind = dict(mod_inductions)
+            new_gmod = dict(gated_inductions)
             cache: Dict[int, Set] = {}
             for key in sym.writes:
-                if key in inductions or key in mod_inductions:
+                if key in inductions or key in mod_inductions \
+                        or key in gated_inductions:
                     continue
                 out = sym.env[key]
-                if isinstance(out, (IndAff, RingIdx)):
+                if isinstance(out, (IndAff, RingIdx, GRingIdx)):
                     continue
                 node = out.node if isinstance(out, TS) else None
                 if node is None:
@@ -2813,6 +3109,12 @@ class SpecializedSampleKernel:
                     start = sym._state_value(key)
                     if _is_int(start) and 0 <= start < mod:
                         new_modind[key] = mod
+                    continue
+                gmod = _match_gated_mod_induction(node, key)
+                if gmod is not None:
+                    start = sym._state_value(key)
+                    if _is_int(start) and 0 <= start < gmod:
+                        new_gmod[key] = gmod
             new_cells = {c for c in sym.written_cells if c >= 0}
             grew_ctrl = False
             if self.block_writes_mem:
@@ -2825,10 +3127,12 @@ class SpecializedSampleKernel:
                     self.control_vars |= fresh
                     grew_ctrl = True
             if new_ind == inductions and new_modind == mod_inductions \
+                    and new_gmod == gated_inductions \
                     and new_cells <= cells and not grew_ctrl:
                 break
             inductions = new_ind
             mod_inductions = new_modind
+            gated_inductions = new_gmod
             cells = cells | new_cells
         assert sym is not None
         if -1 in sym.written_cells:
@@ -2853,12 +3157,13 @@ class SpecializedSampleKernel:
         if not self.coupled:
             sample_spans = [(a, 1) for a in sym.written_cells if a >= 0]
             sample_spans += list(sym.ring_writes.keys())
+            sample_spans += list(sym.gring_writes.keys())
             for dw in sym.dyn_writes:
                 sample_spans.append(
                     (dw.origin, _dyn_write_bound(sym, dw.idx) or 1))
             if self.block_reads_mem and not self._block_settled \
                     and (sym.written_cells or sym.ring_writes
-                         or sym.dyn_writes):
+                         or sym.dyn_writes or sym.gring_writes):
                 # block work MAY consume audio-rate mem state: the settle
                 # probe's poison test decides (device @block otherwise)
                 raise _CoupledUpgrade("reads", sample_spans)
@@ -2869,7 +3174,8 @@ class SpecializedSampleKernel:
                 if blocked is None:
                     blocked = self._probe_block_mem_writes()
                 conflict = blocked & sym.written_cells
-                spans = list(sym.ring_writes.keys())
+                spans = list(sym.ring_writes.keys()) \
+                    + list(sym.gring_writes.keys())
                 write_spans = list(spans)
                 for node_check in self._all_nodes(sym):
                     if node_check.kind in ("ringref", "dynringref") \
@@ -3078,10 +3384,137 @@ class SpecializedSampleKernel:
 
     # -- planning ------------------------------------------------------------
 
+    def _validate_gated_rings(self, sym: _SymExec) -> None:
+        """Legality of gated-cursor ring traffic (see GRingIdx).
+
+        * every write's ambient branch condition IS the cursor's gate
+          (write fires exactly when the cursor advances, so in-segment
+          writes land at consecutive G-space positions),
+        * one write site per region, one cursor var per region,
+        * every read's G-space delay (write offset - read offset mod M)
+          reaches past the segment: delay in [L, M-L] means the read can
+          only touch carry history — the gated generalization of the
+          time-blocked feedback rule (cursor steps <= 1 per sample, so a
+          G-space delay d spans >= d wall samples); shorter delays retry
+          with a shrunken segment (_SegmentRetry),
+        * the region is disjoint from every other addressed span."""
+        if not sym.gring_writes and not any(
+                n.kind in ("gringref", "gdynringref")
+                for n in self._all_nodes(sym)):
+            return
+        # WRITE-ONLY gated regions demote to the gated DYN-write path
+        # (scatter-max last-writer): it handles short rings (M < L,
+        # multiple wraps per segment) and arbitrary write gates — the
+        # decimated-metering-history idiom that predates gated cursors
+        # keeps its lowering; gring emission is only needed when the
+        # region is READ (history-tap resolution)
+        read_regions = {n.meta["region"] for n in self._all_nodes(sym)
+                        if n.kind in ("gringref", "gdynringref")}
+        for region in [r for r in sym.gring_writes
+                       if r not in read_regions]:
+            for w in sym.gring_writes.pop(region):
+                idx = GNode("gringidx", meta={
+                    "var": w.var, "offset": w.offset, "mod": w.mod,
+                    "origin": 0, "incl": False})
+                if w.offset != 0:
+                    raise SpecializeError(
+                        "write-only gated ring at a cursor offset")
+                sym.dyn_writes.append(_DynWrite(
+                    region[0], idx, w.value, w.gate, w.order))
+        for region, ws in sym.gring_writes.items():
+            if len(ws) > 1:
+                raise SpecializeError(
+                    "multiple writes per sample to one gated ring region")
+            w = ws[0]
+            if w.var not in sym.gated_mod_inductions:
+                raise SpecializeError(
+                    "gated ring write cursor is not a gated wrapped "
+                    "counter")
+            gate = sym.gate_of.get(w.var)
+            if gate is None or w.gate is not gate:
+                raise SpecializeError(
+                    "gated ring write outside its cursor's gate branch — "
+                    "write-when-advance is the supported idiom")
+            # read regions keep the single-scatter write-back: the read
+            # delay bound (>= L, checked below) already implies M > L,
+            # so in-segment G positions are distinct
+        reads: Dict[Tuple[int, int], List[GNode]] = {}
+        for n in self._all_nodes(sym):
+            if n.kind in ("gringref", "gdynringref"):
+                reads.setdefault(n.meta["region"], []).append(n)
+
+        def check_delay(delay_lo: float, delay_hi: float) -> None:
+            M = region[1]
+            if delay_hi > M - self.L:
+                # shrink the segment so the tap clears the write window
+                # across the mod seam too
+                l_new = (int(M - delay_hi) // self.B) * self.B
+                if l_new >= self.B and l_new < self.L:
+                    raise _SegmentRetry(l_new)
+                raise SpecializeError(
+                    "gated ring tap too close to the write head "
+                    "(mod wrap-around inside one segment)")
+            if delay_lo < self.L:
+                l_new = (int(delay_lo) // self.B) * self.B
+                if l_new >= self.B and l_new < self.L:
+                    raise _SegmentRetry(l_new)
+                raise SpecializeError(
+                    "gated ring feedback within one segment — min "
+                    f"G-space delay {delay_lo} < block {self.B}")
+
+        for region, rs in reads.items():
+            ws = sym.gring_writes.get(region)
+            for r in rs:
+                if r.meta.get("incl"):
+                    raise SpecializeError(
+                        "gated ring read at a post-advance cursor")
+                if ws is None:
+                    continue   # read-only region: carry/static gather
+                w = ws[0]
+                if r.meta["var"] != w.var:
+                    raise SpecializeError(
+                        "gated ring read and write use different cursors")
+                M = region[1]
+                if r.kind == "gringref":
+                    delay = (w.offset - r.meta["offset"]) % M
+                    check_delay(delay, delay)
+                else:
+                    # time-varying (ctrl-derived) tap delay D: read slot =
+                    # cursor + off - D, so the G-space delay is
+                    # w.offset - off + D — interval-bound D statically
+                    div = _node_interval(r.meta["dnode"])
+                    if div is None:
+                        raise SpecializeError(
+                            "gated ring tap with unboundable dynamic "
+                            "delay expression")
+                    off = r.meta["offset"]
+                    check_delay(w.offset - off + div[0],
+                                w.offset - off + div[1])
+        # region disjointness vs everything else the sample path touches
+        gregions = set(sym.gring_writes) | set(reads)
+        others = list(sym.ring_writes.keys()) \
+            + [(a, 1) for a in sym.read_cells] \
+            + [(a, 1) for a in sym.written_cells if a >= 0] \
+            + [n.meta["region"] for n in self._all_nodes(sym)
+               if n.kind in ("ringref", "dynringref")]
+        for origin, mod in gregions:
+            for o2, m2 in others:
+                if origin < o2 + m2 and o2 < origin + mod:
+                    raise SpecializeError(
+                        "gated ring region overlaps other addressed "
+                        "sample state — not vectorizable")
+            for o2, m2 in gregions:
+                if (origin, mod) != (o2, m2) and origin < o2 + m2 \
+                        and o2 < origin + mod:
+                    raise SpecializeError(
+                        "gated ring regions overlap at different "
+                        "origins/strides")
+
     def _plan(self, sym: _SymExec) -> None:
         self.sym = sym
         cache: Dict[int, Set] = {}
         plans: Dict[Any, _VarPlan] = {}
+        self._validate_gated_rings(sym)
 
         # dependency SCC check: mutual recursions are not supported in v1
         dep_edges: Dict[Any, Set] = {}
@@ -3138,6 +3571,17 @@ class SpecializedSampleKernel:
                         "wrapped-counter final value inconsistent with its "
                         "classification")
                 plans[key] = _VarPlan("modind", step=1, out=1, A=M)
+                continue
+            if key in sym.gated_mod_inductions:
+                M = sym.gated_mod_inductions[key]
+                if not (isinstance(out, GRingIdx) and out.var == key
+                        and out.origin == 0 and out.offset == 0
+                        and out.mod == M and out.incl
+                        and key in sym.gate_of):
+                    raise SpecializeError(
+                        "gated wrapped-counter final value inconsistent "
+                        "with its classification")
+                plans[key] = _VarPlan("gmodind", step=1, out=0, A=M)
                 continue
             if isinstance(out, CV):
                 plans[key] = _VarPlan("const", out=out.v)
@@ -3339,7 +3783,11 @@ class SpecializedSampleKernel:
         static = {n.meta["region"] for n in self._all_nodes(sym)
                   if n.kind in ("ringref", "dynringref")
                   and n.meta["region"] not in sym.ring_writes}
+        static |= {n.meta["region"] for n in self._all_nodes(sym)
+                   if n.kind in ("gringref", "gdynringref")
+                   and n.meta["region"] not in sym.gring_writes}
         self.static_ring_regions = sorted(static)
+        self.gring_regions = sorted(sym.gring_writes)
 
         # gated dynamic writes (write-only metering histories): resolve
         # index bounds and require full disjointness from everything the
@@ -3369,9 +3817,10 @@ class SpecializedSampleKernel:
                             "state — last-writer read resolution not "
                             "supported for gated writes yet")
         self.dyn_regions = sorted(self.dyn_write_map)
-        self.carry_regions = self.ring_regions + self.dyn_regions + (
-            self.static_ring_regions
-            if (self.coupled or self._hop_body is not None) else [])
+        self.carry_regions = self.ring_regions + self.dyn_regions \
+            + self.gring_regions + (
+                self.static_ring_regions
+                if (self.coupled or self._hop_body is not None) else [])
 
     # -- emission ------------------------------------------------------------
 
@@ -3394,8 +3843,11 @@ class SpecializedSampleKernel:
             # bake read-only regions as constants; in the coupled regime
             # they ride in the carry instead (@block may rewrite them)
             for node in self._all_nodes(sym):
-                if node.kind in ("ringref", "dynringref") \
-                        and node.meta["region"] not in sym.ring_writes:
+                if (node.kind in ("ringref", "dynringref")
+                        and node.meta["region"] not in sym.ring_writes) \
+                        or (node.kind in ("gringref", "gdynringref")
+                            and node.meta["region"]
+                            not in sym.gring_writes):
                     origin, mod = node.meta["region"]
                     snap.mem_ensure(origin + mod)
                     static_regions[(origin, mod)] = np.asarray(
@@ -3466,6 +3918,31 @@ class SpecializedSampleKernel:
                     return pos & (mod - 1)
                 return jnp.mod(pos, mod)  # non-pow2 ring (wrapped counter)
 
+            gate_cache: Dict[Any, Any] = {}
+
+            def gate_mask(var):
+                """0/1 f64 [L] gate stream of a gated cursor (f64 cumsum
+                is exact far beyond any count; an i64 cumsum lowers to a
+                u32-pair reduce-window that blows TPU vmem at 64k)."""
+                got = gate_cache.get(var)
+                if got is None:
+                    g = EM.truthy_mask(_arr(emit(sym.gate_of[var])))
+                    got = g.astype(jnp.float64)
+                    gate_cache[var] = got
+                return got
+
+            def gcursor_idx(var, offset, mod, incl):
+                """Gated cursor positions (anchor + gate-prefix + offset)
+                mod M as i64 [L]; incl=True is the post-advance value."""
+                m = gate_mask(var)
+                pre = jnp.cumsum(m)
+                if not incl:
+                    pre = pre - m
+                pos = EM.to_i64(scalars[var]) + EM.to_i64(pre) + offset
+                if mod & (mod - 1) == 0:
+                    return pos & (mod - 1)
+                return jnp.mod(pos, mod)
+
             def emit(x):
                 if not isinstance(x, GNode):
                     return x  # python float (broadcasts)
@@ -3489,6 +3966,30 @@ class SpecializedSampleKernel:
                 elif x.kind == "ringidx":
                     idx = cursor_idx(x.meta["var"], x.meta["offset"], x.meta["mod"], 0, L)
                     val = idx.astype(jnp.float64) + float(x.meta["origin"])
+                elif x.kind == "gringidx":
+                    idx = gcursor_idx(x.meta["var"], x.meta["offset"],
+                                      x.meta["mod"], x.meta["incl"])
+                    val = idx.astype(jnp.float64) + float(x.meta["origin"])
+                elif x.kind == "gringref":
+                    # plan-time validation pinned every tap of a written
+                    # gated region into carry HISTORY (G-space delay >= L),
+                    # so the gather never depends on this segment's writes
+                    region = x.meta["region"]
+                    src_arr = (rings[region] if region not in
+                               static_regions else
+                               jnp.asarray(static_regions[region]))
+                    idx = gcursor_idx(x.meta["var"], x.meta["offset"],
+                                      region[1], x.meta.get("incl", False))
+                    val = src_arr[idx]
+                elif x.kind == "gdynringref":
+                    # bounded dynamic-delay tap off a gated cursor: the
+                    # masked index expression IS the absolute slot; plan
+                    # time interval-proved it reaches only carry history
+                    region = x.meta["region"]
+                    src_arr = (rings[region] if region not in
+                               static_regions else
+                               jnp.asarray(static_regions[region]))
+                    val = src_arr[EM.to_i64(_arr(emit(x.args[0])))]
                 elif x.kind == "bin":
                     val = EM.BINARY[x.op](_arr(emit(x.args[0])), _arr(emit(x.args[1])))
                 elif x.kind == "call":
@@ -3705,7 +4206,7 @@ class SpecializedSampleKernel:
                         return got
                     if x.kind == "prev":
                         r = x.meta["key"] in scan_gset
-                    elif x.kind == "dynringref":
+                    elif x.kind in ("dynringref", "gdynringref"):
                         if any(is_internal(a) for a in x.args):
                             raise SpecializeError(
                                 "dynamic delay index driven by a sequential "
@@ -3852,6 +4353,10 @@ class SpecializedSampleKernel:
                     # end-of-sample cursor value: (c0 + t + step) mod M
                     val = cursor_idx(key, plan.out, plan.A, 0, L).astype(
                         jnp.float64)
+                elif plan.kind == "gmodind":
+                    # end-of-sample gated cursor: anchor + inclusive prefix
+                    val = gcursor_idx(key, 0, plan.A, True).astype(
+                        jnp.float64)
                 elif plan.kind == "stream":
                     val = _full(emit(plan.out))
                 elif plan.kind == "linrec":
@@ -3917,6 +4422,10 @@ class SpecializedSampleKernel:
                         new_vals.append(jnp.mod(
                             scalars[key] + float(plan.out + L - 1),
                             jnp.float64(plan.A)))
+                    elif plan.kind == "gmodind":
+                        new_vals.append(jnp.mod(
+                            scalars[key] + jnp.sum(gate_mask(key)),
+                            jnp.float64(plan.A)))
                     elif plan.kind == "const":
                         new_vals.append(jnp.float64(plan.out))
                     else:
@@ -3932,6 +4441,23 @@ class SpecializedSampleKernel:
                 ws_r = sym.ring_writes.get(region)
                 w = ws_r[-1] if ws_r else None
                 if w is None:
+                    gws = sym.gring_writes.get(region)
+                    if gws is not None:
+                        # gated ring write-back: in-segment writes land at
+                        # consecutive G-space positions (cursor advances
+                        # exactly when the write fires); inactive samples
+                        # redirect to the OOB dropland.  Positions are
+                        # distinct (plan enforces M >= L), so one scatter
+                        # is exact.
+                        g = gws[0]
+                        mod = region[1]
+                        gvals = _full(emit(g.value))
+                        gm = gate_mask(g.var)
+                        gidx = gcursor_idx(g.var, g.offset, mod, False)
+                        pos = jnp.where(gm > 0.0, gidx, mod)
+                        new_rings[region] = rings[region].at[pos].set(
+                            gvals, mode="drop")
+                        continue
                     dw = dyn_write_map.get(region)
                     if dw is None:  # carried read-only region: pass through
                         new_rings[region] = rings[region]
