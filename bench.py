@@ -110,23 +110,23 @@ def wait_device_healthy(budget_s: float) -> bool:
 
     t_end = time.time() + budget_s
     while True:
-        ok = {}
-
-        def probe():
-            try:
-                x = jnp.full((8,), 3.0)
-                ok["v"] = float(jax.block_until_ready(x.sum()))
-            except Exception as exc:  # noqa: BLE001
-                ok["err"] = str(exc)[:120]
-
-        import threading
-        th = threading.Thread(target=probe, daemon=True)
-        th.start()
-        th.join(timeout=60.0)
-        if ok.get("v") == 24.0:
-            return True
-        log(f"device probe failed ({ok.get('err', 'timeout')}); "
-            f"waiting for recovery")
+        # INLINE, no probe thread: the old 60s-join version ABANDONED a
+        # probe still blocked in the first D2H init (which takes 1-3 min
+        # on a fresh process) and then spawned more probes — and later
+        # real work — while the zombies were still mid-dispatch.
+        # Concurrent tunnel operations from abandoned threads are what
+        # poisoned the session into the round-3/4 'UNAVAILABLE: TPU
+        # device error' cascades that lost every catalog window.  A probe
+        # that blocks for minutes here just spends the budget it was
+        # given; the section subprocess timeout is the backstop.
+        try:
+            x = jnp.full((8,), 3.0)
+            if float(jax.block_until_ready(x.sum())) == 24.0:
+                return True
+            log("device probe returned a wrong value; retrying")
+        except Exception as exc:  # noqa: BLE001
+            log(f"device probe failed ({str(exc)[:120]}); "
+                f"waiting for recovery")
         if time.time() > t_end:
             return False
         time.sleep(30.0)
@@ -229,24 +229,18 @@ def _section_catalog(budget_s: float) -> dict:
     # bound (the first D2H fetch of a child process can take minutes at
     # bad placements), and serializing it after the 2-3 min CPU phase
     # ate the whole round-3 budget before one plugin warmed.
-    import threading
-    probe_done = threading.Event()
-    stop_probe = threading.Event()
-
-    def _probe():
-        # keep probing until it succeeds (or the section ends): the first
-        # D2H fetch of a process can take MINUTES at bad placements, and
-        # giving up early left round-3's timed sweep without a warmed
-        # fetch path
-        while not stop_probe.is_set():
-            if wait_device_healthy(90.0):
-                probe_done.set()
-                return
-
-    threading.Thread(target=_probe, daemon=True).start()
-    log("suite catalog: specializing (device probe in parallel)")
+    log("suite catalog: specializing (serial probe after)")
     renderers, skipped = build_catalog_renderers(
         "/root/reference", segment_len=1 << 16)
+    # ONE bounded SERIAL probe after the 100%-CPU specialization phase.
+    # Round 3 made this a concurrent thread (the serial pre-specialize
+    # probe had eaten the budget) — and the catalog then died to an
+    # instant 'UNAVAILABLE: TPU device error' cascade in EVERY round-3/4
+    # window: two threads issuing tunnel operations on one client poison
+    # the session.  Everything here is single-threaded now; the probe
+    # doubles as the D2H warmup for the final fetch-forced sweep.
+    probed_ok = wait_device_healthy(180.0)
+    log(f"suite catalog: serial probe {'ok' if probed_ok else 'timed out'}")
     log(f"suite catalog: specialized {len(renderers)} "
         f"(skipped {len(skipped)}); warming (H2D+compute need no D2H)")
     # per-plugin warmup with a clock check: a cold compile cache must not
@@ -257,6 +251,7 @@ def _section_catalog(budget_s: float) -> dict:
     # a later wedge costs the tail, not the section.
     MIN_WARM = 3
     warmed: dict = {}
+    consec_err = 0
     # an early progress marker: even a fully-wedged window then leaves a
     # salvageable JSON line (round-4 post-mortem: a device erroring from
     # warmup start printed NOTHING, so the parent salvaged None)
@@ -288,8 +283,10 @@ def _section_catalog(budget_s: float) -> dict:
                 xd = jax.device_put(xi)
                 jax.block_until_ready(r.render_files(xd))
                 warmed[slug] = (r, xd)
+                consec_err = 0
                 break
             except Exception as exc:  # noqa: BLE001
+                consec_err += 1
                 log(f"suite catalog: {slug} failed: {str(exc)[:160]}")
                 if attempt or (time.time() > t_end
                                and len(warmed) >= MIN_WARM):
@@ -303,6 +300,13 @@ def _section_catalog(budget_s: float) -> dict:
                         min(120.0, max(15.0, t_end - time.time())))
                 else:
                     time.sleep(min(30.0, max(5.0, t_end - time.time())))
+        if consec_err >= 8 and not warmed:
+            # a poisoned device handle never recovers within one client:
+            # bail with the partial result so the parent's fresh-process
+            # retry (new tunnel session) gets the remaining budget
+            log("suite catalog: device persistently erroring, nothing "
+                "warmed — bailing early for the fresh-process retry")
+            break
         if len(warmed) in (1, MIN_WARM) or (warmed and len(warmed) % 6 == 0):
             # incremental safety-net sweeps: no fetch (each fetch-forced
             # sweep costs a cold remote compile of its reduce)
@@ -310,12 +314,13 @@ def _section_catalog(budget_s: float) -> dict:
                            fetch_ok=False)
 
     if warmed:
-        # give the D2H warmup probe a bounded chance to land so the final
-        # sweep can use fetch-forced completion (honest timing)
-        probe_done.wait(timeout=max(0.0, min(120.0, t_end - time.time())))
+        # one more bounded serial probe if the first timed out, so the
+        # final sweep can use fetch-forced completion (honest timing)
+        if not probed_ok:
+            probed_ok = wait_device_healthy(
+                max(0.0, min(120.0, t_end - time.time())))
         _catalog_sweep(warmed, len(renderers), short, out,
-                       fetch_ok=probe_done.is_set())
-    stop_probe.set()
+                       fetch_ok=probed_ok)
     return out
 
 
