@@ -3601,6 +3601,15 @@ class SpecializedSampleKernel:
 
         self.scan_group = scc_group
         self.scan_groups = [sorted(g, key=repr) for g in group_sets]
+        # batching levels: groups with no dependency path between them
+        # solve in ONE lax.scan (filled from the gedges DAG below).
+        # Per-group scans cost a full sequential pass EACH — ADS's nine
+        # independent slew recurrences were nine 65536-step scans per
+        # segment, ~9x the sequential device time, enough to blow the
+        # remote execution deadline at 30 s renders (device then reports
+        # 'UNAVAILABLE ... kernel fault' and wedges).  Merging levels
+        # keeps each component's op order IDENTICAL (bit-exactness).
+        self.scan_levels: Dict[int, int] = {}
         if group_sets:
             # ring writes driven by a sequential group are fine as long as
             # no group transitively consumes a read of a region whose write
@@ -3684,6 +3693,24 @@ class SpecializedSampleKernel:
                     raise SpecializeError(
                         "cyclic entanglement between sequential recurrence "
                         "groups (through delay lines) — not vectorizable yet")
+
+            # DAG levels by longest dependency path: groups on one level
+            # are mutually independent and batch into one scan
+            def glevel(u, visiting) -> int:
+                got = self.scan_levels.get(u)
+                if got is not None:
+                    return got
+                visiting.add(u)
+                lv = 0
+                for v in gedges.get(u, ()):
+                    if v not in visiting:
+                        lv = max(lv, glevel(v, visiting) + 1)
+                visiting.discard(u)
+                self.scan_levels[u] = lv
+                return lv
+
+            for gi in range(len(group_sets)):
+                glevel(gi, set())
 
         # ring-ring cycle detection at PLAN time (emission recursion would
         # otherwise fail at render, after the engine already chose this
@@ -3855,6 +3882,7 @@ class SpecializedSampleKernel:
 
         scalar_index = self.scalar_index
         scan_groups = self.scan_groups
+        scan_levels = self.scan_levels
         ctrl_index = {k: i for i, k in enumerate(self.ctrl_order)}
         B = self.B
         rand_gated = self.rand_gated
@@ -4192,8 +4220,15 @@ class SpecializedSampleKernel:
                 graph is a DAG, checked at plan time)."""
                 if gid in solved_groups:
                     return
-                solved_groups.add(gid)
-                scan_group = scan_groups[gid]
+                # solve the whole DAG LEVEL in one lax.scan: levels are
+                # mutually independent, so batching only concatenates the
+                # carries — each component keeps its exact op order
+                level = scan_levels.get(gid, 0)
+                batch = [i for i in range(len(scan_groups))
+                         if scan_levels.get(i, 0) == level
+                         and i not in solved_groups]
+                solved_groups.update(batch)
+                scan_group = [k for i in batch for k in scan_groups[i]]
                 scan_gset = set(scan_group)
                 targets = {g: P_plans[g].out for g in scan_group}
                 internal_memo: Dict[int, bool] = {}
