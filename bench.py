@@ -219,7 +219,17 @@ def _section_catalog(budget_s: float) -> dict:
     # SEQUENTIALLY (one single-plugin program each): multi-plugin
     # stacked programs at this T exceed the remote TPU compiler's memory
     # cap, and a SIGKILLed compile wedges the device for many minutes.
-    short = int(30.0 * SRATE)
+    short = int(float(os.environ.get("ZORAK_CATALOG_SECONDS", "30"))
+                * SRATE)
+    # sequential-scan-bound plugins (uncoupled kernels carrying per-SCC
+    # lax.scans) run ~4-5 s of DEVICE time per 65536-sample segment (ADS
+    # measured 13.5x realtime): a 30 s input blows the remote execution
+    # deadline (~60-90 s), the dispatch dies 'UNAVAILABLE: TPU device
+    # error' and WEDGES the chip — the round-3/4 catalog killer.  They
+    # sweep a short input instead; the aggregate RT× is audio-seconds
+    # over wall either way.
+    short_seq = int(float(os.environ.get("ZORAK_CATALOG_SECONDS_SEQ",
+                                         "2")) * SRATE)
     rng = np.random.RandomState(11)
     xc = (rng.randn(2, short) * 0.25).astype(np.float32)
     # specialize BEFORE the first device dispatch: the multi-minute
@@ -267,10 +277,15 @@ def _section_catalog(budget_s: float) -> dict:
             # result beats being killed by the parent's child timeout
             log(f"suite catalog: hard deadline ({len(warmed)} warmed)")
             break
+        kern = getattr(r, "kernel", None)
+        seq_bound = bool(kern is not None and not kern.coupled
+                         and getattr(kern, "scan_groups", ()))
+        n_i = short_seq if seq_bound else short
         log(f"suite catalog: warming {slug} "
-            f"({len(warmed)} done, {t_end - time.time():.0f}s left)")
-        xi = xc[None, : r.nch] if xc.shape[0] >= r.nch else \
-            np.broadcast_to(xc[None, :1], (1, r.nch, short))
+            f"({len(warmed)} done, {t_end - time.time():.0f}s left, "
+            f"{n_i / SRATE:.0f}s{' seq' if seq_bound else ''})")
+        xi = xc[None, : r.nch, :n_i] if xc.shape[0] >= r.nch else \
+            np.broadcast_to(xc[None, :1, :n_i], (1, r.nch, n_i))
         xi = np.ascontiguousarray(xi)
         # one retry: the tunnel's remote compile server occasionally
         # drops mid-compile and recovers; compiles are banked in the
@@ -282,7 +297,7 @@ def _section_catalog(budget_s: float) -> dict:
                 # per-plugin H2D upload (~11 MB over the dev tunnel)
                 xd = jax.device_put(xi)
                 jax.block_until_ready(r.render_files(xd))
-                warmed[slug] = (r, xd)
+                warmed[slug] = (r, xd, n_i)
                 consec_err = 0
                 break
             except Exception as exc:  # noqa: BLE001
@@ -310,7 +325,7 @@ def _section_catalog(budget_s: float) -> dict:
         if len(warmed) in (1, MIN_WARM) or (warmed and len(warmed) % 6 == 0):
             # incremental safety-net sweeps: no fetch (each fetch-forced
             # sweep costs a cold remote compile of its reduce)
-            _catalog_sweep(warmed, len(renderers), short, out,
+            _catalog_sweep(warmed, len(renderers), out,
                            fetch_ok=False)
 
     if warmed:
@@ -319,15 +334,18 @@ def _section_catalog(budget_s: float) -> dict:
         if not probed_ok:
             probed_ok = wait_device_healthy(
                 max(0.0, min(120.0, t_end - time.time())))
-        _catalog_sweep(warmed, len(renderers), short, out,
+        _catalog_sweep(warmed, len(renderers), out,
                        fetch_ok=probed_ok)
     return out
 
 
-def _catalog_sweep(warmed: dict, total: int, short: int, out: dict,
+def _catalog_sweep(warmed: dict, total: int, out: dict,
                    fetch_ok: bool = False) -> None:
     """Timed sweep over the plugins warmed SO FAR; prints the result line
-    so a later wedge costs only the un-swept tail.
+    so a later wedge costs only the un-swept tail.  Input lengths are
+    PER-PLUGIN (sequential-scan-bound plugins sweep shorter inputs, see
+    _section_catalog); the aggregate RT× is total audio seconds rendered
+    over wall, which stays honest across mixed lengths.
 
     fetch_ok: when the D2H path is warmed, force completion by fetching a
     scalar reduced from every output (block_until_ready alone does not
@@ -342,22 +360,25 @@ def _catalog_sweep(warmed: dict, total: int, short: int, out: dict,
         # scalar fetch
         reduce_fn = jax.jit(
             lambda os: sum(jnp.abs(o[..., -4:]).sum() for o in os))
-        outs = [r.render_files(xi) for r, xi in warmed.values()]
+        outs = [r.render_files(xi) for r, xi, _n in warmed.values()]
         _ = float(reduce_fn(outs))
     t0 = time.perf_counter()
-    outs = [r.render_files(xi) for r, xi in warmed.values()]
+    outs = [r.render_files(xi) for r, xi, _n in warmed.values()]
     if fetch_ok:
         s = float(reduce_fn(outs))
     else:
         s = None
         jax.block_until_ready(outs)
     wall = time.perf_counter() - t0
-    out["catalog_sweep_rtx"] = round(len(warmed) * short / SRATE / wall, 1)
+    audio_s = sum(n for _r, _x, n in warmed.values()) / SRATE
+    out["catalog_sweep_rtx"] = round(audio_s / wall, 1)
+    out["catalog_audio_seconds"] = round(audio_s, 1)
     out["catalog_plugins_vectorized"] = len(warmed)
     out["catalog_plugins_total"] = total
     out["catalog_fetch_forced"] = bool(fetch_ok)
     log(f"suite catalog: {out['catalog_sweep_rtx']}x "
-        f"({len(warmed)}/{total} plugins, fetch_forced={fetch_ok}, s={s})")
+        f"({len(warmed)}/{total} plugins, {audio_s:.0f}s audio, "
+        f"fetch_forced={fetch_ok}, s={s})")
     print(json.dumps(out), flush=True)
 
 
