@@ -128,39 +128,64 @@ def main():
             catalog_batch_render
 
         short = int(min(secs, 30.0) * srate)
+        # sequential-scan-bound plugins (uncoupled kernels with per-SCC
+        # scans, e.g. ADS at ~13.5x realtime on-device) blow the remote
+        # execution deadline at 30 s inputs — the dispatch dies
+        # 'UNAVAILABLE: TPU device error' and wedges the chip (round-4
+        # post-mortem; see bench.py _section_catalog).  They sweep 2 s.
+        short_seq = int(min(secs, 2.0) * srate)
         x = (rng.randn(2, short) * 0.25).astype(np.float32)
         log("catalog: specializing kernels")
         renderers, skipped = build_catalog_renderers(args.catalog,
                                                      segment_len=1 << 16)
+
+        def _n_for(r):
+            kern = getattr(r, "kernel", None)
+            if kern is not None and not kern.coupled \
+                    and getattr(kern, "scan_groups", ()):
+                return short_seq
+            return short
+
         log("catalog: compiling (warmup render)")
-        outs = {}
+        staged = {}
         for slug, r in renderers.items():
-            log(f"catalog: warmup {slug}")
-            xi = x[None, : r.nch] if x.shape[0] >= r.nch else \
-                np.broadcast_to(x[None, :1], (1, r.nch, x.shape[1]))
-            outs[slug] = r.render_files(np.ascontiguousarray(xi))
-            jax.block_until_ready(outs[slug])
+            n_i = _n_for(r)
+            log(f"catalog: warmup {slug} ({n_i / srate:.0f}s)")
+            xi = x[None, : r.nch, :n_i] if x.shape[0] >= r.nch else \
+                np.broadcast_to(x[None, :1, :n_i], (1, r.nch, n_i))
+            xd = jax.device_put(np.ascontiguousarray(xi))
+            jax.block_until_ready(r.render_files(xd))
+            staged[slug] = (r, xd, n_i)
         # timed pass: kernels specialized AND compiled; render only
         log("catalog: timed render")
         t0 = time.perf_counter()
-        outs, _ = catalog_batch_render(args.catalog, x, renderers=renderers)
+        outs = {slug: r.render_files(xd) for slug, (r, xd, _n) in
+                staged.items()}
         jax.block_until_ready(list(outs.values()))
         wall = time.perf_counter() - t0
-        total_audio = len(outs) * short / srate
+        total_audio = sum(n for _r, _x, n in staged.values()) / srate
         emit("catalog_sweep", total_audio / wall,
-             {"plugins_vectorized": len(outs), "plugins_fallback": len(skipped)})
+             {"plugins_vectorized": len(outs), "plugins_fallback": len(skipped),
+              "audio_seconds": round(total_audio, 1)})
 
         # stacked: fuse plugin groups into single dispatches (the
-        # sequential sweep pays per-dispatch tunnel latency per plugin)
+        # sequential sweep pays per-dispatch tunnel latency per plugin).
+        # Sequential-scan-bound plugins are EXCLUDED: one of them inside
+        # a stacked program drags the whole dispatch past the execution
+        # deadline and a killed dispatch wedges the device.
         from zorak_tpu.parallel import catalog_stacked_render
 
+        stackable = {slug: r for slug, r in renderers.items()
+                     if _n_for(r) == short}
         plan = {}
-        log("catalog: stacked compile + warmup")
-        outs, nd = catalog_stacked_render(renderers, x, plan=plan)
+        log(f"catalog: stacked compile + warmup ({len(stackable)} "
+            f"plugins; {len(renderers) - len(stackable)} seq-bound kept "
+            "sequential)")
+        outs, nd = catalog_stacked_render(stackable, x, plan=plan)
         jax.block_until_ready(list(outs.values()))
         log(f"catalog: stacked timed render ({nd} dispatches)")
         t0 = time.perf_counter()
-        outs, nd = catalog_stacked_render(renderers, x, plan=plan)
+        outs, nd = catalog_stacked_render(stackable, x, plan=plan)
         jax.block_until_ready(list(outs.values()))
         wall = time.perf_counter() - t0
         emit("catalog_sweep_stacked", len(outs) * short / srate / wall,
