@@ -3260,6 +3260,11 @@ class SpecializedSampleKernel:
             for x in (dw.idx, dw.value, dw.gate):
                 if isinstance(x, GNode):
                     push(x)
+        for gws in sym.gring_writes.values():
+            for gw in gws:
+                for x in (gw.value, gw.gate):
+                    if isinstance(x, GNode):
+                        push(x)
         while stack:
             n = stack.pop()
             yield n
@@ -3445,6 +3450,15 @@ class SpecializedSampleKernel:
 
         def check_delay(delay_lo: float, delay_hi: float) -> None:
             M = region[1]
+            # an unbounded clamp side yields +/-inf and inf*0 in the
+            # interval product yields NaN; both must reject (NaN bounds
+            # would make the comparisons below silently False -> unsound
+            # vectorization, and int(inf) raises OverflowError, not
+            # SpecializeError, so the engine's demote path would crash)
+            if not (math.isfinite(delay_lo) and math.isfinite(delay_hi)):
+                raise SpecializeError(
+                    "gated ring tap with unboundable (non-finite) delay "
+                    "interval")
             if delay_hi > M - self.L:
                 # shrink the segment so the tap clears the write window
                 # across the mod seam too
@@ -3834,6 +3848,7 @@ class SpecializedSampleKernel:
         if self.dyn_write_map:
             read_spans = list(static) + \
                 list(sym.ring_writes.keys()) + \
+                list(self.gring_regions) + \
                 [(a, 1) for a in sym.read_cells] + \
                 [(a, 1) for a in sym.written_cells if a >= 0]
             for origin, mod in self.dyn_write_map:

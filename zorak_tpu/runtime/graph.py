@@ -125,6 +125,9 @@ class RenderGraph:
         to keep the ring pristine for the render."""
         from ..lowering import SpecializeError, specialize_sample_kernel
 
+        # jitted joint-scan closures capture kernel objects; a rebuild
+        # must not reuse closures over the previous build's kernels
+        self._lockstep_fns.clear()
         for i, (node, plug, host) in enumerate(
                 zip(self.nodes, self.plugins, self.hosts)):
             nch = max(1, node.program.io_channels["process"])
@@ -365,6 +368,15 @@ class RenderGraph:
             changed = np.nonzero(old[:n] != gnp[:n])[0]
             seg.cells[:n] = gnp[:n]
             if changed.size:
-                seg.bump(int(changed.min()), int(changed.max()),
-                         getattr(self.hosts[lock[0]],
-                                 "instance_id_int", 0))
+                # COARSE attribution: the joint scan collapses all blocks
+                # into one device render, so the per-writer-per-block
+                # page_seq cadence of the all-shadow schedule is not
+                # recoverable post-hoc.  Bump once per member in node
+                # order over the changed span — page_writer ends as the
+                # LAST lockstep member (the schedule's final writer) and
+                # page_seq advances once per member instead of once per
+                # member per block.  Host-side change detection (seq
+                # monotonicity) stays sound; exact seq values differ.
+                for i in lock:
+                    seg.bump(int(changed.min()), int(changed.max()),
+                             getattr(self.hosts[i], "instance_id_int", 0))
