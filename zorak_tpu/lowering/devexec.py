@@ -32,6 +32,18 @@ from .specialize import SpecializeError
 class DeviceExecKernel:
     """Whole-plugin sequential device render kernel."""
 
+    # @sample big-branch outlining (devgen cond_outline): arms past this
+    # AST weight lower as real stablehlo.case regions, partitioning the
+    # per-sample step into separate XLA computations.  The remote TPU
+    # compile helper's memory use tracks the largest computation after
+    # call inlining — Sample.jsfx's monolithic @sample scan body
+    # (~950k flattened ops) was SIGKILLed; partitioned it compiles.
+    # Applied to the @sample section only: @block/@slider ride the
+    # sectioned statement-split path whose compiled artifacts are
+    # already banked in the persistent TPU cache.
+    _SAMPLE_COND_OUTLINE = int(__import__("os").environ.get(
+        "ZORAK_SAMPLE_COND_OUTLINE", 500))
+
     def __init__(self, program: PluginProgram, snapshot, nch: int,
                  segment_len: int = 1 << 17, block_size: int = 512,
                  rand_pool: int = 1 << 18,
@@ -87,7 +99,10 @@ class DeviceExecKernel:
                     probe = {s: DeviceSection(
                         program, snapshot, s, self._dyn, size,
                         consts={"samplesblock": float(self.B)},
-                        rand_pool=rand_pool, reify=True) for s in secs}
+                        rand_pool=rand_pool, reify=True,
+                        cond_outline=(self._SAMPLE_COND_OUTLINE
+                                      if s == "sample" else 0))
+                        for s in secs}
                     self._any_gmem = any(p.uses_gmem
                                          for p in probe.values())
                     self._any_mout = any(p.uses_midi_out
@@ -106,7 +121,9 @@ class DeviceExecKernel:
                         force_gmem=self._any_gmem,
                         force_midi_out=self._any_mout,
                         rand_pool=self._rand_cap, reduced_heap=True,
-                        fft_sizes=self._fft_sizes, reify=True)
+                        fft_sizes=self._fft_sizes, reify=True,
+                        cond_outline=(self._SAMPLE_COND_OUTLINE
+                                      if section == "sample" else 0))
 
                 _dbg(f"section builds (heap {size})")
                 self.sample = build("sample", self.B)
@@ -216,7 +233,8 @@ class DeviceExecKernel:
                 consts={"samplesblock": float(rem)},
                 force_gmem=self._any_gmem, force_midi_out=self._any_mout,
                 rand_pool=self._rand_cap, reduced_heap=True,
-                fft_sizes=self._fft_sizes, reify=True)
+                fft_sizes=self._fft_sizes, reify=True,
+                cond_outline=self._SAMPLE_COND_OUTLINE)
             blk_r = DeviceSection(
                 self.P, self.snap, "block", self._dyn,
                 self.sample.mem_size,
@@ -424,7 +442,8 @@ class DeviceExecKernel:
                     force_gmem=self._any_gmem,
                     force_midi_out=self._any_mout,
                     rand_pool=self._rand_cap, reduced_heap=True,
-                    fft_sizes=self._fft_sizes, reify=True)
+                    fft_sizes=self._fft_sizes, reify=True,
+                    cond_outline=self._SAMPLE_COND_OUTLINE)
                 self._rem_cache[("samp", rem)] = samp_r
             samp_fn_r = sample_fn(samp_r, ("samp", rem))
 

@@ -144,7 +144,8 @@ class DeviceSection:
                  body: Optional[Sequence[Node]] = None,
                  force_gmem: bool = False, force_midi_out: bool = False,
                  rand_pool: int = 0, reduced_heap: bool = False,
-                 fft_sizes: Sequence[int] = (), reify: bool = False):
+                 fft_sizes: Sequence[int] = (), reify: bool = False,
+                 cond_outline: int = 0):
         """force_gmem / force_midi_out: include the gmem segment / MIDI-OUT
         table in the heap layout even when THIS section doesn't touch them,
         so several sections (block/slider/sample in the sequential device
@@ -166,7 +167,22 @@ class DeviceSection:
         # device executor opts in: exported calls have no vmap batching
         # rule, so the lane-batched coupled pipeline must keep plain jit.
         self.reify = bool(reify)
+        # big-branch outlining: traced-branch arms past this AST weight
+        # lower as REAL stablehlo.case regions (jax.lax.switch) instead
+        # of if-converted speculative execution (_merged).  Two effects:
+        # (1) the arm becomes its own XLA computation — remote TPU
+        # compile memory tracks the largest single computation after
+        # call inlining (Sample.jsfx's @sample step flattens to ~950k
+        # ops in ONE scan-body computation → compile-helper SIGKILL;
+        # Texture's 145k-op program compiles), and control-flow regions
+        # are the only partition XLA cannot inline away; (2) the untaken
+        # arm is SKIPPED at run time instead of executed-and-masked —
+        # the FX-strip idiom `amt > 0.0001 ? apply_fx()` stops paying
+        # for disabled effects.  0 = off (if-conversion only).
+        self.cond_outline = int(cond_outline)
         self._n_merges = 0
+        self._n_cond_outlined = 0
+        self._stmt_weights: Dict[int, int] = {}
         # explicit statement list (e.g. an extracted hop-call body) instead
         # of a named section
         self.body = list(body) if body is not None \
@@ -821,6 +837,83 @@ class DeviceSection:
         ev = jnp.float64(eval_) if isinstance(eval_, float) else eval_
         return jnp.where(m, tv, ev)
 
+    def _cond_outline_ok(self, then_node, else_node) -> bool:
+        """Outline a traced branch as a real stablehlo.case when either
+        arm is heavy (see cond_outline).  Trace-time file-cursor folds
+        cannot ride a deferred region, so arms touching the file API
+        keep the if-conversion path."""
+        if not self.cond_outline:
+            return False
+        w = 0
+        for node in (then_node, else_node):
+            if node is None:
+                continue
+            got = self._stmt_weights.get(id(node))
+            if got is None:
+                got = self._node_weight(node)
+                self._stmt_weights[id(node)] = got
+            w = max(w, got)
+        if w < self.cond_outline:
+            return False
+        for node in (then_node, else_node):
+            if node is not None and self._has_file_ops(node):
+                return False
+        return True
+
+    def _cond_switch(self, cond, then_node, else_node, scope, src=None):
+        """Traced branch as jax.lax.switch: exactly one arm executes.
+
+        Semantics match _merged (and the golden executors): the taken
+        arm's writes land, the untaken arm's don't, the expression value
+        is the taken arm's value (0.0 for a missing arm).  Under an
+        ambient branch predicate the switch gains an identity branch so
+        an inactive speculative context touches nothing.  Arms trace
+        with NO predicate stack (they only run when taken, so their
+        writes need no masking), entering with the current static
+        overlay (valid at the branch point) and leaving only statics
+        neither arm can write (_loop_kept_known)."""
+        import jax
+
+        jnp = self._jnp
+        self._n_cond_outlined += 1
+        m = EM.truthy_mask(cond)
+        outer = self._pred
+        kept = self._loop_kept_known(
+            [x for x in (then_node, else_node) if x is not None], scope)
+        known0 = dict(self._known)
+
+        def arm(node):
+            def f(ops):
+                vars0, mem0 = ops
+                save = (self.vars, self.mem, self._known, self._pred)
+                self.vars, self.mem = vars0, mem0
+                self._known = dict(known0)
+                self._pred = None
+                try:
+                    val = self.ex(node, scope) if node is not None else 0.0
+                    return (self.vars, self.mem,
+                            jnp.asarray(self._arr(val), jnp.float64))
+                finally:
+                    (self.vars, self.mem,
+                     self._known, self._pred) = save
+            return f
+
+        def ident(ops):
+            v, mm = ops
+            return v, mm, jnp.float64(0.0)
+
+        mi = m.astype(jnp.int32)
+        if outer is None:
+            idx = mi
+            branches = [arm(else_node), arm(then_node)]
+        else:
+            idx = jnp.where(outer, 1 + mi, 0)
+            branches = [ident, arm(else_node), arm(then_node)]
+        self.vars, self.mem, val = jax.lax.switch(
+            idx, branches, (self.vars, self.mem))
+        self._known = dict(kept)
+        return val
+
     _FILE_FNS = frozenset({
         "file_open", "file_open_multi", "file_close", "file_avail",
         "file_rewind", "file_seek", "file_mem", "file_riff", "file_var",
@@ -1393,6 +1486,9 @@ class DeviceSection:
             if self._is_pure(n.then) and (n.other is None
                                           or self._is_pure(n.other)):
                 return self._pure_where(c, n.then, n.other, scope)
+            if self._cond_outline_ok(n.then, n.other):
+                return self._cond_switch(c, n.then, n.other, scope,
+                                         src=n.pos)
             return self._merged(c, lambda: self.ex(n.then, scope),
                                 lambda: self.ex(n.other, scope), src=n.pos)
         if isinstance(n, Asn):
@@ -1413,6 +1509,9 @@ class DeviceSection:
                     self.ex(n.then, scope)
                 elif n.other is not None:
                     self.ex(n.other, scope)
+                return 0.0
+            if self._cond_outline_ok(n.then, n.other):
+                self._cond_switch(c, n.then, n.other, scope, src=n.pos)
                 return 0.0
             self._merged(
                 c, lambda: self.ex(n.then, scope),

@@ -107,7 +107,8 @@ def section_key(sec, shapes_key) -> str:
     h.update(repr((sec._UNROLL_MERGE_BUDGET,
                    sec._UNROLL_WEIGHT_BUDGET,
                    sec._UNROLL_TRACED_WEIGHT_BUDGET,
-                   sec._MERGE_BUDGET)).encode())
+                   sec._MERGE_BUDGET,
+                   sec.cond_outline)).encode())
     h.update(sec.P.source.encode())
     h.update(sec.section.encode())
     h.update(repr([repr(n.pos) for n in sec.body]).encode())
