@@ -400,7 +400,8 @@ class _SymExec:
                  mod_inductions: Optional[Dict[Any, int]] = None,
                  const_overrides: Optional[Dict[Any, float]] = None,
                  settled_vars: Optional[Set[Any]] = None,
-                 gated_mod_inductions: Optional[Dict[Any, int]] = None):
+                 gated_mod_inductions: Optional[Dict[Any, int]] = None,
+                 masked_loop_k: int = 32):
         self.P = program
         self.snap = snapshot              # ShadowState after init/slider
         # block-invariant constants (post-@block values; the block runs
@@ -442,6 +443,11 @@ class _SymExec:
         self.rand_slots = 0
         self.rand_sites: List[Tuple[int, Optional[GNode]]] = []
         self._branch_depth = 0
+        # data-dependent loop(n) masked unrolls whose bound K was a GUESS
+        # (no finite static interval on n): each entry (count_node, K)
+        # feeds the runtime overflow monitor — see _masked_loop
+        self.masked_loop_k = int(masked_loop_k)
+        self.masked_loops: List[Tuple[GNode, int]] = []
         self.L_hint = segment_len_hint
 
         for c in range(nch):
@@ -470,6 +476,8 @@ class _SymExec:
             return float(self.snap.mem[a]) if a < len(self.snap.mem) else 0.0
         if kind == "rand":
             return 0.0  # consumed-draw counter starts at the pool head
+        if kind == "mloop":
+            return 0.0  # masked-loop overflow monitor starts clean
         raise AssertionError(key)
 
     def read_key(self, key) -> SymVal:
@@ -692,6 +700,37 @@ class _SymExec:
                 return TS(GNode("dynringref", args=(idx_node,),
                                 meta={"region": (origin, mod),
                                       "order": self.order}))
+            # interval-bounded dynamic read: EEL clamp idioms bound the
+            # address statically (ref Texture.jsfx:2547-2563 tex_read —
+            # `frame < 0 ? frame = 0; frame > lim ? frame = lim` then
+            # base + floor(frame)*ch) even when no pow2 mask exists.
+            # The bounded span becomes a read-only gather region through
+            # the existing dynringref machinery; spans the sample path
+            # WRITES reject in the discovery/plan disjointness checks
+            # (meta["ivr"] marks these for the concrete-write overlap
+            # check — regions from mask/wrap idioms keep their historic
+            # legality rules).
+            ivr = _node_interval(addr.node)
+            if ivr is not None and math.isfinite(ivr[0]) \
+                    and math.isfinite(ivr[1]) and ivr[0] >= 0.0:
+                origin = int(math.floor(ivr[0]))
+                hi_i = int(math.floor(ivr[1] + 1.0e-5))
+                mod = hi_i - origin + 1
+                if 1 <= mod <= self.IVREAD_MAX_SPAN:
+                    # emission truncates once more (idempotent): node is
+                    # floor(raw + 1e-5) - origin, exactly mem_address
+                    # minus the region base (raw >= 0, so floor == trunc)
+                    idx_node = GNode(
+                        "bin", op="-",
+                        args=(GNode("call", op="floor",
+                                    args=(GNode("bin", op="+",
+                                                args=(addr.node, 1.0e-5)),)),
+                              float(origin)))
+                    self.order += 1
+                    return TS(GNode("dynringref", args=(idx_node,),
+                                    meta={"region": (origin, mod),
+                                          "ivr": True,
+                                          "order": self.order}))
         if isinstance(addr, IndAff):
             raise SpecializeError("unbounded cursor mem read (no mask)")
         # dynamic address: tolerated during discovery passes, fatal at final
@@ -1129,7 +1168,7 @@ class _SymExec:
         if isinstance(n, LoopExpr):
             cnt = self.eval(n.count, scope)
             if not isinstance(cnt, CV):
-                raise SpecializeError("data-dependent loop count in @sample")
+                return self._masked_loop(n, cnt, scope)
             trips = max(0, SC.trunc_i64(cnt.v))
             if trips > MAX_UNROLL:
                 raise SpecializeError(f"loop too long to unroll ({trips})")
@@ -1154,6 +1193,55 @@ class _SymExec:
             return CV(1.0 if SC.truthy(sv.v) else 0.0)
         node = self._node(sv)
         return TS(GNode("select", args=(node, 1.0, 0.0)))
+
+    # masked bounded unroll of data-dependent loop(n) — the Texture
+    # event-bounds expansion scans (ref Texture.jsfx:3411-3447:
+    # loop(max_bins, cont ? (... left -= 1 : cont = 0))) are the catalog
+    # class this covers.  EEL evaluates the count ONCE at loop entry and
+    # runs the body trunc(n) times; K static iterations each gated by
+    # (n >= i+1) through the branch-merge machinery are bit-equivalent
+    # (a masked-off iteration leaves every write untouched; the loop's
+    # value is the last ACTIVE body value, 0.0 when n < 1).
+    MASKED_UNROLL_MAX = 4096
+    MASKED_UNROLL_WEIGHT = 1 << 17
+    # interval-bounded dynamic reads: largest read-only span (cells) that
+    # may bake/carry as a gather region
+    IVREAD_MAX_SPAN = 1 << 22
+
+    def _masked_loop(self, n: LoopExpr, cnt: SymVal, scope) -> SymVal:
+        cnt_node = self._node(cnt)
+        iv = _node_interval(cnt_node)
+        K = None
+        guessed = False
+        if iv is not None and math.isfinite(iv[1]):
+            K = max(0, SC.trunc_i64(iv[1]))
+        if K is None or K > self.MASKED_UNROLL_MAX:
+            # no usable static bound: guess, and register the count node
+            # with the runtime overflow monitor — a render whose n ever
+            # exceeds K is INVALID and the kernel rebuilds with a doubled
+            # K and replays (render_device), mirroring the devexec
+            # reduced-heap ladder
+            K = self.masked_loop_k
+            guessed = True
+        if K > self.MASKED_UNROLL_MAX:
+            raise SpecializeError(
+                f"data-dependent loop bound {K} past the masked-unroll "
+                "cap")
+        body_nodes = sum(1 for _ in walk(n.body))
+        if K * body_nodes > self.MASKED_UNROLL_WEIGHT:
+            raise SpecializeError(
+                f"masked loop too heavy to unroll ({K} x {body_nodes} "
+                "nodes)")
+        if guessed:
+            self.masked_loops.append((cnt_node, K))
+        last: SymVal = CV(0.0)
+        for i in range(K):
+            gate = self.binop(">=", cnt, CV(float(i + 1)))
+            prev = last
+            last = self._merged_exec(gate,
+                                     lambda: self.eval(n.body, scope),
+                                     lambda p=prev: p, scope=scope)
+        return last
 
     def _assign(self, n: Asn, scope: Dict[str, SymVal]) -> SymVal:
         rhs = self.eval(n.value, scope)
@@ -1437,10 +1525,18 @@ def _node_interval(node, memo=None) -> Optional[Tuple[float, float]]:
     elif node.kind == "call" and node.op in ("floor", "ceil", "abs"):
         a = iv(node.args[0])
         if a is not None:
+            # half-infinite intervals flow out of one-sided clamps;
+            # math.floor/ceil raise on inf, so pass infinities through
+            def _fl(v):
+                return v if math.isinf(v) else math.floor(v)
+
+            def _ce(v):
+                return v if math.isinf(v) else math.ceil(v)
+
             if node.op == "floor":
-                out = (math.floor(a[0]), math.floor(a[1]))
+                out = (_fl(a[0]), _fl(a[1]))
             elif node.op == "ceil":
-                out = (math.ceil(a[0]), math.ceil(a[1]))
+                out = (_ce(a[0]), _ce(a[1]))
             else:
                 lo = 0.0 if a[0] <= 0.0 <= a[1] else min(abs(a[0]), abs(a[1]))
                 out = (lo, max(abs(a[0]), abs(a[1])))
@@ -1966,7 +2062,8 @@ class SpecializedSampleKernel:
     """Compiled, segment-scanned render kernel for one plugin config."""
 
     def __init__(self, program: PluginProgram, snapshot, nch: int,
-                 segment_len: int = 1 << 17, block_size: int = 512):
+                 segment_len: int = 1 << 17, block_size: int = 512,
+                 masked_loop_k: Optional[int] = None):
         import jax
 
         self.P = program
@@ -1974,6 +2071,12 @@ class SpecializedSampleKernel:
         self.nch = nch
         self.B = int(block_size)
         self.L = max(self.B, (int(segment_len) // self.B) * self.B)
+        # guessed bound for data-dependent loop(n) masked unrolls; the
+        # overflow ladder in render_device doubles it when a render's
+        # realized n exceeds the guess (see _SymExec._masked_loop)
+        self.masked_loop_k = int(
+            masked_loop_k if masked_loop_k is not None
+            else os.environ.get("ZORAK_MASKED_LOOP_K", 32))
         # unrolled FIR banks / deep branch merges build node graphs past
         # CPython's default recursion ceiling
         if sys.getrecursionlimit() < 100_000:
@@ -3071,7 +3174,8 @@ class SpecializedSampleKernel:
                            mod_inductions=mod_inductions,
                            const_overrides=self._block_consts,
                            settled_vars=settled,
-                           gated_mod_inductions=gated_inductions)
+                           gated_mod_inductions=gated_inductions,
+                           masked_loop_k=self.masked_loop_k)
             try:
                 sym.run(self._sample_stmts)
             except SpecializeError:
@@ -3154,6 +3258,15 @@ class SpecializedSampleKernel:
                         raise SpecializeError(
                             "mem read region overlaps a written ring at a "
                             "different origin/stride — cannot vectorize")
+                if node_check.meta.get("ivr") and any(
+                        o <= a < o + m
+                        for a in sym.written_cells if a >= 0):
+                    # an interval-span gather sees the segment-start copy;
+                    # a concrete @sample write inside it would be invisible
+                    # to later reads — reject honestly
+                    raise SpecializeError(
+                        "interval-bounded mem read span overlaps "
+                        "@sample-written cells — cannot vectorize")
         if not self.coupled:
             sample_spans = [(a, 1) for a in sym.written_cells if a >= 0]
             sample_spans += list(sym.ring_writes.keys())
@@ -3814,6 +3927,11 @@ class SpecializedSampleKernel:
         carried |= {("spl", c) for c in range(self.nch)}
         if self.rand_gated:
             carried.add(("rand", "used"))
+        if sym.masked_loops:
+            # runtime monitor for guessed masked-loop bounds: the carried
+            # scalar accumulates max(realized n - K) across segments;
+            # render_device checks it and rebuilds with a doubled K
+            carried.add(("mloop", "ovf"))
         self.carried_vars = sorted(carried, key=repr)
         self.scalar_index = {key: i for i, key in enumerate(self.carried_vars)}
         self.ring_regions = sorted(
@@ -4463,6 +4581,19 @@ class SpecializedSampleKernel:
                     gated_rand_vals()
                     new_vals.append(scalars[key]
                                     + rand_ctx["fires"].astype(jnp.float64))
+                elif key == ("mloop", "ovf"):
+                    # masked-loop overflow monitor: max over the segment
+                    # of (realized loop count - guessed bound K), carried
+                    # as a running max — any positive value means this
+                    # render is INVALID and render_device's ladder
+                    # rebuilds with a doubled K and replays
+                    acc = scalars[key]
+                    for cnt_node, k_lim in sym.masked_loops:
+                        acc = jnp.maximum(
+                            acc,
+                            jnp.max(_full(emit(cnt_node)))
+                            - jnp.float64(float(k_lim)))
+                    new_vals.append(acc)
                 elif key in P_plans:
                     plan = P_plans[key]
                     if plan.kind == "induction":
@@ -4829,6 +4960,68 @@ class SpecializedSampleKernel:
 
     def render_device(self, x: np.ndarray, carry=None, midi=None,
                       ctrl=None, _sync=False):
+        """Public render entry: _render_device_once behind the masked-loop
+        overflow ladder.  Kernels with GUESSED data-dependent loop(n)
+        bounds (sym.masked_loops) check the carried overflow monitor
+        after each render: a positive value means some sample's realized
+        loop count exceeded the unroll bound K, the audio is invalid, and
+        the kernel rebuilds with a doubled K and replays — one scalar D2H
+        per render on exactly the kernels that need the guard, zero cost
+        for everything else (the devexec reduced-heap ladder pattern)."""
+        if not self.sym.masked_loops:
+            return self._render_device_once(x, carry, midi=midi, ctrl=ctrl,
+                                            _sync=_sync)
+        import jax
+
+        T = x.shape[1]
+        fresh = carry is None
+        if ctrl is None and self.has_block and not self.coupled:
+            # compute the host trajectory ONCE and pass it explicitly: a
+            # replay after a rebuild must not re-advance the trajectory
+            # plugin's state (resumed renders) or re-run @block
+            nfb = T // self.B
+            rem = T - nfb * self.B
+            self._traj_midi_out = []
+            if midi or not fresh:
+                ctrl = self.control_trajectory(nfb, rem, midi=midi,
+                                               resume=not fresh)
+            else:
+                ctrl = self.cached_trajectory(nfb, rem)
+        rng_save = (self._rng_state, self._rng_prestate)
+        hop_save = self._hop_phase if self._hop is not None else None
+        for _attempt in range(8):
+            out = self._render_device_once(x, carry, midi=midi, ctrl=ctrl,
+                                           _sync=_sync)
+            fcarry = out[1]
+            c0 = fcarry[0]
+            svec = c0[0] if isinstance(c0, tuple) else c0
+            slot = self.scalar_index[("mloop", "ovf")]
+            ovf = float(np.asarray(jax.device_get(svec[slot])))
+            if ovf <= 0.0:
+                return out
+            old_k = self.masked_loop_k
+            new_k = 1 << max(1, int(old_k + ovf - 1).bit_length())
+            import sys as _sys
+
+            print(f"[specialize] masked-loop bound {old_k} exceeded by "
+                  f"{ovf:.0f}; rebuilding with K={new_k} and replaying",
+                  file=_sys.stderr, flush=True)
+            traj_save = (self.last_control_state, self._traj_midi_out,
+                         self.last_midi_out, self._traj_plugin)
+            bigger = specialize_sample_kernel(
+                self.P, self.snap, self.nch, segment_len=self.L,
+                block_size=self.B, masked_loop_k=new_k)
+            self.__dict__.update(bigger.__dict__)
+            self._rng_state, self._rng_prestate = rng_save
+            if hop_save is not None:
+                self._hop_phase = hop_save
+            (self.last_control_state, self._traj_midi_out,
+             self.last_midi_out, self._traj_plugin) = traj_save
+        raise SpecializeError("masked-loop overflow ladder did not "
+                              "converge")
+
+    def _render_device_once(self, x: np.ndarray, carry=None, midi=None,
+                            ctrl=None, _sync=False):
         """x: float32 [nch, T].  Returns (y_dev float32 jnp [nch, T], carry).
 
         midi: optional [(offset, b1, b2, b3)] at the kernel's rate, only
@@ -5108,7 +5301,9 @@ class SpecializedSampleKernel:
 
 def specialize_sample_kernel(program: PluginProgram, snapshot, nch: int,
                              segment_len: int = 1 << 17,
-                             block_size: int = 512) -> SpecializedSampleKernel:
+                             block_size: int = 512,
+                             masked_loop_k: Optional[int] = None
+                             ) -> SpecializedSampleKernel:
     # time-blocked scans: ring-ring delay cycles break when the segment
     # shrinks below the minimum cross-ring coupling delay — each retry
     # strictly shrinks L, so this terminates
@@ -5116,7 +5311,8 @@ def specialize_sample_kernel(program: PluginProgram, snapshot, nch: int,
         try:
             return SpecializedSampleKernel(program, snapshot, nch,
                                            segment_len,
-                                           block_size=block_size)
+                                           block_size=block_size,
+                                           masked_loop_k=masked_loop_k)
         except _SegmentRetry as r:
             segment_len = r.segment_len
     raise SpecializeError("segment-shrink retry did not converge")

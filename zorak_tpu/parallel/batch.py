@@ -34,6 +34,7 @@ class BatchRenderer:
                  segment_len: int = 1 << 16, block_size: int = 512):
         self.program = program
         self.srate = srate
+        self._sliders = dict(sliders) if sliders else None
         self.nch = max(1, program.io_channels["process"])
         shadow = make_initialized_shadow(program, srate, sliders)
         self.kernel = specialize_sample_kernel(
@@ -111,7 +112,32 @@ class BatchRenderer:
         carry, ctrl, rand = staged
         if not isinstance(x, jax.Array):
             x = jnp.asarray(np.ascontiguousarray(x, np.float32))
-        y, _ = fn(carry, x, ctrl, rand)
+        y, fcarry = fn(carry, x, ctrl, rand)
+        if getattr(kern.sym, "masked_loops", None):
+            # guessed masked-loop bound: check the carried overflow
+            # monitor across the batch (one scalar D2H, only for kernels
+            # that carry the guard) and rebuild+replay with a doubled K
+            # when any file's realized loop count exceeded it — the
+            # render_device ladder, batched
+            c0 = fcarry[0]
+            svec = c0[0] if isinstance(c0, tuple) else c0
+            slot = kern.scalar_index[("mloop", "ovf")]
+            ovf = float(np.asarray(svec[..., slot]).max())
+            if ovf > 0.0:
+                new_k = 1 << max(1, int(kern.masked_loop_k + ovf
+                                        - 1).bit_length())
+                from ..lowering import specialize_sample_kernel
+                from ..verify.nulltest import make_initialized_shadow
+
+                shadow = make_initialized_shadow(
+                    self.program, self.srate, self._sliders)
+                self.kernel = specialize_sample_kernel(
+                    self.program, shadow.state, self.nch,
+                    segment_len=kern.L, block_size=kern.B,
+                    masked_loop_k=new_k)
+                self._batched_fns.clear()
+                self._staged.clear()
+                return self.render_files(x, mesh=mesh)
         return y
 
 
