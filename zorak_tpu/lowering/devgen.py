@@ -59,6 +59,43 @@ class DevgenError(Exception):
 PENDING_SLOT_NAMES = ("__pend_chg__", "__pend_auto__", "__pend_auto_end__")
 MIDI_POS_SLOT = "__midi_pos__"
 MIDI_OUT_CAP = 64  # staged sends per block (drop past this, like the ref queue)
+# device message-bus staging (graph joint-lockstep scan, VERDICT r4 #5):
+# a coupled node's @block sends land in a heap-tail OUT table (count +
+# rows of [dest, chan_id, tag, a, b, c, d]) the joint scan appends to the
+# threaded ring window; inbound matched entries are routed into per-
+# channel FIFO queues ([head, count, cap rows of [sender, tag, a..d]])
+# msg_recv pops.  Capacities bound per-BLOCK traffic; the in-region's
+# first cell counts device-side queue-overflow drops the graph refuses
+# post-render (the shadow inbox is unbounded, so an overflow would be a
+# silent semantic deviation).  Ref: src/DspJsfxMessageBus.cpp:529,609.
+MSG_OUT_CAP = 32       # sends per member per block
+MSG_QUEUE_CAP = 64     # pending scalar messages per receive channel
+# OUT row: [bc, dest, chan_id, tag, a, b, c, d] — bc is an explicit
+# broadcast flag (a dest sentinel would collide with msg_sendto(-1,...))
+MSG_ENT = 8
+MSG_QENT = 6           # queue row: sender, tag, a, b, c, d
+
+
+class MsgConfig:
+    """Live-bus lowering context for a DeviceSection (graph lockstep).
+
+    chan_ids: the graph-shared channel-name -> small-int registry (one
+    dict per CommWorld so every member bakes the same ids); host: the
+    node's InstanceComm, used to FOLD static topology queries
+    (instance_id / msg_peer_* / msg_dropped) at trace time — the peer
+    registry is frozen during a render, exactly the reference's
+    begin/end-block world."""
+
+    def __init__(self, chan_ids: Dict[str, int], host):
+        self.chan_ids = chan_ids
+        self.host = host
+
+    def intern(self, name: str) -> int:
+        got = self.chan_ids.get(name)
+        if got is None:
+            got = len(self.chan_ids)
+            self.chan_ids[name] = got
+        return got
 RAND_POS_SLOT = "__rand_pos__"  # draws consumed from the staged MT19937 pool
 # reduced-heap mode: high-water mark of dynamic plugin-heap WRITE
 # addresses; the render wrapper checks it and rebuilds with a larger
@@ -145,7 +182,7 @@ class DeviceSection:
                  force_gmem: bool = False, force_midi_out: bool = False,
                  rand_pool: int = 0, reduced_heap: bool = False,
                  fft_sizes: Sequence[int] = (), reify: bool = False,
-                 cond_outline: int = 0):
+                 cond_outline: int = 0, msg_cfg: Optional[MsgConfig] = None):
         """force_gmem / force_midi_out: include the gmem segment / MIDI-OUT
         table in the heap layout even when THIS section doesn't touch them,
         so several sections (block/slider/sample in the sequential device
@@ -197,6 +234,10 @@ class DeviceSection:
         host = getattr(snapshot, "host", None)
         self.comm_solo = (not isinstance(host, InstanceComm)
                           or bool(getattr(host, "comm_solo", False)))
+        # live-bus msg staging (graph joint-lockstep scan): only with an
+        # explicit config AND a live bus host — solo folding wins otherwise
+        self.msg_cfg = msg_cfg if (msg_cfg is not None
+                                   and not self.comm_solo) else None
         self._validate(self.body)
         # memoized transitive node weights per user function (see
         # _node_weight; drives the unroll-vs-fori decision)
@@ -237,7 +278,25 @@ class DeviceSection:
         self.midi_out_base = self.mem_size + self.gmem_cells
         self.midi_out_cells = (1 + MIDI_OUT_CAP * 4) \
             if self.uses_midi_out else 0
-        self.rand_base = self.midi_out_base + self.midi_out_cells
+        # staged message-bus regions (live-bus lockstep members only;
+        # zero cells otherwise so solo layouts are bit-unchanged).  Both
+        # regions are allocated whenever msg_cfg is on — uniform plumbing
+        # lets the joint scan consume/emit one plane shape per member.
+        self.msg_out_base = self.midi_out_base + self.midi_out_cells
+        self.msg_out_cells = (1 + MSG_OUT_CAP * MSG_ENT) \
+            if self.msg_cfg is not None else 0
+        self.msg_in_base = self.msg_out_base + self.msg_out_cells
+        self.msg_queues: Dict[int, int] = {}   # chan_id -> queue base
+        if self.msg_cfg is not None:
+            off = self.msg_in_base + 1         # cell 0: device-drop count
+            for name in self._msg_recv_channel_names():
+                cid = self.msg_cfg.intern(name)
+                self.msg_queues[cid] = off
+                off += 2 + MSG_QUEUE_CAP * MSG_QENT
+            self.msg_in_cells = off - self.msg_in_base
+        else:
+            self.msg_in_cells = 0
+        self.rand_base = self.msg_in_base + self.msg_in_cells
         # DFT matmul tables (cos/sin, n^2 cells each) ride the heap tail
         # too: BAKED dense constants for the catalog's 512-point FFTs were
         # 2 MB of StableHLO text apiece and put Sample.jsfx's step 33 MB
@@ -264,7 +323,8 @@ class DeviceSection:
         # heap overflow) redirect their index to total_mem and DUS's
         # start-clamp lands them in the trash cell, which nothing reads.
         self.total_mem = self.mem_size + self.gmem_cells \
-            + self.midi_out_cells + self.rand_cells + self.fft_cells + 1
+            + self.midi_out_cells + self.msg_out_cells \
+            + self.msg_in_cells + self.rand_cells + self.fft_cells + 1
 
         # slot table: dynamic vars + every specialized-fn param (params are
         # assigned per call; functions are non-reentrant, so one slot each)
@@ -298,6 +358,17 @@ class DeviceSection:
         "comm_join", "instance_id", "instance_set_name",
     })
 
+    # the live-bus subset a lockstep member's device section supports:
+    # scalar ring traffic via staged planes + static topology folds.
+    # Registry mutators (subscribe/advertise/join/set_name), buffer
+    # messages, and msg_peek stay rejected — honest shadow fallback.
+    _MSG_DEVICE_FNS = frozenset({
+        "msg_send", "msg_sendto", "msg_recv",
+        "msg_avail", "msg_kind", "msg_length", "msg_dropped", "msg_clear",
+        "msg_peer_count", "msg_peer_id", "msg_peer_caps", "msg_peer_alive",
+        "instance_id",
+    })
+
     _FORBIDDEN = frozenset({
         "rand", "midisend_buf", "midirecv_buf", "midisend_str",
         "midirecv_str", "midisyx",
@@ -327,6 +398,9 @@ class DeviceSection:
                                 scan([self.P.fn_defs[f].body])
                         elif f in self._COMM_FNS and self.comm_solo:
                             pass  # folds inert at trace time (_comm_call)
+                        elif f in self._MSG_DEVICE_FNS \
+                                and self.msg_cfg is not None:
+                            pass  # staged ring traffic (_msg_call)
                         elif f == "rand" and self.rand_cells > 0:
                             pass  # staged-pool draws (_rand_call)
                         elif f in self._FORBIDDEN:
@@ -1671,6 +1745,8 @@ class DeviceSection:
             for a in n.args:
                 self.ex(a, scope)
             return 0.0
+        if f in self._MSG_DEVICE_FNS and self.msg_cfg is not None:
+            return self._msg_call(f, n.args, scope)
         if f in self._COMM_FNS and self.comm_solo:
             # inert solo semantics (matches shadow.state.HostServices):
             # args still evaluate (reads only — out-params of msg_recv/
@@ -2133,6 +2209,232 @@ class DeviceSection:
         self._mem_set(idx, row, drop=True)
         self._mem_set(base, jnp.minimum(n0 + 1.0, float(MIDI_OUT_CAP)))
         return vals[1]
+
+    # -- message bus (live-bus lockstep staging) -----------------------------
+
+    _MSG_RECV_SIDE = frozenset({
+        "msg_recv", "msg_avail", "msg_kind", "msg_length", "msg_clear"})
+
+    def _msg_recv_channel_names(self):
+        """Receive channels this section (and its callees) name statically,
+        in source order — each gets a heap FIFO queue.  A receive call
+        whose channel doesn't resolve to one of these at trace time
+        raises (honest shadow fallback)."""
+        from ..frontend.astnodes import walk
+
+        names: list = []
+        seen_fns: Set[str] = set()
+
+        def resolve(a) -> Optional[str]:
+            if isinstance(a, Str):
+                return a.text
+            if isinstance(a, Name):
+                try:
+                    v = self._snap_value(_env_key(a.ident))
+                except AssertionError:
+                    return None
+                return self._handle_name(v)
+            if isinstance(a, Const):
+                return self._handle_name(float(a.value))
+            return None
+
+        def scan(nodes) -> None:
+            for root in nodes:
+                for n in walk(root):
+                    if not isinstance(n, CallExpr):
+                        continue
+                    if n.func in self.P.fn_defs \
+                            and n.func not in seen_fns:
+                        seen_fns.add(n.func)
+                        scan([self.P.fn_defs[n.func].body])
+                    elif n.func in self._MSG_RECV_SIDE and n.args:
+                        nm = resolve(n.args[0])
+                        if nm is not None and nm not in names:
+                            names.append(nm)
+        scan(self.body)
+        return names
+
+    def _handle_name(self, handle: float) -> str:
+        """bus.InstanceComm._chan_name: interned text, else the numeric
+        repr (numeric channel handles are legal)."""
+        text = self.snap.string_for_handle(float(handle))
+        return text if text is not None else repr(float(handle))
+
+    def _msg_chan_id(self, arg: Node, scope, f: str) -> int:
+        v = self.ex(arg, scope)
+        if not self._is_static(v):
+            raise DevgenError(f"{f}: channel must fold static on device")
+        return self.msg_cfg.intern(self._handle_name(v))
+
+    def _msg_bump_drops(self, extra) -> None:
+        """Count a dropped staged send / queue overflow in the in-region's
+        drop cell; the graph REFUSES a render whose members dropped (the
+        shadow outbox/inbox are unbounded, so capacity loss would be a
+        silent semantic deviation)."""
+        c = self.msg_in_base
+        self._mem_set(c, self._arr(self.mem[c]) + self._arr(extra))
+
+    def _msg_append_out(self, bc: float, dest, cid: int, vals, live):
+        """Append [bc, dest, chan_id, tag, a, b, c, d] to the OUT table
+        when `live` (traced bool); drops count toward the refuse cell."""
+        jnp = self._jnp
+        base = self.msg_out_base
+        n0 = self._arr(self.mem[base])
+        fits = n0 < float(MSG_OUT_CAP)
+        ok = jnp.logical_and(live, fits)
+        slot = base + 1 + jnp.where(
+            ok, EM.to_i64(n0), jnp.int64(MSG_OUT_CAP)) * MSG_ENT
+        row = jnp.stack([jnp.float64(bc), self._arr(dest),
+                         jnp.float64(float(cid))]
+                        + [self._arr(v) for v in vals])
+        idx = slot + jnp.arange(MSG_ENT)
+        idx = jnp.where(ok, idx, self.total_mem)
+        self._mem_set(idx, row, drop=True)
+        self._mem_set(base, jnp.where(ok, n0 + 1.0, n0))
+        self._msg_bump_drops(jnp.where(jnp.logical_and(live, ~fits),
+                                       1.0, 0.0))
+
+    def _msg_call(self, f: str, args: Sequence[Node], scope):
+        """Live-bus builtins for a joint-lockstep member (graph device
+        mode): sends stage into the heap OUT table the joint scan
+        publishes to the threaded ring window; receives pop per-channel
+        heap FIFO queues the scan materializes at the member's
+        begin-block point; topology queries fold against the frozen
+        registry.  Semantics: comm/bus.py InstanceComm (ref:
+        src/DspJsfxMessageBus.cpp:529,609 block-resolved delivery)."""
+        jnp = self._jnp
+        host = self.msg_cfg.host
+
+        if f == "instance_id":
+            return float(host.instance_id_value)
+
+        if f in ("msg_peer_count", "msg_peer_id"):
+            name = self._handle_name(self._static_arg(args[0], scope, f))
+            role = int(self._static_arg(args[1], scope, f))
+            peers = host.domain.peers_for(name, role,
+                                          exclude=host.instance_id_int)
+            if f == "msg_peer_count":
+                return float(len(peers))
+            idx = self.ex(args[2], scope)
+            if self._is_static(idx):
+                i = int(idx)
+                return float(peers[i]) if 0 <= i < len(peers) else 0.0
+            tab = jnp.asarray(np.asarray(peers, np.float64)) if peers \
+                else jnp.zeros((1,), jnp.float64)
+            i = EM.to_i64(self._arr(idx))
+            ok = jnp.logical_and(i >= 0, i < len(peers))
+            return jnp.where(ok, tab[jnp.clip(i, 0, max(0, len(peers) - 1))],
+                             0.0)
+
+        if f in ("msg_peer_caps", "msg_peer_alive"):
+            ids = sorted(host.domain.instances)
+            caps = [float(host.domain.instances[i].caps) for i in ids]
+            peer = self.ex(args[0], scope)
+            if self._is_static(peer):
+                p = host.domain.instances.get(int(peer)) \
+                    if np.isfinite(peer) else None
+                if f == "msg_peer_alive":
+                    return 1.0 if p is not None else 0.0
+                return float(p.caps) if p is not None else 0.0
+            idtab = jnp.asarray(np.asarray(ids or [-1], np.int64))
+            captab = jnp.asarray(np.asarray(caps or [0.0], np.float64))
+            pi = EM.to_i64(self._arr(peer))
+            j = jnp.clip(jnp.searchsorted(idtab, pi), 0, idtab.shape[0] - 1)
+            alive = idtab[j] == pi
+            if f == "msg_peer_alive":
+                return jnp.where(alive, 1.0, 0.0)
+            return jnp.where(alive, captab[j], 0.0)
+
+        if f == "msg_send":
+            cid = self._msg_chan_id(args[0], scope, f)
+            vals = [self.ex(a, scope) for a in args[1:]]
+            self._msg_append_out(1.0, 0.0, cid, vals, jnp.asarray(True))
+            return 1.0
+
+        if f == "msg_sendto":
+            dest = self._arr(self.ex(args[0], scope))
+            cid = self._msg_chan_id(args[1], scope, f)
+            vals = [self.ex(a, scope) for a in args[2:]]
+            # int(dest) raises on NaN/inf in the golden -> returns 0.0
+            # without sending (NaN != NaN covers NaN; the magnitude
+            # guard covers inf without jnp.isfinite, which the TPU
+            # f64-emulation pass does not lower)
+            valid = jnp.logical_and(dest == dest, jnp.abs(dest) < 1e18)
+            di = jnp.trunc(jnp.where(valid, dest, 0.0))
+            self._msg_append_out(0.0, di, cid, vals, valid)
+            return jnp.where(valid, 1.0, 0.0)
+
+        # queue-side builtins
+        cid = self._msg_chan_id(args[0], scope, f)
+        if f == "msg_dropped":
+            # frozen host count: the device path never evicts (window
+            # capacity is enforced post-render by the graph)
+            name = self._handle_name(self._static_arg(args[0], scope, f))
+            return float(host.dropped.get(name, 0))
+        qb = self.msg_queues.get(cid)
+        if qb is None:
+            raise DevgenError(f"{f}: channel not in the static receive "
+                              "set of this section")
+        head = self._arr(self.mem[qb])
+        cnt = self._arr(self.mem[qb + 1])
+        if f == "msg_avail":
+            return cnt
+        if f == "msg_kind":
+            # device members exchange scalars only (buffer sends are
+            # rejected at build), so a pending message is KIND_SCALAR
+            return jnp.where(cnt > 0.0, 1.0, 0.0)
+        if f == "msg_length":
+            return jnp.where(cnt > 0.0, 4.0, 0.0)
+        if f == "msg_clear":
+            self._mem_set(qb, jnp.mod(head + cnt, float(MSG_QUEUE_CAP)))
+            self._mem_set(qb + 1, jnp.float64(0.0))
+            return cnt
+        if f == "msg_recv":
+            if len(args) != 7:
+                raise DevgenError("msg_recv expects 7 args")
+            import jax
+
+            have = cnt > 0.0
+            slot = qb + 2 + EM.to_i64(head) * MSG_QENT
+            row = jax.lax.dynamic_slice(self.mem, (slot,), (MSG_QENT,))
+            for k, a in enumerate(args[1:]):
+                self._msg_store_outparam(a, row[k], have, scope, f)
+            nh = head + 1.0
+            nh = jnp.where(nh >= float(MSG_QUEUE_CAP), 0.0, nh)
+            self._mem_set(qb, jnp.where(have, nh, head))
+            self._mem_set(qb + 1, jnp.where(have, cnt - 1.0, cnt))
+            return jnp.where(have, 1.0, 0.0)
+        raise DevgenError(f"{f}: not device-executable")
+
+    def _static_arg(self, a: Node, scope, f: str) -> float:
+        v = self.ex(a, scope)
+        if not self._is_static(v):
+            raise DevgenError(f"{f}: argument must fold static on device")
+        return float(v)
+
+    def _msg_store_outparam(self, tgt: Node, val, have, scope,
+                            fn: str) -> None:
+        """Out-params write only when a message arrived (golden: stores
+        untouched otherwise)."""
+        jnp = self._jnp
+        if isinstance(tgt, Name):
+            key = scope.get(tgt.ident) or _env_key(tgt.ident)
+            if key[0] == "builtin":
+                raise DevgenError(f"{fn}: out-arg writes builtin {key[1]}")
+            if key not in self.slots:
+                raise DevgenError(f"{fn}: out-param {tgt.ident} "
+                                  "unclassified")
+            old = self._arr(self._read_slot(key))
+            self._write_slot(key, jnp.where(have, self._arr(val), old))
+            return
+        if isinstance(tgt, Mem) and not (isinstance(tgt.base, Name)
+                                         and tgt.base.ident == "gmem"):
+            a = self._mem_addr(self.ex(tgt.base, scope),
+                               self.ex(tgt.index, scope))
+            idx = jnp.where(have, a, self.total_mem)
+            self._mem_set(idx, self._arr(val), drop=True, heap=True)
+            return
+        raise DevgenError(f"{fn}: out-arg must be a variable or mem[] slot")
 
     def _gmem_call(self, f: str, args: Sequence[Node], scope):
         """Bulk gmem ops on the heap-tail segment view; semantics mirror

@@ -2237,10 +2237,12 @@ class SpecializedSampleKernel:
             trial_sz = 1 << max(22, int(max(self.P.memtop or 0,
                                             len(self.snap.mem))
                                         - 1).bit_length())
+            trial_msg = self._make_msg_cfg()
             trial = DeviceSection(
                 self.P, self.snap, "block",
                 section_dynamic_keys(self.P, ("block", "sample")),
-                trial_sz, consts={"samplesblock": float(self.B)})
+                trial_sz, consts={"samplesblock": float(self.B)},
+                msg_cfg=trial_msg)
             # force one trace now: trace-time rejections (merge budget,
             # dynamic fft bases, ...) must fall back at BUILD time, not
             # explode at render
@@ -2263,7 +2265,8 @@ class SpecializedSampleKernel:
                     self.P, self.snap, "slider",
                     section_dynamic_keys(
                         self.P, ("block", "slider", "sample")),
-                    trial_sz, consts={"samplesblock": float(self.B)})
+                    trial_sz, consts={"samplesblock": float(self.B)},
+                    msg_cfg=trial_msg)
                 jax.eval_shape(
                     trial_sl.step,
                     jax.ShapeDtypeStruct((trial_sl.n_vars,), jnp.float64),
@@ -2693,13 +2696,14 @@ class SpecializedSampleKernel:
         secs = ("block", "slider", "sample") if self._retriggers \
             else ("block", "sample")
         self._dev_dyn = section_dynamic_keys(self.P, secs)
+        msg_cfg = self._make_msg_cfg()
         try:
             self._devblock = DeviceSection(
                 self.P, self.snap, "block", self._dev_dyn, size,
-                consts={"samplesblock": float(self.B)})
+                consts={"samplesblock": float(self.B)}, msg_cfg=msg_cfg)
             self._devslider = DeviceSection(
                 self.P, self.snap, "slider", self._dev_dyn, size,
-                consts={"samplesblock": float(self.B)}) \
+                consts={"samplesblock": float(self.B)}, msg_cfg=msg_cfg) \
                 if self._retriggers else None
         except DevgenError as exc:
             raise SpecializeError(f"audio-coupled @block: {exc}") from None
@@ -2708,6 +2712,44 @@ class SpecializedSampleKernel:
                 continue
             raise SpecializeError(
                 f"coupled control key {key!r} has no device source")
+
+    def _make_msg_cfg(self):
+        """Live-bus lowering context for the device @block (graph joint-
+        lockstep members, VERDICT r4 #5): enabled when the snapshot's
+        host is a live InstanceComm and the program's DSP sections touch
+        the message bus.  The channel-id registry is one dict per
+        CommWorld so every member of a graph bakes the same ids."""
+        from ..comm.bus import InstanceComm
+        from ..frontend.astnodes import CallExpr, walk
+        from .devgen import DeviceSection, MsgConfig
+
+        host = getattr(self.snap, "host", None)
+        if not isinstance(host, InstanceComm) \
+                or getattr(host, "comm_solo", False):
+            return None
+        touched = [False]
+        seen_fns: set = set()
+
+        def scan(nodes) -> None:
+            for root in nodes:
+                for n in walk(root):
+                    if not isinstance(n, CallExpr):
+                        continue
+                    if n.func in DeviceSection._COMM_FNS:
+                        touched[0] = True
+                    elif n.func in self.P.fn_defs \
+                            and n.func not in seen_fns:
+                        seen_fns.add(n.func)
+                        scan([self.P.fn_defs[n.func].body])
+        for sec in ("slider", "block", "sample"):
+            scan(self.P.sections.get(sec, ()))
+        if not touched[0]:
+            return None
+        world = host.world
+        ids = getattr(world, "msg_chan_ids", None)
+        if ids is None:
+            ids = world.msg_chan_ids = {}
+        return MsgConfig(ids, host)
 
     def _build_hop(self) -> None:
         """Compile the extracted hop body (FFT block work fired every N
@@ -2948,13 +2990,15 @@ class SpecializedSampleKernel:
         dev = self._devblock
         dev_rem = DeviceSection(
             self.P, self.snap, "block", self._dev_dyn, dev.mem_size,
-            consts={"samplesblock": float(rem)}) if rem else None
+            consts={"samplesblock": float(rem)},
+            msg_cfg=dev.msg_cfg) if rem else None
         nch = self.nch
         n_rand = self.n_rand
         n_ctrl = len(self.ctrl_order)
 
         devslider = self._devslider
-        from .devgen import MIDI_POS_SLOT, PENDING_SLOT_NAMES
+        from .devgen import (MIDI_POS_SLOT, MSG_QENT, MSG_QUEUE_CAP,
+                             PENDING_SLOT_NAMES)
         pend_slots = [dev.slots[("var", nm)] for nm in PENDING_SLOT_NAMES]
         use_midi = dev.uses_midi_in
         use_mout = dev.uses_midi_out
@@ -2965,6 +3009,15 @@ class SpecializedSampleKernel:
                                   "no gmem use")
         g_base, g_cells = dev.gmem_base, dev.gmem_cells
         mo_base, mo_cells = dev.midi_out_base, dev.midi_out_cells
+        # live-bus lockstep staging (VERDICT r4 #5): consume a matched
+        # ring-window plane into the per-channel heap FIFO queues at the
+        # member's begin-block point; emit [drop-cell | OUT table] after
+        # the device @block so the joint scan can publish its sends
+        use_msg = dev.msg_out_cells > 0
+        msg_out_base, msg_out_cells = dev.msg_out_base, dev.msg_out_cells
+        msg_in_base = dev.msg_in_base
+        msg_queues = sorted(dev.msg_queues.items())
+        msg_trash = dev.total_mem
         mpos_slot = dev.slots[("var", MIDI_POS_SLOT)]
         inter = [k for k in self.carried_vars if k in dev.slots]
         svec_sl = np.asarray([self.scalar_index[k] for k in inter], np.int64)
@@ -2978,10 +3031,50 @@ class SpecializedSampleKernel:
         ctrl_mem = [(i, k[1]) for i, k in enumerate(self.ctrl_order)
                     if k[0] == "mem" and k not in dev.slots]
 
+        def _msg_route(bmem, ment_b, mmask_b):
+            """Append matched ring-window entries (rows of [sender, bc,
+            dest, cid, tag, a, b, c, d], active per mmask_b) into the
+            member's per-channel heap FIFO queues, in ring order (FIFO =
+            arrival order, comm/bus.py begin_block).  Queue overflow
+            counts into the drop cell the graph refuses post-render."""
+            W = int(ment_b.shape[0])
+
+            def route(g, bm):
+                ent = ment_b[g]
+                act = mmask_b[g]
+                cid = ent[3]
+                row = jnp.stack([ent[0], ent[4], ent[5], ent[6],
+                                 ent[7], ent[8]])
+                for c, qb in msg_queues:
+                    sel = jnp.logical_and(act, cid == float(c))
+                    head = bm[qb]
+                    cnt = bm[qb + 1]
+                    fits = cnt < float(MSG_QUEUE_CAP)
+                    ok = jnp.logical_and(sel, fits)
+                    pos = head + cnt
+                    pos = jnp.where(pos >= float(MSG_QUEUE_CAP),
+                                    pos - float(MSG_QUEUE_CAP), pos)
+                    slot = qb + 2 + pos.astype(jnp.int64) * MSG_QENT
+                    idx = jnp.where(ok, slot + jnp.arange(MSG_QENT),
+                                    msg_trash)
+                    bm = bm.at[idx].set(row, mode="drop")
+                    bm = jax.lax.dynamic_update_slice(
+                        bm, jnp.where(ok, cnt + 1.0, cnt)[None], (qb + 1,))
+                    bm = jax.lax.dynamic_update_slice(
+                        bm, (bm[msg_in_base]
+                             + jnp.where(jnp.logical_and(sel, ~fits),
+                                         1.0, 0.0))[None], (msg_in_base,))
+                return bm
+            return jax.lax.fori_loop(0, W, route, bmem)
+
         def make_step(devsec, segf):
             def step(carry, xs):
                 (svec, rings), bvars, bmem = carry
                 xs = list(xs)
+                ment_b = mmask_b = None
+                if use_msg:
+                    mmask_b = xs.pop()
+                    ment_b = xs.pop()
                 gin_b = xs.pop() if g_consume else None
                 if use_midi:
                     xblk, randblk, mev_b, mn_b = xs
@@ -3006,6 +3099,11 @@ class SpecializedSampleKernel:
                     bmem = bmem.at[cell_ad].set(svec[cell_sv])
                 if use_mout:
                     bmem = bmem.at[mo_base:mo_base + mo_cells].set(0.0)
+                if use_msg:
+                    # begin-block: materialize the member's matched ring
+                    # entries, then a fresh OUT table for this block
+                    bmem = _msg_route(bmem, ment_b, mmask_b)
+                    bmem = bmem.at[msg_out_base].set(0.0)
                 bvars, bmem = devsec.cached_step(bvars, bmem, midi=midi_blk)
                 if devslider is not None:
                     # @block retriggered @slider: re-run it on device and
@@ -3041,6 +3139,13 @@ class SpecializedSampleKernel:
                 if g_emit:
                     out = out + (jax.lax.dynamic_slice(
                         bmem, (g_base,), (g_cells,)),)
+                if use_msg:
+                    # [cumulative drop cell | OUT count | rows] — the
+                    # joint scan publishes the rows to the ring window
+                    out = out + (jnp.concatenate([
+                        bmem[msg_in_base][None],
+                        jax.lax.dynamic_slice(
+                            bmem, (msg_out_base,), (msg_out_cells,))]),)
                 return ((svec, rings), bvars, bmem), \
                     out[0] if len(out) == 1 else out
             return step
@@ -3051,6 +3156,8 @@ class SpecializedSampleKernel:
             n_ctrl=n_ctrl, use_midi=use_midi, use_mout=use_mout,
             g_emit=g_emit, g_consume=g_consume,
             g_cells=g_cells, mo_cells=mo_cells,
+            use_msg=use_msg, msg_in_base=msg_in_base,
+            msg_plane_cells=1 + msg_out_cells,
             step_full=(make_step(dev, seg) if nfull else None),
             step_rem=(make_step(dev_rem, seg_rem) if rem else None))
 
@@ -3088,7 +3195,7 @@ class SpecializedSampleKernel:
             gouts = []
 
             def split(out, blocky: bool):
-                if not (use_mout or g_emit):
+                if not (use_mout or g_emit or ns.use_msg):
                     return out
                 outs = list(out)
                 y = outs.pop(0)
@@ -3098,6 +3205,8 @@ class SpecializedSampleKernel:
                 if g_emit:
                     go = outs.pop(0)
                     gouts.append(go if blocky else go[None, :])
+                if ns.use_msg:
+                    outs.pop(0)   # standalone render: sends vanish
                 return y
 
             if nfull:
@@ -3108,6 +3217,11 @@ class SpecializedSampleKernel:
                     else (xin, rin)
                 if g_consume:
                     xs = xs + (gin[:nfull],)
+                if ns.use_msg:
+                    # inert ring planes: a standalone coupled render has
+                    # no lockstep peers (graphs feed real planes)
+                    xs = xs + (jnp.zeros((nfull, 1, 9)),
+                               jnp.zeros((nfull, 1), bool))
                 carry, yb = jax.lax.scan(ns.step_full, carry, xs)
                 yb = split(yb, blocky=True)
                 ys.append(yb.transpose(1, 0, 2).reshape(nch, nfull * B))
@@ -3117,6 +3231,9 @@ class SpecializedSampleKernel:
                     xs_r = xs_r + (mev[nfull], mn[nfull])
                 if g_consume:
                     xs_r = xs_r + (gin[nfull],)
+                if ns.use_msg:
+                    xs_r = xs_r + (jnp.zeros((1, 9)),
+                                   jnp.zeros((1,), bool))
                 carry, y_r = ns.step_rem(carry, xs_r)
                 y_r = split(y_r, blocky=False)
                 ys.append(y_r)
@@ -5387,7 +5504,7 @@ class _TrajStepper:
 
 
 def lockstep_gmem_run(kernels: Sequence["SpecializedSampleKernel"],
-                      seg_ids: Sequence[int], T: int):
+                      seg_ids: Sequence[int], T: int, msg=None):
     """Joint fused render for a graph's gmem-coupled device nodes.
 
     The all-shadow graph gives gmem SEQUENTIAL SAME-BLOCK visibility:
@@ -5406,20 +5523,72 @@ def lockstep_gmem_run(kernels: Sequence["SpecializedSampleKernel"],
     size.  seg_ids: per-kernel small-int id of the attached segment
     (nodes sharing a segment thread one gmem vector).
 
-    Returns unjitted run(carries, xs, rands, mevs, mns, g0) ->
-    (ys, carries, gfin, mos): per-node f32 outputs, final carries, final
-    per-segment gmem contents, and per-node staged MIDI-out planes
-    (None for nodes without midisend)."""
+    msg (VERDICT r4 #5): a SimpleNamespace(W, nc, my_ids, sub_masks)
+    when any member touches the message bus — the scan then ALSO threads
+    a ring WINDOW (the last <=W published messages as rows of [sender,
+    bc, dest, chan_id, tag, a, b, c, d], with a published-count and a
+    per-member seen-cursor).  At each member's begin-block point its
+    matched unseen entries are staged into its heap FIFO queues
+    (bus._matches: direct dest, or broadcast no-self on a subscribed
+    channel); after its device @block the scan publishes its OUT table.
+    Entries older than every member's cursor compact away each block, so
+    W only needs to bound TWO blocks of traffic — the graph refuses a
+    render that overflows it (the reference ring holds 4096).
+
+    Returns unjitted run(carries, xs, rands, mevs, mns, g0, m0) ->
+    (ys, carries, gfin, mos, msg_fin): per-node f32 outputs, final
+    carries, final per-segment gmem contents, per-node staged MIDI-out
+    planes (None for nodes without midisend), and (ring, count,
+    cursors, overflow) when msg is on (None otherwise)."""
     import jax
     import jax.numpy as jnp
 
     B = kernels[0].B
     if any(k.B != B for k in kernels):
         raise SpecializeError("gmem lockstep needs one shared block size")
-    parts = [k._coupled_steps(T, "both") for k in kernels]
+    # members thread gmem only when the graph attached them to a shared
+    # segment (msg-only members carry seg_id -1)
+    parts = [k._coupled_steps(T, "both" if seg_ids[i] >= 0 else None)
+             for i, k in enumerate(kernels)]
     nfull, rem = parts[0].nfull, parts[0].rem
+    from .devgen import MSG_OUT_CAP
 
-    def run(carries, xs, rands, mevs, mns, g0):
+    W = int(msg.W) if msg is not None else 0
+    nc = max(1, int(msg.nc)) if msg is not None else 1
+
+    def _in_mask(marr, mn, cur, i):
+        gidx = jnp.arange(W)
+        sender = marr[:, 0]
+        bc = marr[:, 1]
+        dest = marr[:, 2]
+        cid = jnp.clip(marr[:, 3].astype(jnp.int64), 0, nc - 1)
+        sub = jnp.asarray(msg.sub_masks[i])
+        my = float(msg.my_ids[i])
+        match = jnp.where(bc > 0.5,
+                          jnp.logical_and(sub[cid], sender != my),
+                          dest == my)
+        return jnp.logical_and(
+            jnp.logical_and(gidx >= cur, gidx < mn), match)
+
+    def _publish(plane, i, marr, mn, ovf):
+        cnt = plane[1]
+        rows = plane[2:].reshape(MSG_OUT_CAP, 8)
+        my = float(msg.my_ids[i])
+
+        def ap(k, st):
+            ma, nn, ov = st
+            ok = jnp.float64(k) < cnt
+            fits = nn < W
+            good = jnp.logical_and(ok, fits)
+            row9 = jnp.concatenate([jnp.full((1,), my), rows[k]])
+            wpos = jnp.where(good, nn, W)
+            ma = ma.at[wpos].set(row9, mode="drop")
+            nn = jnp.where(good, nn + 1, nn)
+            ov = ov + jnp.where(jnp.logical_and(ok, ~fits), 1.0, 0.0)
+            return ma, nn, ov
+        return jax.lax.fori_loop(0, MSG_OUT_CAP, ap, (marr, mn, ovf))
+
+    def run(carries, xs, rands, mevs, mns, g0, m0=None):
         xs64 = [jnp.asarray(x).astype(jnp.float64) for x in xs]
 
         def stage_full(i):
@@ -5434,22 +5603,62 @@ def lockstep_gmem_run(kernels: Sequence["SpecializedSampleKernel"],
                                  jnp.asarray(mns[i][:nfull]))
             return entry
 
+        def member_step(i, p, step, entry, node_ci, gs, mstate):
+            """One member at its lockstep slot: stage gmem/ring inputs,
+            run its fused @block+samples step, publish gmem/ring outputs."""
+            if p.g_consume:
+                entry = entry + (gs[seg_ids[i]],)
+            if mstate is not None and p.use_msg:
+                marr, mn, mc, ovf = mstate
+                j = msg_pos[i]
+                entry = entry + (marr, _in_mask(marr, mn, mc[j], i))
+                mc = mc.at[j].set(mn)
+                mstate = (marr, mn, mc, ovf)
+            node_ci, out = step(node_ci, entry)
+            out = list(out)
+            y = out.pop(0)
+            mo = out.pop(0) if p.use_mout else None
+            if p.g_emit:
+                gs[seg_ids[i]] = out.pop(0)
+            if mstate is not None and p.use_msg:
+                marr, mn, mc, ovf = mstate
+                marr, mn, ovf = _publish(out.pop(0), i, marr, mn, ovf)
+                mstate = (marr, mn, mc, ovf)
+            return node_ci, y, mo, gs, mstate
+
+        msg_pos = {i: j for j, i in enumerate(
+            i for i, p in enumerate(parts) if p.use_msg)}
+
         def joint_step(carry, sc):
-            node_c, gs = carry
+            node_c, gs, mstate = carry
             node_c = list(node_c)
             gs = list(gs)
+            if mstate is not None:
+                # compact entries every member has seen (<= 2 blocks of
+                # traffic stay live, so W bounds the window)
+                marr, mn, mc, ovf = mstate
+                mmin = jnp.min(mc)
+                marr = jnp.roll(marr, -mmin, axis=0)
+                mstate = (marr, mn - mmin, mc - mmin, ovf)
             ys = []
             mos = []
             for i, p in enumerate(parts):
-                entry = sc[i] + (gs[seg_ids[i]],)
-                node_c[i], out = p.step_full(node_c[i], entry)
-                out = list(out)
-                ys.append(out.pop(0))
-                mos.append(out.pop(0) if p.use_mout else None)
-                gs[seg_ids[i]] = out.pop(0)
-            return (tuple(node_c), tuple(gs)), (tuple(ys), tuple(mos))
+                node_c[i], y, mo, gs, mstate = member_step(
+                    i, p, p.step_full, sc[i], node_c[i], gs, mstate)
+                ys.append(y)
+                mos.append(mo)
+            return (tuple(node_c), tuple(gs), mstate), \
+                (tuple(ys), tuple(mos))
 
-        carry = (tuple(carries), tuple(jnp.asarray(g) for g in g0))
+        mstate0 = None
+        if msg is not None:
+            marr0, mn0, mc0 = m0
+            mstate0 = (jnp.asarray(marr0, jnp.float64),
+                       jnp.asarray(mn0, jnp.int32),
+                       jnp.asarray(mc0, jnp.int32),
+                       jnp.float64(0.0))
+        carry = (tuple(carries), tuple(jnp.asarray(g) for g in g0),
+                 mstate0)
         yb = mob = None
         if nfull:
             scxs = tuple(stage_full(i) for i in range(len(parts)))
@@ -5457,20 +5666,21 @@ def lockstep_gmem_run(kernels: Sequence["SpecializedSampleKernel"],
         y_rem = [None] * len(parts)
         mo_rem = [None] * len(parts)
         if rem:
-            node_c, gs = list(carry[0]), list(carry[1])
+            node_c, gs, mstate = list(carry[0]), list(carry[1]), carry[2]
+            if mstate is not None:
+                marr, mn, mc, ovf = mstate
+                mmin = jnp.min(mc)
+                marr = jnp.roll(marr, -mmin, axis=0)
+                mstate = (marr, mn - mmin, mc - mmin, ovf)
             for i, p in enumerate(parts):
                 xs_r = (xs64[i][:, nfull * B:],
                         jnp.asarray(rands[i][nfull * B:]))
                 if p.use_midi:
                     xs_r = xs_r + (jnp.asarray(mevs[i][nfull]),
                                    jnp.asarray(mns[i][nfull]))
-                xs_r = xs_r + (gs[seg_ids[i]],)
-                node_c[i], out = p.step_rem(node_c[i], xs_r)
-                out = list(out)
-                y_rem[i] = out.pop(0)
-                mo_rem[i] = out.pop(0) if p.use_mout else None
-                gs[seg_ids[i]] = out.pop(0)
-            carry = (tuple(node_c), tuple(gs))
+                node_c[i], y_rem[i], mo_rem[i], gs, mstate = member_step(
+                    i, p, p.step_rem, xs_r, node_c[i], gs, mstate)
+            carry = (tuple(node_c), tuple(gs), mstate)
         ys = []
         mos = []
         for i, p in enumerate(parts):
@@ -5493,6 +5703,6 @@ def lockstep_gmem_run(kernels: Sequence["SpecializedSampleKernel"],
                            else jnp.concatenate(mp, axis=0))
             else:
                 mos.append(None)
-        return tuple(ys), carry[0], carry[1], tuple(mos)
+        return tuple(ys), carry[0], carry[1], tuple(mos), carry[2]
 
     return run

@@ -52,6 +52,20 @@ def cache_dir() -> str:
     return path
 
 
+def bank_dir() -> str:
+    """Read-only artifact bank committed with the repo.
+
+    ~/.cache is wiped whenever the container migrates (every round), which
+    re-imposed Sample.jsfx's ~27 min cold trace on each fresh checkout.
+    Artifacts copied here (scripts/bank_traces.py) ride git instead; the
+    section_key hashes the lowering source files, so a stale bank entry
+    can never be served — it simply misses."""
+    return os.environ.get(
+        "ZORAK_TRACE_BANK_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "..", "..", "artifacts", "devgen_traces"))
+
+
 # ---------------------------------------------------------------------------
 # fingerprinting
 
@@ -204,16 +218,24 @@ def step_callable(sec):
             if use_disk else None
         meta_path = os.path.join(cache_dir(), f"{key}.json") \
             if use_disk else None
-        if use_disk and os.path.exists(blob_path):
+        load_blob, load_meta = blob_path, meta_path
+        if use_disk and not os.path.exists(load_blob):
+            # fall back to the committed artifact bank (read-only; the
+            # store path below still targets the writable primary dir)
+            bank_blob = os.path.join(bank_dir(), f"{key}.jexp")
+            if os.path.exists(bank_blob):
+                load_blob = bank_blob
+                load_meta = os.path.join(bank_dir(), f"{key}.json")
+        if use_disk and os.path.exists(load_blob):
             try:
                 from jax import export as jexport
 
                 t0 = time.time()
-                with open(blob_path, "rb") as f:
+                with open(load_blob, "rb") as f:
                     exp = jexport.deserialize(bytearray(f.read()))
                 meta = {}
-                if os.path.exists(meta_path):
-                    with open(meta_path) as f:
+                if os.path.exists(load_meta):
+                    with open(load_meta) as f:
                         meta = json.load(f)
                 sec.fft_sizes_used |= set(meta.get("fft_sizes_used", ()))
                 _dbg(f"hit @{sec.section} {shapes} "

@@ -67,6 +67,27 @@ def _comm_touch(program: PluginProgram) -> "tuple[bool, bool]":
     return hit[0], hit[1]
 
 
+def _msg_in_section(program: PluginProgram, section: str) -> bool:
+    """Does `section` (or a function it calls) touch the message bus?"""
+    from ..frontend.astnodes import CallExpr, walk
+    from ..lowering.devgen import DeviceSection
+
+    seen: set = set()
+    hit = [False]
+
+    def scan(nodes) -> None:
+        for root in nodes:
+            for n in walk(root):
+                if isinstance(n, CallExpr):
+                    if n.func in DeviceSection._COMM_FNS:
+                        hit[0] = True
+                    elif n.func in program.fn_defs and n.func not in seen:
+                        seen.add(n.func)
+                        scan([program.fn_defs[n.func].body])
+    scan(program.sections.get(section) or [])
+    return hit[0]
+
+
 @dataclass
 class GraphNode:
     name: str
@@ -137,13 +158,20 @@ class RenderGraph:
                     block_size=self.block_size)
                 msg_t, gmem_t = _comm_touch(node.program)
                 if kern.coupled and msg_t:
-                    # a device @block that reads or writes the message
-                    # ring would need its msg traffic staged per block in
-                    # lockstep with the other nodes; such nodes keep the
-                    # shadow (gmem, by contrast, threads natively — below)
-                    raise SpecializeError(
-                        "coupled @block touching the bus: graph lockstep "
-                        "needs the host-trajectory (uncoupled) form")
+                    # device @block bus traffic rides the joint lockstep
+                    # scan via staged ring planes (VERDICT r4 #5) —
+                    # provided the kernel baked the msg staging regions
+                    # (devgen MsgConfig) and the bus is only touched at
+                    # block rate (planes stage at begin-block points)
+                    if _msg_in_section(node.program, "sample"):
+                        raise SpecializeError(
+                            "coupled node touches the bus in @sample: "
+                            "lockstep stages msg planes at block rate "
+                            "only")
+                    if getattr(kern._devblock, "msg_out_cells", 0) == 0:
+                        raise SpecializeError(
+                            "coupled @block touching the bus: kernel "
+                            "built without device msg staging")
                 # comm-free coupled nodes are graph-legal: their control
                 # neither reads nor writes the shared world, so the fused
                 # device pipeline renders them independently while their
@@ -163,8 +191,8 @@ class RenderGraph:
                         "coupled node touches gmem outside the device "
                         "@block: joint lockstep scan cannot thread it")
                 self.kernels[i] = kern
-                if kern.coupled and gmem_t \
-                        and host.attached_gmem is not None:
+                if kern.coupled and (msg_t or (
+                        gmem_t and host.attached_gmem is not None)):
                     self.node_engines[i] = "tpu-lockstep"
                 else:
                     self.node_engines[i] = "tpu-vector"
@@ -172,7 +200,14 @@ class RenderGraph:
                 self.spec_errors[node.name] = str(exc)
             # DROP (not flush) any probe-time sends buffered in the outbox
             host.outbox.clear()
-        self._resolve_gmem_groups()
+        # group resolution to a fixpoint: a gmem demote can strand a msg
+        # group (the demoted node's bus traffic now runs host-side) and
+        # vice versa, so alternate the passes until neither demotes
+        while True:
+            c1 = self._resolve_gmem_groups()
+            c2 = self._resolve_msg_groups()
+            if not (c1 or c2):
+                break
 
     def _resolve_gmem_groups(self) -> None:
         """Demote gmem-lockstep candidates whose segment is also touched
@@ -198,6 +233,7 @@ class RenderGraph:
                 seg_touchers.setdefault(sid, []).append(i)
             else:
                 seg_outside[sid] = True
+        changed = False
         for sid, members in seg_touchers.items():
             if seg_outside.get(sid):
                 for i in members:
@@ -206,6 +242,51 @@ class RenderGraph:
                     self.spec_errors[self.nodes[i].name] = (
                         "shared gmem segment also touched by a host-path "
                         "node: joint lockstep scan cannot include it")
+                    changed = True
+        return changed
+
+    def _resolve_msg_groups(self) -> bool:
+        """Per comm DOMAIN: either every msg-touching node (DSP sections)
+        rides the joint lockstep scan, or none does — a host-path node's
+        sends/receives interleave with phase 1 while the scan replays all
+        blocks in phase 2, which would break block-resolved delivery
+        ordering (ref: src/DspJsfxMessageBus.cpp:529,609)."""
+        dom_members: Dict[int, List[int]] = {}
+        dom_outside: Dict[int, bool] = {}
+        for i, (node, host) in enumerate(zip(self.nodes, self.hosts)):
+            msg_t, _gm = _comm_touch(node.program)
+            if not msg_t:
+                continue
+            did = id(host.domain)
+            kern = self.kernels[i]
+            if self.node_engines[i] == "tpu-lockstep" \
+                    and kern is not None \
+                    and getattr(kern._devblock, "msg_out_cells", 0) > 0:
+                dom_members.setdefault(did, []).append(i)
+            else:
+                dom_outside[did] = True
+        changed = False
+        for did, members in dom_members.items():
+            if dom_outside.get(did):
+                for i in members:
+                    self.kernels[i] = None
+                    self.node_engines[i] = "cpu-shadow"
+                    self.spec_errors[self.nodes[i].name] = (
+                        "message bus also touched by a host-path node: "
+                        "joint lockstep scan cannot include it")
+                    changed = True
+        # the joint scan threads ONE ring window: keep the first live
+        # domain (node order), demote the rest honestly
+        live = [d for d, m in dom_members.items() if not dom_outside.get(d)]
+        for did in live[1:]:
+            for i in dom_members[did]:
+                self.kernels[i] = None
+                self.node_engines[i] = "cpu-shadow"
+                self.spec_errors[self.nodes[i].name] = (
+                    "second comm domain with device msg members: the "
+                    "joint scan threads one ring window per render")
+                changed = True
+        return changed
 
     # -- render ----------------------------------------------------------------
 
@@ -267,16 +348,27 @@ class RenderGraph:
         # they are comm-free by construction (_build_kernels), so only
         # their begin/end bookkeeping participates here, keeping ring
         # cursors and drop accounting identical to the all-shadow graph.
+        msg_lock = [self.node_engines[i] == "tpu-lockstep"
+                    and self.kernels[i] is not None
+                    and getattr(self.kernels[i]._devblock,
+                                "msg_out_cells", 0) > 0
+                    for i in range(len(self.nodes))]
         for start in range(0, total, bs):
             stop = min(start + bs, total)
-            for node, plug, host, kern, stp in zip(
+            for ni, (node, plug, host, kern, stp) in enumerate(zip(
                     self.nodes, self.plugins, self.hosts, self.kernels,
-                    steppers):
+                    steppers)):
                 if stp is not None:
                     host.begin_block(stp.state)
                     stp.step(stop - start)
                     host.end_block(stp.state)
                 elif kern is not None:       # coupled device node
+                    if msg_lock[ni]:
+                        # the joint scan owns this member's ring
+                        # interaction (materialize + publish + cursor);
+                        # a phase-1 begin_block would consume the
+                        # pending ring entries the scan is staged with
+                        continue
                     host.begin_block(plug.state)
                     host.end_block(plug.state)
                 else:
@@ -313,6 +405,7 @@ class RenderGraph:
             return
         import jax
 
+        from ..lowering.devgen import MSG_OUT_CAP
         from ..lowering.specialize import lockstep_gmem_run
 
         kerns = [self.kernels[i] for i in lock]
@@ -320,13 +413,83 @@ class RenderGraph:
         seg_ids: List[int] = []
         for i in lock:
             seg = self.hosts[i].attached_gmem
+            _msg_t, gmem_t = _comm_touch(self.nodes[i].program)
+            if seg is None or not gmem_t:
+                seg_ids.append(-1)
+                continue
             if seg not in seg_objs:
                 seg_objs.append(seg)
             seg_ids.append(seg_objs.index(seg))
-        key = (tuple(lock), tuple(seg_ids), total)
+
+        # message-ring staging (VERDICT r4 #5): members whose kernels
+        # baked msg regions thread one ring window through the scan
+        msg_members = [j for j, k in enumerate(kerns)
+                       if getattr(k._devblock, "msg_out_cells", 0) > 0]
+        msg = m0 = None
+        dom = None
+        if msg_members:
+            from types import SimpleNamespace
+
+            from ..comm.bus import KIND_SCALAR, Message
+
+            dom = self.hosts[lock[msg_members[0]]].domain
+            reg = getattr(self.world, "msg_chan_ids", None)
+            if reg is None:
+                reg = self.world.msg_chan_ids = {}
+
+            def intern(name: str) -> int:
+                got = reg.get(name)
+                if got is None:
+                    got = len(reg)
+                    reg[name] = got
+                return got
+
+            init: List[Message] = []
+            for m in dom.ring:
+                if m.kind != KIND_SCALAR:
+                    raise RuntimeError(
+                        "buffer message pending in a device-lockstep "
+                        "domain: render via prefer='shadow'")
+                intern(m.channel)
+                init.append(m)
+            for j in msg_members:
+                for ch in self.hosts[lock[j]].subscriptions:
+                    intern(ch)
+            nc = max(1, len(reg))
+            W = 2 * len(msg_members) * MSG_OUT_CAP + len(init)
+            my_ids = [float(self.hosts[lock[j]].instance_id_value)
+                      if j in msg_members else 0.0
+                      for j in range(len(kerns))]
+            sub_masks = np.zeros((len(kerns), nc), dtype=bool)
+            for j in msg_members:
+                for ch in self.hosts[lock[j]].subscriptions:
+                    sub_masks[j, reg[ch]] = True
+            msg = SimpleNamespace(W=W, nc=nc, my_ids=my_ids,
+                                  sub_masks=sub_masks)
+            marr0 = np.zeros((W, 9), dtype=np.float64)
+            for g, m in enumerate(init):
+                marr0[g] = [float(m.sender),
+                            1.0 if m.dest is None else 0.0,
+                            0.0 if m.dest is None else float(m.dest),
+                            float(reg[m.channel]), m.tag,
+                            m.scalars[0], m.scalars[1],
+                            m.scalars[2], m.scalars[3]]
+            seqs = [m.seq for m in init]
+            mc0 = []
+            for j in msg_members:
+                cur = self.hosts[lock[j]].cursor
+                mc0.append(sum(1 for s in seqs if s <= cur))
+            m0 = (marr0, np.int32(len(init)),
+                  np.asarray(mc0, dtype=np.int32))
+
+        key = (tuple(lock), tuple(seg_ids), total,
+               None if msg is None else
+               (msg.W, msg.nc, tuple(msg.my_ids),
+                msg.sub_masks.tobytes()))
         fn = self._lockstep_fns.get(key)
         if fn is None:
-            fn = jax.jit(lockstep_gmem_run(kerns, seg_ids, total))
+            fn = jax.jit(lockstep_gmem_run(kerns, seg_ids, total,
+                                           msg=msg))
             self._lockstep_fns[key] = fn
         xs = []
         rands = []
@@ -349,9 +512,9 @@ class RenderGraph:
             carries.append(kern.initial_carry())
         g0 = tuple(np.asarray(s.cells, dtype=np.float64).copy()
                    for s in seg_objs)
-        ys, fcarries, gfin, mos = fn(tuple(carries), tuple(xs),
-                                     tuple(rands), tuple(mevs),
-                                     tuple(mns), g0)
+        ys, fcarries, gfin, mos, msg_fin = fn(
+            tuple(carries), tuple(xs), tuple(rands), tuple(mevs),
+            tuple(mns), g0, m0)
         for j, i in enumerate(lock):
             node, plug, kern = self.nodes[i], self.plugins[i], kerns[j]
             outs[node.name][:, :] = np.asarray(ys[j])
@@ -380,3 +543,54 @@ class RenderGraph:
                 for i in lock:
                     seg.bump(int(changed.min()), int(changed.max()),
                              getattr(self.hosts[i], "instance_id_int", 0))
+        if msg is not None and msg_fin is not None:
+            self._msg_lockstep_writeback(dom, lock, kerns, msg_members,
+                                         fcarries, msg_fin)
+
+    def _msg_lockstep_writeback(self, dom, lock, kerns, msg_members,
+                                fcarries, msg_fin) -> None:
+        """Post-render ring reconciliation: refuse capacity overflows
+        (the shadow ring/inbox never drop at these scales — an overflow
+        would be a silent semantic deviation), then replay the final
+        window into the host ring with fresh seqs and advance member
+        cursors, so subsequent renders (and host-side inspection) see
+        the block-accurate end state."""
+        from ..comm.bus import KIND_SCALAR, Message
+
+        marr, mn, mc, ovf = msg_fin
+        if float(ovf) > 0.0:
+            raise RuntimeError(
+                "device msg lockstep: ring window overflow "
+                f"({float(ovf):.0f} entries) — raise MSG_OUT_CAP/window")
+        for j in msg_members:
+            dev = kerns[j]._devblock
+            drops = float(np.asarray(
+                fcarries[j][2])[dev.msg_in_base])
+            if drops > 0.0:
+                raise RuntimeError(
+                    f"device msg lockstep: node {self.nodes[lock[j]].name}"
+                    f" dropped {drops:.0f} staged messages — raise "
+                    "MSG_QUEUE_CAP/MSG_OUT_CAP")
+        reg = getattr(self.world, "msg_chan_ids", {})
+        names = {cid: name for name, cid in reg.items()}
+        marr = np.asarray(marr, dtype=np.float64)
+        n = int(mn)
+        dom.ring.clear()
+        new_seqs = []
+        for g in range(n):
+            row = marr[g]
+            seq = next(dom.next_seq)
+            new_seqs.append(seq)
+            dom.ring.append(Message(
+                seq=seq, sender=int(row[0]),
+                dest=None if row[1] > 0.5 else int(row[2]),
+                channel=names.get(int(row[3]), repr(float(row[3]))),
+                tag=float(row[4]), kind=KIND_SCALAR,
+                scalars=(float(row[5]), float(row[6]),
+                         float(row[7]), float(row[8]))))
+        mc_np = np.asarray(mc)
+        for pos, j in enumerate(msg_members):
+            c = int(mc_np[pos])
+            host = self.hosts[lock[j]]
+            host.cursor = new_seqs[c - 1] if c > 0 else (
+                new_seqs[0] - 1 if new_seqs else host.cursor)
