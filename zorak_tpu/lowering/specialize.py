@@ -734,6 +734,19 @@ class _SymExec:
         if isinstance(addr, IndAff):
             raise SpecializeError("unbounded cursor mem read (no mask)")
         # dynamic address: tolerated during discovery passes, fatal at final
+        if os.environ.get("ZORAK_SPEC_DEBUG"):
+            import sys as _sys
+
+            def _shallow(n, d=0):
+                if not isinstance(n, GNode):
+                    return repr(n)
+                if d >= 3:
+                    return n.kind
+                inner = ",".join(_shallow(a, d + 1)
+                                 for a in n.args[:3])
+                return f"{n.kind}({n.op or ''};{inner})"
+            print(f"[spec] dynmem ivr={_node_interval(addr.node)} "
+                  f"{_shallow(addr.node)}", file=_sys.stderr, flush=True)
         return TS(GNode("dynmem", args=(self._node(addr),)))
 
     def _wrap_norm_while(self, n: WhileStmt, scope) -> Optional[SymVal]:
