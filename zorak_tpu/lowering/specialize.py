@@ -740,11 +740,14 @@ class _SymExec:
             def _shallow(n, d=0):
                 if not isinstance(n, GNode):
                     return repr(n)
-                if d >= 3:
+                if d >= 7:
                     return n.kind
+                extra = ""
+                if n.kind in ("in", "ind", "prev"):
+                    extra = repr(n.meta.get("key", n.meta or ""))[:40]
                 inner = ",".join(_shallow(a, d + 1)
                                  for a in n.args[:3])
-                return f"{n.kind}({n.op or ''};{inner})"
+                return f"{n.kind}({n.op or ''}{extra};{inner})"
             print(f"[spec] dynmem ivr={_node_interval(addr.node)} "
                   f"{_shallow(addr.node)}", file=_sys.stderr, flush=True)
         return TS(GNode("dynmem", args=(self._node(addr),)))
