@@ -192,6 +192,10 @@ class DeviceSection:
         self.section = section
         self.mem_size = int(mem_size)
         self.consts = dict(consts or {})
+        # deferred slot writes + read memo (see the vars property)
+        self._vars_arr = None
+        self._vpend: Dict[int, Any] = {}
+        self._vmemo: Dict[int, Any] = {}
         self._force_gmem = bool(force_gmem)
         self._force_midi_out = bool(force_midi_out)
         # rand() support: a host-pregenerated MT19937 u32 pool rides the
@@ -599,12 +603,55 @@ class DeviceSection:
             return SC.truthy(v)
         return EM.truthy_mask(v)
 
+    # -- deferred var-slot traffic -------------------------------------------
+    # Scalar slot plumbing dominated the lowered step of big plugins
+    # (Sample.jsfx @sample: ~21.5k dynamic_update_slices + ~56k
+    # reshape/slice from per-write/per-read packing — the remote TPU
+    # compile helper OOM-kills the module).  Writes buffer in _vpend and
+    # flush as DUS only when the ARRAY itself is observed (property get:
+    # control-flow save/restore, loop carries, step return); reads
+    # memoize in _vmemo.  Branch merges select per written SLOT instead
+    # of re-materializing the vector (see _merged).  Pure CSE/sinking —
+    # the flushed array is bit-identical to the eager form's.
+
+    @property
+    def vars(self):
+        self._vflush()
+        return self._vars_arr
+
+    @vars.setter
+    def vars(self, arr):
+        self._vars_arr = arr
+        self._vpend.clear()
+        self._vmemo.clear()
+
+    def _vflush(self) -> None:
+        if not self._vpend:
+            return
+        import jax
+
+        jnp = self._jnp
+        arr = self._vars_arr
+        for slot, val in self._vpend.items():
+            v = jnp.asarray(val, arr.dtype).reshape((1,))
+            arr = jax.lax.dynamic_update_slice(arr, v, (slot,))
+        self._vpend.clear()
+        self._vars_arr = arr
+
     def _read_slot(self, key):
         slot = self.slots[key]
         got = self._known.get(slot)
         if got is not None:
             return got
-        return self.vars[slot]
+        v = self._vpend.get(slot)
+        if v is not None:
+            return v
+        v = self._vmemo.get(slot)
+        if v is not None:
+            return v
+        v = self._vars_arr[slot]
+        self._vmemo[slot] = v
+        return v
 
     def _write_slot(self, key, val):
         if key not in self.slots:
@@ -614,10 +661,8 @@ class DeviceSection:
             self._known[slot] = val
         else:
             self._known.pop(slot, None)
-        import jax
-
-        v = self._jnp.asarray(val, self.vars.dtype).reshape((1,))
-        self.vars = jax.lax.dynamic_update_slice(self.vars, v, (slot,))
+        self._vpend[slot] = val
+        self._vmemo[slot] = val
 
     def _read_name(self, ident: str, scope: Dict[str, Any]):
         if ident in scope:
@@ -873,22 +918,28 @@ class DeviceSection:
                 "compile budget")
         m = EM.truthy_mask(cond)
         outer = self._pred
-        saved_vars = self.vars
+        base_arr = self._vars_arr
+        base_pend = dict(self._vpend)
+        base_memo = dict(self._vmemo)
         files0 = self._clone_files()
         fp0 = self._file_fingerprint()
         known0 = dict(self._known)
 
         self._pred = m if outer is None else outer & m
         tval = then_fn() if then_fn is not None else 0.0
-        t_vars = self.vars
+        t_arr, t_pend = self._vars_arr, dict(self._vpend)
         fp_t = self._file_fingerprint()
         t_known = self._known
-        self.vars = saved_vars
+        # rewind to the pre-branch state for the else arm
+        self._vars_arr = base_arr
+        self._vpend = dict(base_pend)
+        self._vmemo = dict(base_memo)
         self._files, files_t = files0, self._files
         self._known = dict(known0)
         not_m = ~m
         self._pred = not_m if outer is None else outer & not_m
         eval_ = else_fn() if else_fn is not None else 0.0
+        e_arr, e_pend = self._vars_arr, dict(self._vpend)
         fp_e = self._file_fingerprint()
         self._pred = outer
         # a slot stays statically known only if both arms agree on it
@@ -902,8 +953,48 @@ class DeviceSection:
                 "file cursor state diverges across a data-dependent branch")
         if fp_t != fp0:
             self._files = files_t
-        self.vars = (t_vars if t_vars is self.vars
-                     else jnp.where(m, t_vars, self.vars))
+        if t_arr is base_arr and e_arr is base_arr:
+            # no nested flush in either arm: merge per written SLOT —
+            # the whole-vector where and the per-write DUS both vanish
+            self._vars_arr = base_arr
+            self._vpend = dict(base_pend)
+            self._vmemo = dict(base_memo)
+
+            def _base_val(slot):
+                v = base_pend.get(slot)
+                if v is None:
+                    v = base_memo.get(slot)
+                if v is None:
+                    v = base_arr[slot]
+                return v
+
+            for slot in set(t_pend) | set(e_pend):
+                tv = t_pend.get(slot)
+                ev = e_pend.get(slot)
+                if tv is None:
+                    tv = _base_val(slot)
+                if ev is None:
+                    ev = _base_val(slot)
+                if tv is ev or (isinstance(tv, float)
+                                and isinstance(ev, float) and tv == ev):
+                    merged = tv
+                else:
+                    tvv = jnp.float64(tv) if isinstance(tv, float) else tv
+                    evv = jnp.float64(ev) if isinstance(ev, float) else ev
+                    merged = jnp.where(m, tvv, evv)
+                self._vpend[slot] = merged
+                self._vmemo[slot] = merged
+        else:
+            # an arm flushed mid-trace (nested loop/switch carried the
+            # array): materialize both sides and where-merge the vector
+            self._vars_arr, self._vpend = t_arr, t_pend
+            self._vflush()
+            t_full = self._vars_arr
+            self._vars_arr, self._vpend = e_arr, e_pend
+            self._vflush()
+            e_full = self._vars_arr
+            self.vars = (t_full if t_full is e_full
+                         else jnp.where(m, t_full, e_full))
         if isinstance(tval, float) and isinstance(eval_, float) \
                 and tval == eval_:
             return tval
