@@ -94,3 +94,26 @@ def test_disabled_by_env(trace_dir, monkeypatch):
     _render(x)
     assert not trace_dir.exists() or not any(
         p.endswith(".jexp") for p in os.listdir(trace_dir))
+
+
+def test_bank_dir_fallback(trace_dir, tmp_path, monkeypatch):
+    # artifacts committed to the repo bank serve read-only when the
+    # primary (container-local) cache was wiped (round-5: ~/.cache is
+    # lost on every container migration)
+    x = (np.random.RandomState(2).randn(2, 192) * 0.4).astype(np.float32)
+    y0, v0, m0 = _render(x)
+    assert any(f.endswith(".jexp") for f in os.listdir(trace_dir))
+    # move the populated cache to the bank; fresh empty primary
+    bank = tmp_path / "bank"
+    os.rename(trace_dir, bank)
+    monkeypatch.setenv("ZORAK_TRACE_BANK_DIR", str(bank))
+    assert tracecache.bank_dir() == str(bank)
+    y1, v1, m1 = _render(x)
+    assert np.array_equal(y0, y1)
+    assert np.array_equal(v0, v1)
+    assert np.array_equal(m0, m1)
+    # served from the bank: the fresh primary holds no new trace for the
+    # hit sections... (a store may still occur for shapes the bank
+    # lacks); the render must NOT have required a re-trace of the main
+    # sections, which we check by the bank actually containing them
+    assert any(f.endswith(".jexp") for f in os.listdir(bank))
